@@ -1,0 +1,25 @@
+"""graph_data_science_ray — a Ray-Data-native link-graph analytics engine.
+
+Brand-new implementation (not a port) of the query/data-processing capabilities of
+Neo4j Graph Data Science's core link-graph algorithms — PageRank / ArticleRank /
+Eigenvector, weakly connected components, label propagation, triangle counting +
+local clustering coefficient — as bulk-synchronous iterations over canonical edge
+tables, plus the training-data pipeline operators (dedup, similarity search, text
+analysis) a 100 TB corpus pipeline needs.  See SURVEY.md for the blueprint and
+per-operator reference citations.
+"""
+
+from .pipelines.labelprop import label_propagation
+from .pipelines.pagerank import article_rank, eigenvector, pagerank
+from .pipelines.pregel import Computation, PregelResult, run_pregel
+from .pipelines.triangles import local_clustering_coefficient, triangle_count
+from .pipelines.wcc import wcc
+from .state.graph import Graph
+
+__all__ = [
+    "Graph", "Computation", "PregelResult", "run_pregel",
+    "pagerank", "article_rank", "eigenvector",
+    "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
+]
+
+__version__ = "0.1.0"

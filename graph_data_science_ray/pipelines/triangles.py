@@ -1,0 +1,249 @@
+"""Triangle counting + local clustering coefficient.
+
+Reference semantics (algo/src/main/java/org/neo4j/gds/triangle/):
+  * requires an UNDIRECTED view; parallel edges are skipped (the ``triangleC``
+    guard in GraphIntersect.java:154-170) — we canonicalize to distinct pairs
+    ``{u, v}, u != v`` first;
+  * each triangle a<b<c is counted once globally and adds +1 to each of the three
+    nodes' local counts (IntersectingTriangleCount.java:171-180);
+  * nodes with ``degree > maxDegree`` are excluded: local count = -1
+    (EXCLUDED_NODE_TRIANGLE_COUNT, IntersectingTriangleCount.java:58,162-166) and
+    none of their edges participate;
+  * LCC: ``C(v) = 2·T(v) / (deg(v)·(deg(v)-1))``; 0 if T(v)=0; NaN if excluded;
+    average = plain mean over all nodes (LocalClusteringCoefficient.java:85-134).
+
+Distributed formulation: instead of the reference's shared-memory sorted-adjacency
+intersection with an atomic work queue, we use the degree-ordered wedge-join: order
+vertices by (degree, vid); orient each edge low→high; each vertex emits the ordered
+pairs of its out-neighbors as wedge candidates ``(b, c)``; a wedge closed by an
+oriented edge (b, c) is a triangle.  Degree-ordering bounds total wedges by
+O(E^1.5) (hub skew guard: a hub's edges are oriented *into* it, so it emits few
+wedges) and yields identical counts to the reference's id-ordered intersection —
+triangles are orientation-free.  The Ray path streams wedges through a
+groupby(key) shuffle against the edge set; it never materializes the wedge set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.graph import Graph, build_csr_shard, degree_balanced_bounds
+
+
+@dataclass
+class TriangleCountResult:
+    table: pa.Table           # (vid, triangles)  — -1 for excluded nodes
+    global_count: int
+
+    def to_pandas(self):
+        return self.table.to_pandas()
+
+
+def _canonical_pairs(graph: Graph):
+    """Distinct undirected pairs (a, b) with a < b; self-loops dropped."""
+    a = np.minimum(graph.src, graph.dst)
+    b = np.maximum(graph.src, graph.dst)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    key = a * graph.n + b
+    uq = np.unique(key)
+    return uq // graph.n, uq % graph.n
+
+
+def _oriented_by_rank(n, a, b):
+    """Orient pairs by (degree, vid) rank; returns (lo, hi, rank, excluded_mask_deg).
+
+    deg = distinct-neighbor degree over the canonical pairs."""
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    # rank: sort vertices by (deg, vid) — rank[v] = position
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    swap = rank[a] > rank[b]
+    lo = np.where(swap, b, a)
+    hi = np.where(swap, a, b)
+    return lo, hi, rank, deg
+
+
+def _wedges_from_segment(nb_full: np.ndarray, seg_starts, seg_lens, src_vals):
+    """All ordered pairs (pos i < pos j) within each adjacency segment, tagged by
+    the segment's source vertex.  Fully vectorized (no per-source Python loop)."""
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    total = int(seg_lens.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    offs = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    gather = np.arange(total, dtype=np.int64) + np.repeat(seg_starts - offs, seg_lens)
+    nb = nb_full[gather]  # segments now contiguous: [offs[i], offs[i]+lens[i])
+    row_src = np.repeat(src_vals, seg_lens)
+    row_pos = np.arange(total, dtype=np.int64) - np.repeat(offs, seg_lens)
+    lens2 = np.repeat(seg_lens, seg_lens) - row_pos - 1  # pairs starting at each row
+    total2 = int(lens2.sum())
+    if total2 == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    b = np.repeat(nb, lens2)
+    a = np.repeat(row_src, lens2)
+    starts2 = np.arange(total, dtype=np.int64) + 1
+    offs2 = np.concatenate(([0], np.cumsum(lens2)[:-1]))
+    g2 = np.arange(total2, dtype=np.int64) + np.repeat(starts2 - offs2, lens2)
+    c = nb[g2]
+    return a, b, c
+
+
+def triangle_count(graph: Graph, *, max_degree: Optional[int] = None,
+                   execution: str = "auto", num_partitions: Optional[int] = None,
+                   local_threshold: int = 200_000) -> TriangleCountResult:
+    if max_degree is not None and max_degree < 2:
+        raise ValueError("maxDegree must be >= 2 (ref TriangleCountBaseConfig.java:34-44)")
+    n = graph.n
+    a, b = _canonical_pairs(graph)
+    deg_all = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    excluded = np.zeros(n, dtype=bool)
+    if max_degree is not None:
+        excluded = deg_all > max_degree
+        keep = ~(excluded[a] | excluded[b])
+        a, b = a[keep], b[keep]
+    lo, hi, rank, _ = _oriented_by_rank(n, a, b)
+    # relabel into rank space so orientation == "src < dst" and CSR sorts naturally
+    rs, rd = rank[lo], rank[hi]
+    order = np.lexsort((rd, rs))
+    rs, rd = rs[order], rd[order]
+    inv_rank = np.empty(n, dtype=np.int64)
+    inv_rank[rank] = np.arange(n)
+
+    if execution == "auto":
+        execution = "local" if n <= local_threshold else "ray"
+    if execution == "local":
+        counts_ranked, total = _count_local(n, rs, rd)
+    else:
+        counts_ranked, total = _count_ray(n, rs, rd, num_partitions or 8)
+    counts = counts_ranked[rank].astype(np.int64)  # back to vid space
+    counts[excluded] = -1
+    return TriangleCountResult(
+        pa.table({"vid": np.arange(n, dtype=np.int64), "triangles": counts}),
+        int(total))
+
+
+def _count_local(n, rs, rd):
+    """Driver-side wedge-join (same kernel the Ray path distributes)."""
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rs, minlength=n), out=indptr[1:])
+    srcs = np.nonzero(np.diff(indptr) >= 2)[0]
+    counts = np.zeros(n, dtype=np.int64)
+    if srcs.shape[0] == 0:
+        return counts, 0
+    edge_keys = rs * n + rd  # sorted ascending already
+    wa, wb, wc = _wedges_from_segment(rd, indptr[srcs], np.diff(indptr)[srcs], srcs)
+    wkey = wb * n + wc
+    pos = np.searchsorted(edge_keys, wkey)
+    pos[pos >= edge_keys.shape[0]] = edge_keys.shape[0] - 1
+    m = edge_keys[pos] == wkey
+    total = int(m.sum())
+    counts += np.bincount(wa[m], minlength=n)
+    counts += np.bincount(wb[m], minlength=n)
+    counts += np.bincount(wc[m], minlength=n)
+    return counts, total
+
+
+class _WedgeWorker:
+    """Actor-pool stage: emits ordered out-neighbor pairs per source from a CSR shard."""
+
+    def __init__(self, shard_refs, n):
+        self.shard_refs = shard_refs
+        self.n = n
+        self._cache = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        outs = []
+        for p in batch.column("part").to_pylist():
+            if p not in self._cache:
+                self._cache[p] = ray.get(self.shard_refs[p])
+            sh = self._cache[p]
+            deg = np.diff(sh.indptr)
+            srcs = np.nonzero(deg >= 2)[0]
+            if srcs.shape[0] == 0:
+                continue
+            wa, wb, wc = _wedges_from_segment(sh.indices, sh.indptr[srcs],
+                                              deg[srcs], srcs + sh.lo)
+            outs.append(pa.table({"key": wb * self.n + wc, "a": wa,
+                                  "b": wb, "c": wc,
+                                  "is_edge": np.zeros(wa.shape[0], np.uint8)}))
+        if not outs:
+            e = np.empty(0, np.int64)
+            return pa.table({"key": e, "a": e, "b": e, "c": e,
+                             "is_edge": np.empty(0, np.uint8)})
+        return pa.concat_tables(outs)
+
+
+def _match_group(group: pa.Table) -> pa.Table:
+    is_edge = group.column("is_edge").to_numpy(zero_copy_only=False)
+    if not is_edge.any():
+        e = np.empty(0, np.int64)
+        return pa.table({"vid": e, "cnt": e})
+    wa = group.column("a").to_numpy(zero_copy_only=False)[is_edge == 0]
+    if wa.shape[0] == 0:
+        e = np.empty(0, np.int64)
+        return pa.table({"vid": e, "cnt": e})
+    wb = group.column("b").to_numpy(zero_copy_only=False)[is_edge == 0]
+    wc = group.column("c").to_numpy(zero_copy_only=False)[is_edge == 0]
+    vids = np.concatenate([wa, wb, wc])
+    uq, inv = np.unique(vids, return_inverse=True)
+    return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
+
+
+def _count_ray(n, rs, rd, P):
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    bounds = degree_balanced_bounds(n, P, rs)
+    shard_refs = []
+    for p in range(len(bounds) - 1):
+        plo, phi = int(bounds[p]), int(bounds[p + 1])
+        i, j = np.searchsorted(rs, [plo, phi])
+        shard_refs.append(ray.put(build_csr_shard(plo, phi, rs[i:j], rd[i:j])))
+    parts_ds = ray.data.from_arrow(
+        pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)}))
+    wedges = parts_ds.map_batches(_WedgeWorker(shard_refs, n),
+                                  batch_format="pyarrow", batch_size=1)
+    edges_ds = ray.data.from_arrow(pa.table({
+        "key": rs * n + rd, "a": np.full(rs.shape[0], -1, dtype=np.int64),
+        "b": rs, "c": rd, "is_edge": np.ones(rs.shape[0], np.uint8)}))
+    matched = wedges.union(edges_ds).groupby("key").map_groups(
+        _match_group, batch_format="pyarrow")
+    per_node = matched.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
+    t = pa.concat_tables([ray.get(r) for r in per_node.to_arrow_refs()])
+    counts = np.zeros(n, dtype=np.int64)
+    if t.num_rows:
+        counts[t.column("vid").to_numpy(zero_copy_only=False)] = \
+            t.column("triangles").to_numpy(zero_copy_only=False)
+    total = int(counts.sum()) // 3
+    return counts, total
+
+
+def local_clustering_coefficient(graph: Graph, *, max_degree: Optional[int] = None,
+                                 execution: str = "auto",
+                                 num_partitions: Optional[int] = None):
+    """Returns (table(vid, coefficient), average) — ref LocalClusteringCoefficient.java."""
+    tc = triangle_count(graph, max_degree=max_degree, execution=execution,
+                        num_partitions=num_partitions)
+    tri = tc.table.column("triangles").to_numpy(zero_copy_only=False).astype(np.float64)
+    a, b = _canonical_pairs(graph)
+    deg = (np.bincount(a, minlength=graph.n)
+           + np.bincount(b, minlength=graph.n)).astype(np.float64)
+    coeff = np.zeros(graph.n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = deg * (deg - 1)
+        pos = tri > 0
+        coeff[pos] = 2.0 * tri[pos] / denom[pos]
+    coeff[tri < 0] = np.nan
+    avg = float(coeff.mean()) if graph.n else 0.0
+    return pa.table({"vid": np.arange(graph.n, dtype=np.int64),
+                     "coefficient": coeff}), avg

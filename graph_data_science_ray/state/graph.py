@@ -1,0 +1,373 @@
+"""Canonical graph representation: dense-vid vertex table + canonical edge table,
+partitioned into per-range CSR shards for BSP iteration.
+
+Data model (SURVEY.md §1): a graph is a pair of logical tables
+
+    vertices(vid: int64, key: string, ...node_props)   # vid dense [0, n), ascending by key
+    edges(src: int64, dst: int64[, weight: float64])   # sorted by (src, dst)
+
+Orientation (ref: graph-projection-api/.../Orientation.java:28-31) and parallel-edge
+Aggregation (ref: graph-projection-api/.../core/Aggregation.java:31-100) are applied at
+canonicalization time.  The adjacency analogue of GDS's compressed CSR
+(core/loading/AdjacencyCompression.java:48,84-104) is a per-partition CSR shard:
+``indptr/indices/weights`` NumPy arrays over a contiguous vid range.  Shards are placed
+in the Ray object store once (``ray.put``) and mapped zero-copy into every worker that
+needs them — the distributed analogue of GDS's shared immutable heap CSR
+(core/huge/HugeGraph.java).
+
+Partitioning is degree-balanced contiguous vid ranges (the analogue of GDS
+``degreePartition``, core/utils/partition/PartitionUtils.java:87-123): boundaries are
+chosen so each partition holds ~equal *edge* count, which is the skew handling for
+power-law degree distributions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NATURAL = "natural"
+REVERSE = "reverse"
+UNDIRECTED = "undirected"
+_ORIENTATIONS = (NATURAL, REVERSE, UNDIRECTED)
+
+# Parallel-edge aggregation policies (ref: core/Aggregation.java:31-100)
+_AGGREGATIONS = ("none", "single", "sum", "min", "max", "count")
+
+
+@dataclass
+class CsrShard:
+    """CSR adjacency for sources in [lo, hi); ``indices`` hold *global* dst vids."""
+
+    lo: int
+    hi: int
+    indptr: np.ndarray  # int64, length hi - lo + 1
+    indices: np.ndarray  # int64, global dst vids
+    weights: Optional[np.ndarray] = None  # float64, parallel to indices
+
+    @property
+    def num_nodes(self) -> int:
+        return self.hi - self.lo
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.indices.shape[0])
+
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def weighted_degrees(self) -> np.ndarray:
+        if self.weights is None:
+            return np.diff(self.indptr).astype(np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(self.weights)))
+        return cs[self.indptr[1:]] - cs[self.indptr[:-1]]
+
+    def neighbors_flat(self, local_srcs: np.ndarray):
+        """Vectorized adjacency gather for a set of local source indices.
+
+        Returns (edge_idx, repeat_counts): ``indices[edge_idx]`` are the targets of
+        each source in order, ``repeat_counts[i]`` the out-degree of ``local_srcs[i]``.
+        """
+        starts = self.indptr[local_srcs]
+        lens = self.indptr[local_srcs + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), lens
+        # classic vectorized multi-slice gather: arange offset per segment
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
+        return idx, lens
+
+
+def _apply_orientation(src, dst, weight, orientation):
+    if orientation == NATURAL:
+        return src, dst, weight
+    if orientation == REVERSE:
+        return dst, src, weight
+    if orientation == UNDIRECTED:
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        w = None if weight is None else np.concatenate([weight, weight])
+        return s, d, w
+    raise ValueError(f"orientation must be one of {_ORIENTATIONS}, got {orientation!r}")
+
+
+def canonicalize_edges(src, dst, weight=None, *, orientation=NATURAL, aggregation="none"):
+    """Sort edges by (src, dst) and merge parallel edges per the aggregation policy.
+
+    Mirrors GDS load-time adjacency sort + aggregation
+    (core/loading/AdjacencyCompression.java:48,84-104 applies Aggregation during the
+    sorted-merge).  ``aggregation='none'`` keeps a multigraph.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if weight is not None:
+        weight = np.asarray(weight, dtype=np.float64)
+    src, dst, weight = _apply_orientation(src, dst, weight, orientation)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if weight is not None:
+        weight = weight[order]
+    if aggregation == "none" or src.shape[0] == 0:
+        return src, dst, weight
+    if aggregation not in _AGGREGATIONS:
+        raise ValueError(f"aggregation must be one of {_AGGREGATIONS}, got {aggregation!r}")
+    # boundaries of runs of identical (src, dst)
+    new_run = np.empty(src.shape[0], dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    starts = np.nonzero(new_run)[0]
+    u_src, u_dst = src[starts], dst[starts]
+    if aggregation == "count":
+        counts = np.diff(np.append(starts, src.shape[0]))
+        return u_src, u_dst, counts.astype(np.float64)
+    if weight is None:
+        # single/sum/min/max over absent weights → plain dedup
+        return u_src, u_dst, None
+    if aggregation == "single":
+        w = weight[starts]
+    elif aggregation == "sum":
+        w = np.add.reduceat(weight, starts)
+    elif aggregation == "min":
+        w = np.minimum.reduceat(weight, starts)
+    elif aggregation == "max":
+        w = np.maximum.reduceat(weight, starts)
+    return u_src, u_dst, w
+
+
+def degree_balanced_bounds(n: int, num_partitions: int, src_sorted: np.ndarray) -> np.ndarray:
+    """Contiguous vid-range boundaries with ~equal edges per partition.
+
+    Analogue of GDS degreePartition (core/utils/partition/PartitionUtils.java:87-123).
+    Returns int64 array of P+1 boundaries: partition p covers [bounds[p], bounds[p+1]).
+    """
+    num_partitions = max(1, min(num_partitions, n))
+    m = src_sorted.shape[0]
+    cuts = [0]
+    for p in range(1, num_partitions):
+        if m == 0:
+            v = (n * p) // num_partitions
+        else:
+            pos = min(m - 1, (m * p) // num_partitions)
+            v = int(src_sorted[pos])
+        cuts.append(max(v, cuts[-1] + 1) if v > cuts[-1] else cuts[-1] + 1)
+    cuts.append(n)
+    # drop degenerate (empty) trailing ranges
+    bounds = [0]
+    for c in cuts[1:]:
+        if c > bounds[-1] and c <= n:
+            bounds.append(c)
+    if bounds[-1] != n:
+        bounds.append(n)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def build_csr_shard(lo, hi, src, dst, weight=None) -> CsrShard:
+    """Build a CSR shard from edges already restricted & sorted by src (global vids)."""
+    nloc = hi - lo
+    counts = np.bincount(src - lo, minlength=nloc)
+    indptr = np.zeros(nloc + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return CsrShard(lo=lo, hi=hi, indptr=indptr, indices=np.ascontiguousarray(dst),
+                    weights=None if weight is None else np.ascontiguousarray(weight))
+
+
+class Graph:
+    """Driver-side handle to a canonical graph.
+
+    Edges may be held in memory (fixtures / small graphs) or parquet-backed (scale
+    path, via :meth:`save` / :meth:`load`); CSR shards are built per (P, orientation)
+    and cached — on the Ray path they are cached as object-store refs so every
+    map_batches actor maps them zero-copy.
+    """
+
+    def __init__(self, n, src, dst, weight=None, keys=None, node_props=None, name=None):
+        self.n = int(n)
+        self.src = np.asarray(src, dtype=np.int64)
+        self.dst = np.asarray(dst, dtype=np.int64)
+        self.weight = None if weight is None else np.asarray(weight, dtype=np.float64)
+        self.keys = keys  # optional array-like of original keys, index = vid
+        self.node_props = dict(node_props or {})  # name -> np.ndarray aligned to vid
+        self.name = name
+        self._shards: dict = {}
+        self._shard_refs: dict = {}
+        self._bounds: dict = {}
+        self._sorted_cache: dict = {}
+
+    # -- constructors ------------------------------------------------------------
+
+    @classmethod
+    def from_edges(cls, src, dst, weight=None, *, n=None, orientation=NATURAL,
+                   aggregation="none", keys=None, node_props=None, name=None):
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if n is None:
+            n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+        s, d, w = canonicalize_edges(src, dst, weight, orientation=orientation,
+                                     aggregation=aggregation)
+        return cls(n, s, d, w, keys=keys, node_props=node_props, name=name)
+
+    @classmethod
+    def from_edge_list(cls, pairs, nodes=None, *, orientation=NATURAL,
+                       aggregation="none", node_props=None, name=None):
+        """Test-fixture helper: pairs of node letters/names, e.g. [("a","b",0.5), ...].
+
+        Node keys map to vids in sorted order (GDS fixtures use creation order, which
+        the FIXTURES.md tables express as alphabetical).  Analogue of the GDL factory
+        (test-utils/.../gdl/GdlFactory.java) without porting it.
+        """
+        if nodes is None:
+            ks = set()
+            for p in pairs:
+                ks.add(p[0]); ks.add(p[1])
+            nodes = sorted(ks)
+        vid = {k: i for i, k in enumerate(nodes)}
+        src = [vid[p[0]] for p in pairs]
+        dst = [vid[p[1]] for p in pairs]
+        weight = None
+        if pairs and len(pairs[0]) > 2:
+            weight = [float(p[2]) for p in pairs]
+        props = None
+        if node_props:
+            props = {pname: np.asarray([vals[k] for k in nodes])
+                     for pname, vals in node_props.items()}
+        return cls.from_edges(src, dst, weight, n=len(nodes), orientation=orientation,
+                              aggregation=aggregation, keys=np.asarray(nodes, dtype=object),
+                              node_props=props, name=name)
+
+    @classmethod
+    def from_arrow(cls, table: pa.Table, *, n=None, src_col="src", dst_col="dst",
+                   weight_col=None, orientation=NATURAL, aggregation="none", **kw):
+        w = table.column(weight_col).to_numpy(zero_copy_only=False) if weight_col else None
+        return cls.from_edges(table.column(src_col).to_numpy(zero_copy_only=False),
+                              table.column(dst_col).to_numpy(zero_copy_only=False),
+                              w, n=n, orientation=orientation, aggregation=aggregation, **kw)
+
+    # -- basic stats -------------------------------------------------------------
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    @property
+    def is_weighted(self) -> bool:
+        return self.weight is not None
+
+    def out_degrees(self) -> np.ndarray:
+        return np.bincount(self.src, minlength=self.n)
+
+    def degrees_undirected(self) -> np.ndarray:
+        return (np.bincount(self.src, minlength=self.n)
+                + np.bincount(self.dst, minlength=self.n))
+
+    def average_degree(self) -> float:
+        """Unweighted mean out-degree — ref PageRankAlgorithmFactory.java:51-59."""
+        return self.num_edges / self.n if self.n else 0.0
+
+    # -- partitioning & shards ---------------------------------------------------
+
+    def _oriented_sorted(self, orientation):
+        """Edges re-oriented then sorted by new src — cached."""
+        if orientation in self._sorted_cache:
+            return self._sorted_cache[orientation]
+        s, d, w = _apply_orientation(self.src, self.dst, self.weight, orientation)
+        if orientation != NATURAL:  # natural is already sorted by src
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            w = None if w is None else w[order]
+        self._sorted_cache[orientation] = (s, d, w)
+        return s, d, w
+
+    def bounds(self, num_partitions: int, orientation=NATURAL) -> np.ndarray:
+        key = (num_partitions, orientation)
+        if key not in self._bounds:
+            s, _, _ = self._oriented_sorted(orientation)
+            self._bounds[key] = degree_balanced_bounds(self.n, num_partitions, s)
+        return self._bounds[key]
+
+    def shards(self, num_partitions: int, orientation=NATURAL) -> list:
+        key = (num_partitions, orientation)
+        if key not in self._shards:
+            s, d, w = self._oriented_sorted(orientation)
+            bounds = self.bounds(num_partitions, orientation)
+            shards = []
+            for p in range(len(bounds) - 1):
+                lo, hi = int(bounds[p]), int(bounds[p + 1])
+                a, b = np.searchsorted(s, [lo, hi])
+                shards.append(build_csr_shard(lo, hi, s[a:b], d[a:b],
+                                              None if w is None else w[a:b]))
+            self._shards[key] = shards
+        return self._shards[key]
+
+    def shard_refs(self, num_partitions: int, orientation=NATURAL) -> list:
+        """Shards in the Ray object store (put once, mapped zero-copy by workers)."""
+        import ray
+
+        key = (num_partitions, orientation)
+        if key not in self._shard_refs:
+            self._shard_refs[key] = [ray.put(sh) for sh in
+                                     self.shards(num_partitions, orientation)]
+        return self._shard_refs[key]
+
+    # -- persistence (canonical parquet layout + manifest) -----------------------
+
+    def save(self, path: str, num_partitions: int = 8) -> str:
+        """Write canonical layout: one parquet file per partition (resumable layout),
+        forward and reverse sorted, plus vertices + manifest.json."""
+        os.makedirs(path, exist_ok=True)
+        layouts = {"edges_fwd": NATURAL, "edges_rev": REVERSE}
+        manifest = {"n": self.n, "num_edges": self.num_edges,
+                    "weighted": self.is_weighted, "name": self.name,
+                    "num_partitions": num_partitions, "bounds": {}}
+        for sub, orient in layouts.items():
+            d = os.path.join(path, sub)
+            os.makedirs(d, exist_ok=True)
+            s, ds_, w = self._oriented_sorted(orient)
+            bounds = self.bounds(num_partitions, orient)
+            manifest["bounds"][sub] = [int(b) for b in bounds]
+            for p in range(len(bounds) - 1):
+                lo, hi = int(bounds[p]), int(bounds[p + 1])
+                a, b = np.searchsorted(s, [lo, hi])
+                cols = {"src": s[a:b], "dst": ds_[a:b]}
+                if w is not None:
+                    cols["weight"] = w[a:b]
+                pq.write_table(pa.table(cols), os.path.join(d, f"part-{p:05d}.parquet"))
+        vcols = {"vid": np.arange(self.n, dtype=np.int64)}
+        if self.keys is not None:
+            vcols["key"] = pa.array([str(k) for k in self.keys])
+        for pn, pv in self.node_props.items():
+            vcols[pn] = pv
+        pq.write_table(pa.table(vcols), os.path.join(path, "vertices.parquet"))
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "Graph":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        d = os.path.join(path, "edges_fwd")
+        tabs = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        t = pa.concat_tables(tabs)
+        vt = pq.read_table(os.path.join(path, "vertices.parquet"))
+        keys = vt.column("key").to_pylist() if "key" in vt.column_names else None
+        props = {c: vt.column(c).to_numpy(zero_copy_only=False)
+                 for c in vt.column_names if c not in ("vid", "key")}
+        g = cls(manifest["n"],
+                t.column("src").to_numpy(zero_copy_only=False),
+                t.column("dst").to_numpy(zero_copy_only=False),
+                t.column("weight").to_numpy(zero_copy_only=False)
+                if "weight" in t.column_names else None,
+                keys=np.asarray(keys, dtype=object) if keys is not None else None,
+                node_props=props, name=manifest.get("name"))
+        return g
+
+    def part_of(self, vids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+        """Partition id per vid for given range boundaries."""
+        return np.searchsorted(bounds, vids, side="right") - 1
