@@ -1,0 +1,130 @@
+"""Triangle count + LCC conformance (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import Graph, local_clustering_coefficient, triangle_count
+
+
+def counts(res):
+    return res.table.column("triangles").to_numpy(zero_copy_only=False)
+
+
+class TestShapes:
+    """IntersectingTriangleCountTest.java:42-106 families (UNDIRECTED)."""
+
+    def test_line(self):
+        g = Graph.from_edge_list([("a", "b"), ("b", "c")], orientation="undirected")
+        res = triangle_count(g, execution="local")
+        assert res.global_count == 0
+        assert counts(res).tolist() == [0, 0, 0]
+
+    def test_no_edges(self):
+        g = Graph(3, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        res = triangle_count(g, execution="local")
+        assert res.global_count == 0
+
+    def test_single_edge_and_parallel(self):
+        g = Graph.from_edge_list([("a", "b"), ("a", "b"), ("b", "a")],
+                                 orientation="undirected")
+        res = triangle_count(g, execution="local")
+        assert res.global_count == 0
+
+    @pytest.mark.parametrize("k", [1, 2, 4, 8, 100])
+    def test_independent_triangles(self, k):
+        src, dst = [], []
+        for i in range(k):
+            a, b, c = 3 * i, 3 * i + 1, 3 * i + 2
+            src += [a, b, c]
+            dst += [b, c, a]
+        g = Graph.from_edges(src, dst, n=3 * k, orientation="undirected")
+        res = triangle_count(g, execution="local")
+        assert res.global_count == k
+        assert np.all(counts(res) == 1)
+
+    def test_clique5(self):
+        src, dst = [], []
+        for i in range(5):
+            for j in range(i + 1, 5):
+                src.append(i)
+                dst.append(j)
+        g = Graph.from_edges(src, dst, n=5, orientation="undirected")
+        res = triangle_count(g, execution="local")
+        assert res.global_count == 10
+        assert np.all(counts(res) == 6)
+
+
+DOC_EDGES = [("michael", "karin"), ("michael", "chris"), ("will", "michael"),
+             ("mark", "michael"), ("mark", "will"), ("alice", "michael"),
+             ("will", "chris"), ("chris", "karin")]
+DOC_NODES = sorted({a for e in DOC_EDGES for a in e})
+
+
+class TestDocExample:
+    def graph(self):
+        return Graph.from_edge_list(DOC_EDGES, nodes=DOC_NODES,
+                                    orientation="undirected")
+
+    def test_counts(self):
+        res = triangle_count(self.graph(), execution="local")
+        got = dict(zip(DOC_NODES, counts(res)))
+        assert got == {"michael": 3, "chris": 2, "will": 2, "karin": 1,
+                       "mark": 1, "alice": 0}
+        assert res.global_count == 3
+
+    def test_max_degree_exclusion(self):
+        # michael (degree 5) excluded → -1; everyone else 0
+        # (triangle-count.adoc:447-466, IntersectingTriangleCount.java:162-166)
+        res = triangle_count(self.graph(), max_degree=4, execution="local")
+        got = dict(zip(DOC_NODES, counts(res)))
+        assert got["michael"] == -1
+        assert all(got[k] == 0 for k in DOC_NODES if k != "michael")
+
+    def test_max_degree_validation(self):
+        with pytest.raises(ValueError):
+            triangle_count(self.graph(), max_degree=1)
+
+    def test_ray_mode(self):
+        res = triangle_count(self.graph(), execution="ray", num_partitions=2)
+        got = dict(zip(DOC_NODES, counts(res)))
+        assert got == {"michael": 3, "chris": 2, "will": 2, "karin": 1,
+                       "mark": 1, "alice": 0}
+        assert res.global_count == 3
+
+    def test_lcc(self):
+        t, avg = local_clustering_coefficient(self.graph(), execution="local")
+        got = dict(zip(DOC_NODES, t.column("coefficient").to_numpy()))
+        # C(michael) = 2*3/(5*4) = 0.3; C(karin) = 2*1/(2*1) = 1.0
+        assert got["michael"] == pytest.approx(0.3)
+        assert got["karin"] == pytest.approx(1.0)
+        assert got["alice"] == 0.0
+        assert avg == pytest.approx(np.mean(list(got.values())))
+
+
+class TestRandomizedVsBruteForce:
+    def test_vs_n3_oracle(self):
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            n = int(rng.integers(10, 40))
+            m = int(rng.integers(5, 120))
+            src = rng.integers(0, n, m)
+            dst = rng.integers(0, n, m)
+            g = Graph.from_edges(src, dst, n=n, orientation="undirected")
+            res = triangle_count(g, execution="local")
+            # O(n^3) brute force on the dedup'd adjacency matrix
+            A = np.zeros((n, n), dtype=bool)
+            A[src, dst] = True
+            A[dst, src] = True
+            np.fill_diagonal(A, False)
+            per_node = np.zeros(n, dtype=int)
+            total = 0
+            for a in range(n):
+                for b in range(a + 1, n):
+                    if not A[a, b]:
+                        continue
+                    for c in range(b + 1, n):
+                        if A[a, c] and A[b, c]:
+                            total += 1
+                            per_node[[a, b, c]] += 1
+            assert res.global_count == total, trial
+            assert np.array_equal(counts(res), per_node), trial
