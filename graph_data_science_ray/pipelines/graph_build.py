@@ -124,9 +124,13 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
     import ray.data
     from ray.data.aggregate import Sum
 
+    # actor pool sized to leave CPUs for the read + shuffle stages (a pool that
+    # reserves every CPU starves the other operators and the pipeline serializes)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(1, min(8, ncpu // 2))
     edges_raw = (ray.data.read_parquet(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
-                              batch_size=2048, concurrency=4))
+                              batch_size=2048, concurrency=pool))
 
     # vertex set = every repo appearing as a file owner or a dependency target
     repo_keys = (ray.data.read_parquet(corpus_dir, columns=["repo"])

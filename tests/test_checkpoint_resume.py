@@ -1,0 +1,92 @@
+"""Checkpoint / resume: kill at iteration k, resume from ckpt/iter=k, final results
+identical (north-rule requirement; per-partition lineage in the manifest)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import Graph, pagerank, wcc
+
+
+@pytest.fixture
+def medium_graph():
+    rng = np.random.default_rng(3)
+    n, m = 300, 1500
+    return Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                            aggregation="single")
+
+
+def test_checkpoint_layout_and_lineage(tmp_path, medium_graph):
+    ck = tmp_path / "ck"
+    res = pagerank(medium_graph, tolerance=0, max_iterations=5, execution="local",
+                   num_partitions=3, checkpoint_dir=str(ck))
+    iters = sorted(os.listdir(ck))
+    assert "iter=0" in iters and "iter=4" in iters
+    with open(ck / "iter=4" / "manifest.json") as f:
+        m = json.load(f)
+    assert m["complete"] and m["iteration"] == 4
+    assert len(m["partitions"]) == 3
+    for p in m["partitions"]:
+        assert p["rows"] > 0 and len(p["sha256"]) == 64
+
+
+def test_resume_matches_uninterrupted(tmp_path, medium_graph):
+    full = pagerank(medium_graph, tolerance=0, max_iterations=10, execution="local",
+                    num_partitions=3)
+    # "killed" run: only 4 supersteps got checkpointed
+    ck = tmp_path / "ck"
+    pagerank(medium_graph, tolerance=0, max_iterations=4, execution="local",
+             num_partitions=3, checkpoint_dir=str(ck))
+    resumed = pagerank(medium_graph, tolerance=0, max_iterations=10,
+                       execution="local", num_partitions=3, checkpoint_dir=str(ck),
+                       resume=True)
+    np.testing.assert_allclose(
+        resumed.table.column("score").to_numpy(zero_copy_only=False),
+        full.table.column("score").to_numpy(zero_copy_only=False), atol=1e-12)
+
+
+def test_resume_actor_mode(tmp_path, medium_graph):
+    full = pagerank(medium_graph, tolerance=0, max_iterations=8, execution="ray",
+                    num_partitions=3)
+    ck = tmp_path / "ck"
+    pagerank(medium_graph, tolerance=0, max_iterations=4, execution="ray",
+             num_partitions=3, checkpoint_dir=str(ck))
+    resumed = pagerank(medium_graph, tolerance=0, max_iterations=8, execution="ray",
+                       num_partitions=3, checkpoint_dir=str(ck), resume=True)
+    np.testing.assert_allclose(
+        resumed.table.column("score").to_numpy(zero_copy_only=False),
+        full.table.column("score").to_numpy(zero_copy_only=False), atol=1e-9)
+
+
+def test_resume_ignores_mismatched_config(tmp_path, medium_graph):
+    ck = tmp_path / "ck"
+    pagerank(medium_graph, tolerance=0, max_iterations=4, execution="local",
+             num_partitions=3, checkpoint_dir=str(ck))
+    # different damping → different fingerprint → resume restarts from scratch
+    res = pagerank(medium_graph, damping=0.5, tolerance=0, max_iterations=3,
+                   execution="local", num_partitions=3, checkpoint_dir=str(ck),
+                   resume=True)
+    ref = pagerank(medium_graph, damping=0.5, tolerance=0, max_iterations=3,
+                   execution="local", num_partitions=3)
+    np.testing.assert_allclose(
+        res.table.column("score").to_numpy(zero_copy_only=False),
+        ref.table.column("score").to_numpy(zero_copy_only=False), atol=1e-12)
+
+
+def test_wcc_resume(tmp_path):
+    src, dst = [], []
+    for i in range(8):
+        for j in range(19):
+            src.append(20 * i + j)
+            dst.append(20 * i + j + 1)
+    g = Graph.from_edges(src, dst, n=160)
+    ck = tmp_path / "ck"
+    wcc(g, max_iterations=3, execution="local", num_partitions=4,
+        checkpoint_dir=str(ck))
+    resumed = wcc(g, max_iterations=100, execution="local", num_partitions=4,
+                  checkpoint_dir=str(ck), resume=True)
+    assert np.array_equal(
+        resumed.table.column("component").to_numpy(zero_copy_only=False),
+        np.repeat(np.arange(8) * 20, 20))
