@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the 100 TB design):
+  * exact — fingerprint per batch (vectorized map_batches) → ``groupby(fp)`` hash
+    shuffle → keep min doc_id per group.  One wide exchange keyed by the hash, so
+    group skew is bounded by true duplicate multiplicity.
+  * MinHash LSH — shingle → k minhashes per doc (one map_batches pass) → explode to
+    (band_id, band_hash, doc_id) rows → ``groupby(band)`` → candidate pairs within
+    buckets → exact-Jaccard verification of candidates only.  Candidates are a tiny
+    fraction of n²; the all-pairs comparison never happens.
+  * SimHash — 64-bit hyperplane-free simhash over token hashes; near-dup = small
+    Hamming distance within band buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_shingles(text: str, k: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+class MinHasher:
+    """num_perms universal-hash minhashes per document (stateful: the (a,b)
+    coefficients are drawn once per actor from a fixed seed)."""
+
+    def __init__(self, num_perms: int = 64, shingle_k: int = 3, seed: int = 17):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perms, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, num_perms, dtype=np.int64)
+        self.num_perms = num_perms
+        self.k = shingle_k
+        self.__name__ = "minhash"
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _token_shingles(text, self.k)
+        if not sh:
+            return np.zeros(self.num_perms, dtype=np.uint64)
+        hv = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        # (a*h + b) mod p, min over shingles, vectorized over perms × shingles
+        hv = hv.astype(object)  # python ints: exact mod-p arithmetic
+        sig = np.empty(self.num_perms, dtype=np.uint64)
+        for i in range(self.num_perms):
+            sig[i] = min((int(self.a[i]) * int(h) + int(self.b[i])) % _MERSENNE
+                         for h in hv)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else \
+            np.zeros((0, self.num_perms), dtype=np.uint64)
+        return pa.table({"doc_id": ids,
+                         "sig": pa.array(list(sigs), pa.list_(pa.uint64()))})
+
+
+def bands_table(sig_batch: pa.Table, num_bands: int) -> pa.Table:
+    """Explode signatures to (band, band_hash, doc_id) — the LSH bucketing rows."""
+    ids = sig_batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = sig_batch.column("sig").to_pylist()
+    b_ids, b_hash, b_doc = [], [], []
+    for doc, sig in zip(ids, sigs):
+        sig = np.asarray(sig, dtype=np.uint64)
+        r = len(sig) // num_bands
+        for b in range(num_bands):
+            h = hashlib.blake2b(sig[b * r:(b + 1) * r].tobytes(),
+                                digest_size=8).digest()
+            b_ids.append(b)
+            b_hash.append(int.from_bytes(h, "big") >> 1)
+            b_doc.append(int(doc))
+    return pa.table({"band": np.asarray(b_ids, dtype=np.int32),
+                     "band_hash": np.asarray(b_hash, dtype=np.int64),
+                     "doc_id": np.asarray(b_doc, dtype=np.int64)})
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _token_shingles(a, k), _token_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+class SimHasher:
+    """64-bit simhash over token hashes; near-dup = hamming distance ≤ t."""
+
+    def __init__(self):
+        self.__name__ = "simhash"
+
+    def simhash(self, text: str) -> int:
+        toks = set(text.split())
+        if not toks:
+            return 0
+        hv = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hs = np.fromiter((self.simhash(t) >> 1 for t in texts), dtype=np.int64,
+                         count=len(texts))  # >>1 keeps it in int64 range
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": hs})
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level pipelines
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs_ds):
+    """Keep min doc_id per identical text.  SQL oracle:
+    SELECT MIN(doc_id) doc_id, COUNT(*) dup_count FROM documents GROUP BY text.
+    Grouping key = sha256 of the *raw* text (same equivalence classes as GROUP BY
+    text, collision probability ~0), so the wide shuffle carries 40-byte keys, not
+    documents."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.sha256(t.encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+
+    fps = docs_ds.map_batches(_hash, batch_format="pyarrow")
+
+    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()],
+                             "dup_count": [len(g)]})
+
+    return fps.groupby("fp").map_groups(_keep_first, batch_format="pandas")
+
+
+def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.7):
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard ≥ threshold.  The verification stage joins candidate buckets against
+    the (broadcast) text of candidate docs only."""
+    import ray
+
+    hasher = MinHasher(num_perms=num_perms, shingle_k=shingle_k)
+    sigs = docs_ds.map_batches(hasher, batch_format="pyarrow")
+    bands = sigs.map_batches(lambda t: bands_table(t, num_bands),
+                             batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.shape[0] < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ii, jj = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        _pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas()
+    if len(cand_pd) == 0:
+        return ray.data.from_items([])
+    cand_pd = cand_pd.drop_duplicates()
+    # verification: fetch texts of candidate docs (candidate set ≪ corpus)
+    need = np.unique(np.concatenate([cand_pd["doc_a"], cand_pd["doc_b"]]))
+    texts = {}
+    for b in docs_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, need)
+        for i, t in zip(ids[mask], np.asarray(b.column("text").to_pylist(),
+                                              dtype=object)[mask]):
+            texts[int(i)] = t
+    rows = []
+    for a, b_ in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
+        j = exact_jaccard(texts[int(a)], texts[int(b_)], shingle_k)
+        if j >= threshold:
+            rows.append({"doc_a": int(a), "doc_b": int(b_), "jaccard": round(j, 6)})
+    import ray.data
+    if not rows:
+        return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                             "doc_b": pa.array([], pa.int64()),
+                                             "jaccard": pa.array([], pa.float64())}))
+    return ray.data.from_items(rows)
+
+
+def simhash_table(docs_ds):
+    return docs_ds.map_batches(SimHasher(), batch_format="pyarrow")

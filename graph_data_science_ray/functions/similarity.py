@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (list<float>).
+
+Brute-force cosine top-k: the query matrix is broadcast once (``ray.put``) and each
+batch does one float32 matmul — the baseline that any ANN variant must beat.  The
+scale path is the LSH-bucketed variant: random-hyperplane signatures bucket the
+vectors; only same-bucket candidates are scored (IVF-style candidate pruning)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack(batch_col) -> np.ndarray:
+    # float64 so similarity matches a double-precision SQL oracle bit-for-bit at 6dp
+    return np.asarray(batch_col.to_pylist(), dtype=np.float64)
+
+
+class CosineTopK:
+    """Per-batch scores against a broadcast query matrix; the per-batch local top-k
+    heap keeps only k rows per batch, the final exact top-k is a tiny sort."""
+
+    def __init__(self, query_ref, k: int):
+        self.query_ref = query_ref
+        self.q = None
+        self.k = k
+        self.__name__ = "cosine_topk"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        if self.q is None:
+            q = ray.get(self.query_ref) if hasattr(self.query_ref, "hex") \
+                else self.query_ref
+            self.q = q / max(np.linalg.norm(q), 1e-30)
+        vecs = _stack(batch.column("embedding"))
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1e-30
+        sims = (vecs @ self.q) / norms
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if ids.shape[0] > self.k:
+            top = np.argpartition(-sims, self.k)[:self.k]
+            ids, sims = ids[top], sims[top]
+        return pa.table({"vec_id": ids, "cos_sim": sims.astype(np.float64)})
+
+
+def cosine_topk(emb_ds, query_vec: np.ndarray, k: int = 10, exclude_id=None):
+    """Exact top-k by cosine similarity to ``query_vec`` (Dataset result, sorted)."""
+    import ray
+    qref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    scored = emb_ds.map_batches(CosineTopK(qref, k + (1 if exclude_id is not None else 0)),
+                                batch_format="pyarrow", batch_size=4096)
+    if exclude_id is not None:
+        scored = scored.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t.column("vec_id"),
+                                                    pa.scalar(exclude_id))),
+            batch_format="pyarrow")
+    return scored.sort("cos_sim", descending=True).limit(k)
+
+
+class L2Norm:
+    def __init__(self):
+        self.__name__ = "l2_norm"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _stack(batch.column("embedding"))
+        n = np.sqrt((vecs.astype(np.float64) ** 2).sum(axis=1))
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "l2_norm": np.round(n, 6)})
+
+
+class HyperplaneLsh:
+    """Random-hyperplane signature (sign bits) — buckets for ANN candidates.
+    Planes drawn once per actor from a fixed seed (stateful setup)."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 23):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+        self.__name__ = "hyperplane_lsh"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _stack(batch.column("embedding"))
+        bits = (vecs @ self.planes) > 0
+        codes = np.zeros(vecs.shape[0], dtype=np.int64)
+        for i in range(self.planes.shape[1]):
+            codes |= bits[:, i].astype(np.int64) << i
+        return pa.table({"vec_id": batch.column("vec_id"), "bucket": codes})
+
+
+def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *, dim=None,
+             num_planes: int = 10, probe_hamming: int = 1, seed: int = 23):
+    """LSH-bucketed approximate top-k: score only vectors whose bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = dim or q.shape[0]
+    lsh = HyperplaneLsh(dim, num_planes, seed)
+    qbits = (q @ lsh.planes) > 0
+    qcode = 0
+    for i in range(num_planes):
+        qcode |= int(qbits[i]) << i
+    probes = {qcode}
+    if probe_hamming >= 1:
+        for i in range(num_planes):
+            probes.add(qcode ^ (1 << i))
+    probes_arr = np.asarray(sorted(probes), dtype=np.int64)
+
+    buckets = emb_ds.map_batches(lsh, batch_format="pyarrow")
+    joined = buckets.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column("bucket").to_numpy(zero_copy_only=False), probes_arr))),
+        batch_format="pyarrow")
+    cand_ids = set(joined.to_pandas()["vec_id"])
+    cand_ds = emb_ds.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column("vec_id").to_numpy(zero_copy_only=False),
+            np.asarray(sorted(cand_ids), dtype=np.int64)))),
+        batch_format="pyarrow")
+    return cosine_topk(cand_ds, q, k)

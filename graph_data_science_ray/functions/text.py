@@ -1,0 +1,115 @@
+"""Text-analysis operators for document corpora (training-data pipeline stages).
+
+These are the per-record transforms a 100 TB text pipeline needs: token counting,
+quality features, language id, fingerprinting.  Every operator is a vectorized
+``map_batches`` stage over the ``documents`` table; stateful pieces (compiled
+regexes, stopword tables) live in callable-class ``__init__`` (once per actor).
+Where an operator has an exact ANSI-SQL equivalent the semantics are kept
+DuckDB-matchable (see __ray_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# tiny per-language stopword tables for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "por", "para"},
+}
+
+
+class TokenCounter:
+    """n_tokens = len(split(trim(text), r'\\s+')) — matches DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` exactly (empty text → 1)."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\s+")
+        self.__name__ = "token_count"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(self.ws.split(t.strip())) for t in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
+
+
+class TextStats:
+    """Quality features with exact SQL equivalents: n_chars, punctuation count,
+    digit count (used by quality filters at corpus scale)."""
+
+    def __init__(self):
+        self.punct = re.compile(r"[^.!?,;]")
+        self.digit = re.compile(r"[^0-9]")
+        self.__name__ = "text_stats"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        n_punct = np.fromiter((len(self.punct.sub("", t)) for t in texts),
+                              dtype=np.int64, count=len(texts))
+        n_digit = np.fromiter((len(self.digit.sub("", t)) for t in texts),
+                              dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch.column("doc_id"), "n_chars": n_chars,
+                         "n_punct": n_punct, "n_digits": n_digit})
+
+
+class QualityScorer:
+    """Heuristic quality score: mean token length, stopword ratio, alpha ratio.
+    Composite score in [0,1] — heuristic, no SQL oracle (rows-only check)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-z]+")
+        self.stop = _STOPWORDS["en"]
+        self.__name__ = "quality_score"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.word)
+        n = toks.map(len).clip(lower=1)
+        stop_ratio = toks.map(lambda ws: sum(w in self.stop for w in ws)) / n
+        mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        alpha = batch["text"].str.count(r"[A-Za-z]") / batch["text"].str.len().clip(lower=1)
+        score = (0.4 * alpha + 0.3 * (1 - (mean_len - 5).abs() / 10).clip(0, 1)
+                 + 0.3 * (stop_ratio * 4).clip(0, 1))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "quality_score": score.round(6)})
+
+
+class LanguageId:
+    """Stopword-vote language heuristic (en/de/fr/es, 'und' = undetermined).
+    Stateful stage: the stopword tables are built once per actor."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.__name__ = "lang_id"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            ws = self.word.findall(t.lower())
+            votes = {lang: sum(w in tbl for w in ws) for lang, tbl in self.tables.items()}
+            best = max(votes, key=lambda k: (votes[k], -ord(k[0])))
+            langs.append(best if votes[best] > 0 else "und")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(langs)})
+
+
+class Fingerprint:
+    """Document fingerprint: md5 of lower(trim(text)) — exact SQL equivalent
+    ``md5(lower(trim(text)))``; used as the exact-dedup key."""
+
+    def __init__(self):
+        self.__name__ = "fingerprint"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [hashlib.md5(t.strip().lower().encode()).hexdigest() for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
