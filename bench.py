@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+plus the synthetic source-code corpus graph (the north-star input), under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and prints
+ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "pagerank_edges_per_sec": ..., ...}
+
+``--scaling`` runs the same suite twice in fresh processes at num_cpus=8 and 32
+(the sandbox proxy for the N vs 4N cluster-size criterion — see BASELINE.md) and
+prints both times plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_REPOS = int(os.environ.get("GRAFT_BENCH_REPOS", "4000"))
+CORPUS_FILES = int(os.environ.get("GRAFT_BENCH_FILES_PER_REPO", "25"))
+
+
+def _corpus_dir() -> str:
+    return f"/tmp/gds_ray_bench_corpus_{CORPUS_REPOS}x{CORPUS_FILES}"
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    from graph_data_science_ray import (label_propagation, pagerank,
+                                        triangle_count, wcc)
+    from graph_data_science_ray.pipelines.graph_build import build_graph_from_corpus
+    from graph_data_science_ray.sources.corpus import generate_corpus
+
+    P = max(2, min(NUM_CPUS, 32))
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    # -- synthetic source-code corpus (input prep, untimed; cached across runs) --
+    cdir = _corpus_dir()
+    if not os.path.exists(os.path.join(cdir, "_done")):
+        generate_corpus(cdir, num_repos=CORPUS_REPOS, files_per_repo=CORPUS_FILES,
+                        seed=42)
+        open(os.path.join(cdir, "_done"), "w").write("1")
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.dataset as pads
+    pads.dataset(cdir, format="parquet").count_rows()
+
+    # 1. corpus → canonical graph projection (read → extract → id join → dedup)
+    t0 = time.perf_counter()
+    g = build_graph_from_corpus(cdir)
+    timings["graph_build"] = time.perf_counter() - t0
+    extra["corpus_files"] = CORPUS_REPOS * CORPUS_FILES
+    extra["graph_nodes"] = g.n
+    extra["graph_edges"] = g.num_edges
+
+    # 2. PageRank to 1e-6 convergence (the headline metric)
+    t0 = time.perf_counter()
+    pr = pagerank(g, tolerance=1e-6, max_iterations=100, weighted=True,
+                  execution="ray", num_partitions=P)
+    dt = time.perf_counter() - t0
+    timings["pagerank_corpus"] = dt
+    edges_processed = pr.ran_iterations * g.num_edges
+    extra["pagerank_iterations"] = pr.ran_iterations
+    extra["pagerank_converged"] = pr.did_converge
+    extra["pagerank_edges_per_sec"] = edges_processed / dt
+    extra["pagerank_edges_per_sec_per_cpu"] = edges_processed / dt / NUM_CPUS
+
+    # 3. WCC / LPA / TriangleCount wall time on the corpus graph
+    t0 = time.perf_counter()
+    cc = wcc(g, execution="ray", num_partitions=P)
+    timings["wcc_corpus"] = time.perf_counter() - t0
+    extra["wcc_components"] = int(np.unique(
+        cc.table.column("component").to_numpy(zero_copy_only=False)).shape[0])
+
+    t0 = time.perf_counter()
+    label_propagation(g, max_iterations=10, execution="ray", num_partitions=P)
+    timings["lpa_corpus"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tc = triangle_count(g, execution="ray", num_partitions=P)
+    timings["triangles_corpus"] = time.perf_counter() - t0
+    extra["global_triangles"] = tc.global_count
+
+    # 4. TPC-H-derived graph + data-pipeline queries at $GRAFT_SF_DIR
+    import __ray_entry__ as em
+    for name in ["pagerank_hierarchy", "wcc_chain", "dedup_exact_documents",
+                 "knn_cosine", "events_hourly"]:
+        q = em.queries()[name]
+        t0 = time.perf_counter()
+        q(SF_DIR)
+        timings[name] = time.perf_counter() - t0
+
+    ray.shutdown()
+    total = sum(timings.values())
+    return {
+        "metric": "gds-ray headline suite (corpus graph build + PR/WCC/LPA/TC to "
+                  "convergence + sf-dir graph & data queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
+def run_scaling() -> dict:
+    """Same suite at num_cpus=8 and 32 in fresh processes (the two-cluster-size
+    proxy).  efficiency = (T_8 / T_32) / (32/8); 1.0 = linear scaling."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True)
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, num_cpus 8 vs 32 (N vs 4N proxy)",
+        "sec_8": t8, "sec_32": t32,
+        "throughput_ratio": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
+        "pagerank_edges_per_sec_8": out[8].get("pagerank_edges_per_sec"),
+        "pagerank_edges_per_sec_32": out[32].get("pagerank_edges_per_sec"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
