@@ -369,6 +369,25 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
     raise ValueError(f"unknown execution mode {execution!r}")
 
 
+def _ensure_comp_picklable(comp):
+    """User extensions (SURVEY.md §2.7) may live in modules that Ray workers
+    cannot import (scripts, test files).  Register such modules for
+    pickle-by-value so the Computation ships with the task instead of by
+    reference."""
+    mod = type(comp).__module__
+    if mod.startswith("graph_data_science_ray") or mod == "__main__":
+        return
+    import sys
+
+    from ray import cloudpickle  # Ray serializes with its vendored cloudpickle
+    m = sys.modules.get(mod)
+    if m is not None:
+        try:
+            cloudpickle.register_pickle_by_value(m)
+        except Exception:
+            pass
+
+
 def _converged(comp, superstep, sum_sending, sum_changed):
     if comp.always_active:
         return superstep >= 1 and sum_changed == 0
@@ -489,6 +508,7 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
 def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     import ray
     import ray.data
+    _ensure_comp_picklable(comp)
     from ray.data.aggregate import Sum
 
     from ..state.checkpoint import CheckpointManager
@@ -659,6 +679,7 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
     import ray
 
     from ..state.checkpoint import CheckpointManager
+    _ensure_comp_picklable(comp)
 
     bounds = graph.bounds(P, comp.orientation)
     shard_refs = graph.shard_refs(P, comp.orientation)
