@@ -67,6 +67,7 @@ class EdgeExtractor:
             df = arr.to_pandas().groupby(["src_key", "dst_key"], sort=False)\
                 .size().reset_index(name="weight")
             out = pa.Table.from_pandas(df, preserve_index=False)
+            out = out.replace_schema_metadata(None)
         else:
             out = pa.table({"src_key": pa.array([], pa.string()),
                             "dst_key": pa.array([], pa.string()),
@@ -146,7 +147,10 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
     # broadcast the (sorted) key array once; resolve ids per batch via searchsorted
     vt = pa.concat_tables([ray.get(r) for r in vertices_ds.to_arrow_refs()])
     sorted_keys = np.asarray(vt.column("key").to_pylist(), dtype=object)
-    keys_ref = ray.put(sorted_keys)
+    # fixed-width byte keys: np.searchsorted runs vectorized C instead of
+    # per-element python string compares (keys are ascii, so byte order == str order)
+    keys_bytes = sorted_keys.astype("S")
+    keys_ref = ray.put(keys_bytes)
 
     class _Resolve:
         def __init__(self):
@@ -156,10 +160,13 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.keys is None:
                 self.keys = ray.get(keys_ref)
-            s = np.asarray(t.column("src_key").to_pylist(), dtype=object)
-            d = np.asarray(t.column("dst_key").to_pylist(), dtype=object)
-            return pa.table({"src": np.searchsorted(self.keys, s).astype(np.int64),
-                             "dst": np.searchsorted(self.keys, d).astype(np.int64),
+            s = np.asarray(t.column("src_key").to_pylist(), dtype=object).astype("S")
+            d = np.asarray(t.column("dst_key").to_pylist(), dtype=object).astype("S")
+            width = self.keys.dtype.itemsize
+            return pa.table({"src": np.searchsorted(
+                                 self.keys, s.astype(f"S{width}")).astype(np.int64),
+                             "dst": np.searchsorted(
+                                 self.keys, d.astype(f"S{width}")).astype(np.int64),
                              "weight": t.column("weight")})
 
     edges_ids = edges_raw.map_batches(_Resolve(), batch_format="pyarrow")

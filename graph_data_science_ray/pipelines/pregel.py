@@ -613,6 +613,17 @@ class _ShardActor:
         self.vids, self.st = _table_to_state(table, self.comp)
         return int(self.st["sending"].sum())
 
+    def step(self, superstep, *msg_parts):
+        """Fused superstep: apply the incoming messages (finishing superstep
+        ``superstep``), then scatter the updated state (producing the messages for
+        ``superstep + 1``).  Returns (stats, out_0, ..., out_{P-1}) so the driver
+        runs ONE actor RPC round per superstep."""
+        stats = self.apply(superstep, *msg_parts)
+        out = self.scatter()
+        if self.nparts > 1:
+            return tuple([stats] + list(out))
+        return stats, out
+
     def scatter(self):
         """Returns one (vid, key, val) partial per destination partition."""
         dst, key, val = scatter_kernel(self.comp, self.shard,
@@ -703,6 +714,7 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
     metrics = []
     converged = False
     superstep = max(start_superstep, 1)
+    outbox = None
     has_master = bool(comp.master_cols) or \
         type(comp).master_part is not Computation.master_part
     while True:
@@ -710,16 +722,18 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
         if superstep >= it_limit:
             break
         t0 = time.perf_counter()
-        if nparts > 1:
-            msg_refs = [workers[p].scatter.options(num_returns=nparts).remote()
-                        for p in range(nparts)]
-            applied = [workers[q].apply.remote(
-                superstep, *[msg_refs[p][q] for p in range(nparts)])
-                for q in range(nparts)]
-        else:
-            m = workers[0].scatter.remote()
-            applied = [workers[0].apply.remote(superstep, m)]
-        stats = ray.get(applied)
+        if outbox is None:  # first superstep after init/resume: initial scatter
+            if nparts > 1:
+                outbox = [workers[p].scatter.options(num_returns=nparts).remote()
+                          for p in range(nparts)]
+            else:
+                outbox = [[workers[0].scatter.remote()]]
+        stepped = [workers[q].step.options(num_returns=nparts + 1).remote(
+                       superstep, *[outbox[p][q] for p in range(nparts)])
+                   for q in range(nparts)] if nparts > 1 else                   [workers[0].step.options(num_returns=2).remote(
+                       superstep, outbox[0][0])]
+        stats = ray.get([r[0] for r in stepped])
+        outbox = [r[1:] for r in stepped] if nparts > 1 else [[stepped[0][1]]]
         sum_sending = sum(s["sending"] for s in stats)
         sum_changed = sum(s["changed"] for s in stats)
         n_msgs = sum(s["messages"] for s in stats)

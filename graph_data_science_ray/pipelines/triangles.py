@@ -152,15 +152,29 @@ def _count_local(n, rs, rd):
 
 
 class _WedgeWorker:
-    """Actor-pool stage: emits ordered out-neighbor pairs per source from a CSR shard."""
+    """Stage over partition ids: generates ordered out-neighbor pairs per source
+    from its CSR shard, matches them against the broadcast sorted edge-key array
+    (a broadcast semi-join — the edge set is |E| int64 keys, tiny next to the
+    wedge stream), and emits pre-combined per-node partial counts.
 
-    def __init__(self, shard_refs, n):
+    At 100 TB scale, when the edge-key array itself outgrows a broadcast, the same
+    stage degrades to a hash-bucket join: tag wedges and edges with
+    ``key % B`` and match per bucket inside ``groupby("bucket").map_groups``
+    (per-*bucket*, never per-key, so the group count stays O(B))."""
+
+    def __init__(self, shard_refs, n, edge_keys_ref):
         self.shard_refs = shard_refs
         self.n = n
+        self.edge_keys_ref = edge_keys_ref
+        self.edge_keys = None
         self._cache = {}
+        self.__name__ = "wedge_match"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
+        if self.edge_keys is None:
+            ek = self.edge_keys_ref
+            self.edge_keys = ray.get(ek) if not isinstance(ek, np.ndarray) else ek
         outs = []
         for p in batch.column("part").to_pylist():
             if p not in self._cache:
@@ -172,30 +186,20 @@ class _WedgeWorker:
                 continue
             wa, wb, wc = _wedges_from_segment(sh.indices, sh.indptr[srcs],
                                               deg[srcs], srcs + sh.lo)
-            outs.append(pa.table({"key": wb * self.n + wc, "a": wa,
-                                  "b": wb, "c": wc,
-                                  "is_edge": np.zeros(wa.shape[0], np.uint8)}))
+            wkey = wb * self.n + wc
+            pos = np.searchsorted(self.edge_keys, wkey)
+            pos[pos >= self.edge_keys.shape[0]] = self.edge_keys.shape[0] - 1
+            m = self.edge_keys[pos] == wkey
+            if not m.any():
+                continue
+            vids = np.concatenate([wa[m], wb[m], wc[m]])
+            uq, inv = np.unique(vids, return_inverse=True)
+            outs.append(pa.table({"vid": uq,
+                                  "cnt": np.bincount(inv).astype(np.int64)}))
         if not outs:
             e = np.empty(0, np.int64)
-            return pa.table({"key": e, "a": e, "b": e, "c": e,
-                             "is_edge": np.empty(0, np.uint8)})
+            return pa.table({"vid": e, "cnt": e})
         return pa.concat_tables(outs)
-
-
-def _match_group(group: pa.Table) -> pa.Table:
-    is_edge = group.column("is_edge").to_numpy(zero_copy_only=False)
-    if not is_edge.any():
-        e = np.empty(0, np.int64)
-        return pa.table({"vid": e, "cnt": e})
-    wa = group.column("a").to_numpy(zero_copy_only=False)[is_edge == 0]
-    if wa.shape[0] == 0:
-        e = np.empty(0, np.int64)
-        return pa.table({"vid": e, "cnt": e})
-    wb = group.column("b").to_numpy(zero_copy_only=False)[is_edge == 0]
-    wc = group.column("c").to_numpy(zero_copy_only=False)[is_edge == 0]
-    vids = np.concatenate([wa, wb, wc])
-    uq, inv = np.unique(vids, return_inverse=True)
-    return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
 
 
 def _count_ray(n, rs, rd, P):
@@ -209,19 +213,17 @@ def _count_ray(n, rs, rd, P):
         plo, phi = int(bounds[p]), int(bounds[p + 1])
         i, j = np.searchsorted(rs, [plo, phi])
         shard_refs.append(ray.put(build_csr_shard(plo, phi, rs[i:j], rd[i:j])))
+    edge_keys_ref = ray.put(rs * n + rd)  # sorted ascending (rs, rd lexsorted)
     parts_ds = ray.data.from_arrow(
         pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)}))
-    wedges = parts_ds.map_batches(_WedgeWorker(shard_refs, n),
-                                  batch_format="pyarrow", batch_size=1)
-    edges_ds = ray.data.from_arrow(pa.table({
-        "key": rs * n + rd, "a": np.full(rs.shape[0], -1, dtype=np.int64),
-        "b": rs, "c": rd, "is_edge": np.ones(rs.shape[0], np.uint8)}))
-    matched = wedges.union(edges_ds).groupby("key").map_groups(
-        _match_group, batch_format="pyarrow")
-    per_node = matched.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
-    t = pa.concat_tables([ray.get(r) for r in per_node.to_arrow_refs()])
+    partials = parts_ds.map_batches(_WedgeWorker(shard_refs, n, edge_keys_ref),
+                                    batch_format="pyarrow", batch_size=1)
+    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
+    t_refs = [ray.get(r) for r in per_node.to_arrow_refs()]
+    tabs = [t for t in t_refs if t.num_rows and t.num_columns]
     counts = np.zeros(n, dtype=np.int64)
-    if t.num_rows:
+    if tabs:
+        t = pa.concat_tables(tabs)
         counts[t.column("vid").to_numpy(zero_copy_only=False)] = \
             t.column("triangles").to_numpy(zero_copy_only=False)
     total = int(counts.sum()) // 3
