@@ -1,34 +1,42 @@
-"""Bulk-synchronous (Pregel-style) vertex computation runner on Ray Data.
+"""Bulk-synchronous (Pregel-style) vertex computation runner on Ray.
 
 This is the Ray-native re-expression of the reference's Pregel framework
 (pregel/src/main/java/org/neo4j/gds/beta/pregel/Pregel.java:56-79,158-199):
 
-  * per-vertex state lives in a ``state`` Dataset (part, vid, ...columns) — the
-    analogue of Pregel ``NodeValue`` arrays (pregel/.../NodeValue.java:46-73);
-  * one superstep = one Dataset pipeline:
+  * per-vertex state lives in per-partition columns (the analogue of Pregel
+    ``NodeValue`` arrays, pregel/.../NodeValue.java:46-73);
+  * one superstep = scatter (push values along CSR out-edges, pre-combining
+    messages per destination *inside the source partition* — GDS's
+    ReducingMessenger partial combine, pregel/.../ReducingMessenger.java:77-82),
+    an all-to-all message exchange keyed by destination partition, a final
+    combine (dense ``bincount`` / ``minimum`` per local vid), and the vertex
+    update (GDS ComputeStep, pregel/.../ComputeStep.java:76-102);
+  * convergence = tiny global aggregates of ``sending`` / ``changed``
+    (vote-to-halt — PartitionedComputer.hasConverged, :77-85).
 
-      1. **scatter** — ``state.map_batches(_ScatterWorker, batch_format="pyarrow")``
-         pushes each sending vertex's value along its CSR shard out-edges and
-         *pre-combines* messages per destination inside the batch — the analogue of
-         GDS's ReducingMessenger partial combine (pregel/.../ReducingMessenger.java:77-82);
-      2. **combine+apply** — the message stream is unioned with the state stream and
-         ``groupby("part").map_groups(_ApplyWorker)`` performs the wide shuffle
-         (messages meet their destination partition) followed by the final reduce
-         (dense ``np.add.at`` / ``np.minimum.at`` per local vid) and the vertex
-         update — GDS's message-combine + compute step
-         (pregel/.../PartitionedComputer.java:96-123);
-      3. **convergence** — tiny global aggregates (sum of ``sending`` / ``changed``)
-         mirror vote-to-halt convergence (PartitionedComputer.hasConverged, :77-85).
+Because scatter pre-combines per source partition, a destination vertex receives
+at most P partial payloads per superstep regardless of its in-degree — the
+hub-skew guard (a power-law hub's million in-edges collapse to ≤P payloads
+before the exchange), complementing degree-balanced edge partitioning
+(state/graph.py).  Message payloads are adaptively dense (bincount arrays over
+the destination range — the fast path when a partition receives many messages)
+or sparse (id/value pairs — the late-superstep path when few vertices are
+active), so the combine never pays a sort.
 
-  Because scatter pre-combines per source partition, any destination vertex receives
-  at most P partial messages per superstep regardless of its in-degree — this is the
-  hub-skew guard (a power-law hub's million in-edges collapse to ≤P rows before the
-  shuffle), complementing the degree-balanced edge partitioning in state/graph.py.
+Three execution modes (``run_pregel(execution=...)``):
 
-A single-process fast path (``execution="local"``) runs the *same* scatter/apply
-kernels in a driver loop over the same partition structure — used for small graphs
-and as the test oracle for the distributed path (results agree to 1e-6; integer
-results exactly).
+  * ``local``    — single-process driver loop over the same partition kernels
+    (small graphs; conformance oracle for the distributed modes);
+  * ``ray``      — persistent shard-actor BSP: one actor per partition holds its
+    CSR shard (zero-copy from the object store) + its state slice; one fused
+    actor RPC round per superstep exchanges the pre-combined payloads through
+    the object store.  This is the throughput path: a 40-round iteration cannot
+    afford the Dataset executor's per-pipeline fixed cost, and the per-partition
+    mutable state is exactly the case where raw actors are warranted;
+  * ``ray-data`` — every superstep as a Ray Data pipeline (map_batches scatter →
+    union with the state stream → groupby(part).map_groups apply); identical
+    results, higher per-superstep latency; kept as the streaming-integration
+    and cross-check path.
 """
 
 from __future__ import annotations
@@ -72,7 +80,9 @@ class Computation:
         raise NotImplementedError
 
     def master_part(self, vids, st, scalars: dict, superstep: int) -> None:
-        pass
+        """Optional global step between supersteps (Eigenvector normalization).
+        In actor mode this runs *after* the next scatter, so it must not change
+        what was sent — same position in the superstep as GDS masterCompute."""
 
 
 @dataclass
@@ -100,13 +110,11 @@ class PregelResult:
 
 
 # --------------------------------------------------------------------------------
-# kernels shared by the local and distributed paths
+# kernels shared by all execution paths
 # --------------------------------------------------------------------------------
 
-def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
-                   send: np.ndarray, skey: np.ndarray, sending: np.ndarray):
-    """Push ``send`` values of sending vertices along shard out-edges; pre-combine
-    per destination (per (dst, key) when keyed).  Returns (dst, key|None, val)."""
+def _expand_edges(comp, shard, local, send, skey, sending):
+    """Raw scatter: (dst, key|None, val) per edge of every sending vertex."""
     mask = sending != 0
     srcs = local[mask]
     if srcs.shape[0] == 0:
@@ -117,31 +125,35 @@ def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
     vals = np.repeat(send[mask], lens)
     if comp.weighted and shard.weights is not None:
         vals = vals * shard.weights[idx]
+    keys = np.repeat(skey[mask], lens) if comp.keyed else None
     if comp.scatter_remote_only:
         remote = (dst < shard.lo) | (dst >= shard.hi)
         dst, vals = dst[remote], vals[remote]
-        if comp.keyed:
-            keys_all = np.repeat(skey[mask], lens)[remote]
-            if dst.shape[0] == 0:
-                e = np.empty(0, dtype=np.int64)
-                return e, e, np.empty(0, dtype=np.float64)
-            order = np.lexsort((keys_all, dst))
-            dst, keys_all, vals = dst[order], keys_all[order], vals[order]
-            run = np.empty(dst.shape[0], dtype=bool)
-            run[0] = True
-            run[1:] = (dst[1:] != dst[:-1]) | (keys_all[1:] != keys_all[:-1])
-            starts = np.nonzero(run)[0]
-            return dst[starts], keys_all[starts], np.add.reduceat(vals, starts)
-        lens = None  # fallthrough to unkeyed combine below
+        keys = keys[remote] if keys is not None else None
+    return dst, keys, vals
+
+
+def _combine_sparse_keyed(dst, keys, vals):
+    """Pre-combine (dst, key) duplicates — the keyed ReducingMessenger."""
+    if dst.shape[0] == 0:
+        return dst, keys, vals
+    order = np.lexsort((keys, dst))
+    dst, keys, vals = dst[order], keys[order], vals[order]
+    run = np.empty(dst.shape[0], dtype=bool)
+    run[0] = True
+    run[1:] = (dst[1:] != dst[:-1]) | (keys[1:] != keys[:-1])
+    starts = np.nonzero(run)[0]
+    return dst[starts], keys[starts], np.add.reduceat(vals, starts)
+
+
+def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
+                   send: np.ndarray, skey: np.ndarray, sending: np.ndarray):
+    """Combined sparse scatter (row form, used by the ray-data path)."""
+    dst, keys, vals = _expand_edges(comp, shard, local, send, skey, sending)
     if comp.keyed:
-        keys = np.repeat(skey[mask], lens)
-        order = np.lexsort((keys, dst))
-        dst, keys, vals = dst[order], keys[order], vals[order]
-        run = np.empty(dst.shape[0], dtype=bool)
-        run[0] = True
-        run[1:] = (dst[1:] != dst[:-1]) | (keys[1:] != keys[:-1])
-        starts = np.nonzero(run)[0]
-        return dst[starts], keys[starts], np.add.reduceat(vals, starts)
+        return _combine_sparse_keyed(dst, keys, vals)
+    if dst.shape[0] == 0:
+        return dst, None, vals
     uq, inv = np.unique(dst, return_inverse=True)
     if comp.reducer == "sum":
         out = np.bincount(inv, weights=vals)
@@ -153,31 +165,121 @@ def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
     return uq, None, out
 
 
+# message payload tags: "k" sparse keyed, "s" sparse, "d" dense sum, "dm" dense min
+def scatter_payloads(comp: Computation, shard: CsrShard, bounds: np.ndarray,
+                     local, send, skey, sending) -> list:
+    """Scatter + route + per-destination-partition pre-combine.
+
+    Returns one payload (or None) per destination partition.  Dense payloads are
+    ``bincount`` arrays over the destination vid range — O(m + width) with no
+    sort; sparse payloads are raw (ids, vals), used when a partition receives far
+    fewer messages than its width (late supersteps)."""
+    nparts = len(bounds) - 1
+    dst, keys, vals = _expand_edges(comp, shard, local, send, skey, sending)
+    if comp.keyed and dst.shape[0]:
+        dst, keys, vals = _combine_sparse_keyed(dst, keys, vals)
+    if dst.shape[0] == 0:
+        return [None] * nparts
+    dpart = (np.searchsorted(bounds, dst, side="right") - 1)
+    order = np.argsort(dpart, kind="stable")
+    dst, vals = dst[order], vals[order]
+    if keys is not None:
+        keys = keys[order]
+    cut = np.searchsorted(dpart[order], np.arange(nparts + 1))
+    payloads = []
+    for q in range(nparts):
+        a, b = int(cut[q]), int(cut[q + 1])
+        if b == a:
+            payloads.append(None)
+            continue
+        lo, width = int(bounds[q]), int(bounds[q + 1] - bounds[q])
+        ids = dst[a:b] - lo
+        vv = vals[a:b]
+        if comp.keyed:
+            payloads.append(("k", ids, keys[a:b], vv))
+        elif (b - a) * 4 < width:
+            payloads.append(("s", ids, vv))
+        elif comp.reducer == "sum":
+            sumv = np.bincount(ids, weights=vv, minlength=width)
+            cnt = np.bincount(ids, minlength=width)
+            payloads.append(("d", sumv, cnt > 0))
+        else:
+            acc = np.full(width, np.inf)
+            np.minimum.at(acc, ids, vv)
+            payloads.append(("dm", acc))
+    return payloads
+
+
+def merge_payloads(comp: Computation, nloc: int, payloads: list):
+    """Final combine of per-source-partition payloads into the dense layout."""
+    if comp.keyed:
+        parts = [p for p in payloads if p is not None]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return KeyedMsg(e, e, np.empty(0, dtype=np.float64))
+        ids = np.concatenate([p[1] for p in parts])
+        keys = np.concatenate([p[2] for p in parts])
+        vals = np.concatenate([p[3] for p in parts])
+        local, key, val = _combine_sparse_keyed(ids, keys, vals)
+        return KeyedMsg(local, key, val)
+    if comp.reducer == "sum":
+        vals = np.zeros(nloc)
+        has = np.zeros(nloc, dtype=bool)
+        for p in payloads:
+            if p is None:
+                continue
+            if p[0] == "s":
+                np.add.at(vals, p[1], p[2])
+                has[p[1]] = True
+            else:  # "d"
+                vals += p[1]
+                has |= p[2]
+        return NonKeyedMsg(vals, has)
+    vals = np.full(nloc, np.inf)
+    for p in payloads:
+        if p is None:
+            continue
+        if p[0] == "s":
+            np.minimum.at(vals, p[1], p[2])
+        else:  # "dm"
+            np.minimum(vals, p[1], out=vals)
+    return NonKeyedMsg(vals, vals < np.inf)
+
+
 def combine_messages(comp: Computation, lo: int, nloc: int,
                      m_vid: np.ndarray, m_key, m_val: np.ndarray):
-    """Final combine of (possibly partial) messages into the dense partition layout."""
+    """Row-form final combine (ray-data path)."""
     if comp.keyed:
         local = m_vid - lo
         if local.shape[0] == 0:
             return KeyedMsg(local, m_key, m_val)
-        order = np.lexsort((m_key, local))
-        local, key, val = local[order], m_key[order], m_val[order]
-        run = np.empty(local.shape[0], dtype=bool)
-        run[0] = True
-        run[1:] = (local[1:] != local[:-1]) | (key[1:] != key[:-1])
-        starts = np.nonzero(run)[0]
-        return KeyedMsg(local[starts], key[starts], np.add.reduceat(val, starts))
+        loc, key, val = _combine_sparse_keyed(local, m_key, m_val)
+        return KeyedMsg(loc, key, val)
     has = np.zeros(nloc, dtype=bool)
     local = m_vid - lo
     has[local] = True
     if comp.reducer == "sum":
-        vals = np.zeros(nloc, dtype=np.float64)
+        vals = np.zeros(nloc)
         np.add.at(vals, local, m_val)
     else:
         vals = np.full(nloc, np.inf)
         np.minimum.at(vals, local, m_val)
     return NonKeyedMsg(vals, has)
 
+
+def _payload_count(p) -> int:
+    if p is None:
+        return 0
+    if p[0] in ("s", "k"):
+        return int(p[1].shape[0])
+    if p[0] == "d":
+        return int(p[2].sum())
+    return int((p[1] < np.inf).sum())
+
+
+# --------------------------------------------------------------------------------
+# state <-> arrow
+# --------------------------------------------------------------------------------
 
 def _init_state_part(comp: Computation, p: int, lo: int, hi: int, shard: CsrShard):
     vids = np.arange(lo, hi, dtype=np.int64)
@@ -230,19 +332,18 @@ def _table_to_state(t: pa.Table, comp: Computation):
 
 
 # --------------------------------------------------------------------------------
-# distributed workers (map_batches / map_groups callables)
+# ray-data workers (Dataset-pipeline superstep — the north-star formulation)
 # --------------------------------------------------------------------------------
 
 class _ScatterWorker:
-    """Actor-pool stage: holds zero-copy views of the CSR shards it has served
-    (``ray.get`` of a plasma ref mmaps the numpy buffers — load once per actor,
-    GDS's 'CSR shared across threads' analogue)."""
+    """map_batches stage: CSR shards mapped zero-copy from the object store."""
 
     def __init__(self, comp, shard_refs, bounds):
         self.comp = comp
         self.shard_refs = shard_refs
         self.bounds = np.asarray(bounds)
         self._cache = {}
+        self.__name__ = "pregel_scatter"
 
     def _shard(self, p):
         if p not in self._cache:
@@ -276,8 +377,7 @@ class _ScatterWorker:
 
 
 class _ApplyWorker:
-    """map_groups stage, one group per partition: final message combine + vertex
-    update (GDS ComputeStep.computeBatch analogue, pregel/.../ComputeStep.java:76-102)."""
+    """map_groups stage, one group per partition: final combine + vertex update."""
 
     def __init__(self, comp, shard_refs, bounds, superstep):
         self.comp = comp
@@ -285,13 +385,13 @@ class _ApplyWorker:
         self.bounds = np.asarray(bounds)
         self.superstep = superstep
         self._cache = {}
-        self.__name__ = "pregel_apply"  # map_groups requires a __name__ on the UDF
+        self.__name__ = "pregel_apply"
 
     def __call__(self, group: pa.Table) -> pa.Table:
         comp = self.comp
         is_msg = group.column("is_msg").to_numpy(zero_copy_only=False).astype(bool)
         state_t = group.filter(pa.array(~is_msg))
-        if state_t.num_rows == 0:   # stray message-only group (shouldn't happen)
+        if state_t.num_rows == 0:
             return _state_table(0, np.empty(0, np.int64),
                                 {k: np.empty(0, d) for k, d in
                                  list(comp.state_spec) + _RUNNER_COLS}, comp)
@@ -299,10 +399,11 @@ class _ApplyWorker:
         lo, hi = int(self.bounds[p]), int(self.bounds[p + 1])
         vids, st = _table_to_state(state_t, comp)
         msg_t = group.filter(pa.array(is_msg))
-        m_vid = msg_t.column("vid").to_numpy(zero_copy_only=False)
-        m_key = msg_t.column("m_key").to_numpy(zero_copy_only=False)
-        m_val = msg_t.column("m_val").to_numpy(zero_copy_only=False)
-        msg = combine_messages(comp, lo, hi - lo, m_vid, m_key, m_val)
+        msg = combine_messages(
+            comp, lo, hi - lo,
+            msg_t.column("vid").to_numpy(zero_copy_only=False),
+            msg_t.column("m_key").to_numpy(zero_copy_only=False),
+            msg_t.column("m_val").to_numpy(zero_copy_only=False))
         st["changed"][:] = 0
         if p not in self._cache:
             import ray
@@ -317,6 +418,7 @@ class _MasterWorker:
         self.scalars = scalars
         self.superstep = superstep
         self.bounds = np.asarray(bounds)
+        self.__name__ = "pregel_master"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         comp = self.comp
@@ -331,49 +433,9 @@ class _MasterWorker:
 # runners
 # --------------------------------------------------------------------------------
 
-def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
-               execution: str = "auto", num_partitions: Optional[int] = None,
-               checkpoint_dir: Optional[str] = None, checkpoint_interval: int = 1,
-               resume: bool = False, local_threshold: int = 200_000) -> PregelResult:
-    """Run a vertex computation to convergence (BSP driver loop —
-    ref Pregel.run, pregel/.../Pregel.java:158-199).
-
-    Execution modes:
-      * ``local``    — single-process driver loop over the partition kernels (small
-        graphs; also the conformance oracle for the distributed modes);
-      * ``ray``      — persistent shard-actor BSP: one actor per partition holds its
-        CSR shard + state; supersteps exchange pre-combined message partials
-        directly through the object store (two actor RPC rounds per superstep).
-        This is the throughput path: the per-superstep message exchange is a fixed
-        task graph over a *shared mutable per-partition index* — the one pattern
-        the Dataset API cannot express without paying its full per-pipeline fixed
-        cost ~40× per run;
-      * ``ray-data`` — every superstep as a Dataset pipeline
-        (map_batches scatter → union → groupby(part).map_groups apply), exactly the
-        north-star formulation; identical results, higher per-superstep latency.
-        Use for one-shot/streaming integration and as a cross-check.
-    """
-    if execution == "auto":
-        execution = "local" if graph.n <= local_threshold else "ray"
-    if num_partitions is None:
-        num_partitions = 1 if execution == "local" and graph.n <= 50_000 else 8
-    if execution == "local":
-        return _run_local(graph, comp, max_iterations, num_partitions,
-                          checkpoint_dir, checkpoint_interval, resume)
-    if execution in ("ray", "ray-actors"):
-        return _run_ray_actors(graph, comp, max_iterations, num_partitions,
-                               checkpoint_dir, checkpoint_interval, resume)
-    if execution == "ray-data":
-        return _run_ray(graph, comp, max_iterations, num_partitions,
-                        checkpoint_dir, checkpoint_interval, resume)
-    raise ValueError(f"unknown execution mode {execution!r}")
-
-
 def _ensure_comp_picklable(comp):
-    """User extensions (SURVEY.md §2.7) may live in modules that Ray workers
-    cannot import (scripts, test files).  Register such modules for
-    pickle-by-value so the Computation ships with the task instead of by
-    reference."""
+    """User extensions (SURVEY.md §2.7) may live in modules Ray workers cannot
+    import (scripts, test files) — register those modules for pickle-by-value."""
     mod = type(comp).__module__
     if mod.startswith("graph_data_science_ray") or mod == "__main__":
         return
@@ -395,11 +457,15 @@ def _converged(comp, superstep, sum_sending, sum_changed):
 
 
 def _ran_iterations(comp, superstep, converged, max_iterations):
-    """GDS counting: Pregel's ranIterations is the 0-based iteration index at which
-    convergence was detected (Pregel.java:166-195 — ``break`` before increment), or
-    maxIterations when the loop ran out.  Our superstep numbering matches Pregel's
-    iteration numbering (init == superstep 0)."""
+    """GDS counting: ranIterations is the 0-based iteration index at which
+    convergence was detected (Pregel.java:166-195 — ``break`` before increment),
+    or maxIterations when the loop ran out; our superstep numbering matches."""
     return superstep if converged else max_iterations
+
+
+def _has_master(comp):
+    return bool(comp.master_cols) or \
+        type(comp).master_part is not Computation.master_part
 
 
 def _result_from_parts(comp, parts_vids, parts_st, ran, converged, metrics):
@@ -407,6 +473,29 @@ def _result_from_parts(comp, parts_vids, parts_st, ran, converged, metrics):
     for out_name, st_name in comp.output_cols.items():
         cols[out_name] = np.concatenate([st[st_name] for st in parts_st])
     return PregelResult(pa.table(cols), ran, converged, metrics)
+
+
+def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
+               execution: str = "auto", num_partitions: Optional[int] = None,
+               checkpoint_dir: Optional[str] = None, checkpoint_interval: int = 1,
+               resume: bool = False, local_threshold: int = 200_000) -> PregelResult:
+    """Run a vertex computation to convergence (BSP driver loop —
+    ref Pregel.run, pregel/.../Pregel.java:158-199).  See the module docstring
+    for the three execution modes."""
+    if execution == "auto":
+        execution = "local" if graph.n <= local_threshold else "ray"
+    if num_partitions is None:
+        num_partitions = 1 if execution == "local" and graph.n <= 50_000 else 8
+    if execution == "local":
+        return _run_local(graph, comp, max_iterations, num_partitions,
+                          checkpoint_dir, checkpoint_interval, resume)
+    if execution in ("ray", "ray-actors"):
+        return _run_ray_actors(graph, comp, max_iterations, num_partitions,
+                               checkpoint_dir, checkpoint_interval, resume)
+    if execution == "ray-data":
+        return _run_ray(graph, comp, max_iterations, num_partitions,
+                        checkpoint_dir, checkpoint_interval, resume)
+    raise ValueError(f"unknown execution mode {execution!r}")
 
 
 def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
@@ -431,59 +520,35 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
         for p in range(nparts):
             parts.append(_init_state_part(comp, p, int(bounds[p]), int(bounds[p + 1]),
                                           shards[p]))
+        if ckpt:
+            ckpt.write_local(0, [_state_table(p, v, s, comp)
+                                 for p, (v, s) in enumerate(parts)], {})
     metrics = []
     converged = False
-    superstep = start_superstep
-    if superstep == 0:
-        if ckpt and 0 % ckpt_interval == 0:
-            ckpt.write_local(0, [_state_table(p, v, s, comp) for p, (v, s) in enumerate(parts)], {})
-        superstep = 1
+    superstep = max(start_superstep, 1)
     while True:
         it_limit = max_iterations if comp.count_init_as_iteration else max_iterations + 1
         if superstep >= it_limit:
             break
         t0 = time.perf_counter()
-        outbox_vid = [[] for _ in range(nparts)]
-        outbox_key = [[] for _ in range(nparts)]
-        outbox_val = [[] for _ in range(nparts)]
+        outbox = []
         n_msgs = 0
         for p, (vids, st) in enumerate(parts):
-            sh = shards[p]
-            dst, key, val = scatter_kernel(comp, sh, vids - sh.lo, st["send"],
-                                           st["skey"], st["sending"])
-            n_msgs += dst.shape[0]
-            if dst.shape[0] == 0:
-                continue
-            dpart = np.searchsorted(bounds, dst, side="right") - 1
-            order = np.argsort(dpart, kind="stable")
-            dst, dpart = dst[order], dpart[order]
-            key = key[order] if key is not None else None
-            val = val[order]
-            cut = np.searchsorted(dpart, np.arange(nparts + 1))
-            for q in range(nparts):
-                a, b = cut[q], cut[q + 1]
-                if b > a:
-                    outbox_vid[q].append(dst[a:b])
-                    outbox_val[q].append(val[a:b])
-                    if key is not None:
-                        outbox_key[q].append(key[a:b])
+            pl = scatter_payloads(comp, shards[p], bounds, vids - shards[p].lo,
+                                  st["send"], st["skey"], st["sending"])
+            n_msgs += sum(_payload_count(x) for x in pl)
+            outbox.append(pl)
         sum_sending = 0
         sum_changed = 0
         scalars_acc = {c: 0.0 for c in comp.master_cols}
-        for p, (vids, st) in enumerate(parts):
-            m_vid = (np.concatenate(outbox_vid[p]) if outbox_vid[p]
-                     else np.empty(0, np.int64))
-            m_key = (np.concatenate(outbox_key[p]) if outbox_key[p]
-                     else np.empty(0, np.int64))
-            m_val = (np.concatenate(outbox_val[p]) if outbox_val[p]
-                     else np.empty(0, np.float64))
-            msg = combine_messages(comp, shards[p].lo, shards[p].num_nodes,
-                                   m_vid, m_key, m_val)
+        for q, (vids, st) in enumerate(parts):
+            msg = merge_payloads(comp, shards[q].num_nodes,
+                                 [outbox[p][q] for p in range(nparts)])
             st["changed"][:] = 0
-            comp.apply_part(vids, st, msg, superstep, shards[p])
+            comp.apply_part(vids, st, msg, superstep, shards[q])
             for c in comp.master_cols:
                 scalars_acc[c] += float(st[c].sum())
-        if comp.master_cols or type(comp).master_part is not Computation.master_part:
+        if _has_master(comp):
             for p, (vids, st) in enumerate(parts):
                 comp.master_part(vids, st, scalars_acc, superstep)
         for _, st in parts:
@@ -494,8 +559,8 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
                         "sec": time.perf_counter() - t0})
         if ckpt and superstep % ckpt_interval == 0:
             ckpt.write_local(superstep,
-                             [_state_table(p, v, s, comp) for p, (v, s) in enumerate(parts)],
-                             metrics[-1])
+                             [_state_table(p, v, s, comp)
+                              for p, (v, s) in enumerate(parts)], metrics[-1])
         if _converged(comp, superstep, sum_sending, sum_changed):
             converged = True
             break
@@ -508,10 +573,10 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
 def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     import ray
     import ray.data
-    _ensure_comp_picklable(comp)
     from ray.data.aggregate import Sum
 
     from ..state.checkpoint import CheckpointManager
+    _ensure_comp_picklable(comp)
 
     bounds = graph.bounds(P, comp.orientation)
     shards_refs = graph.shard_refs(P, comp.orientation)
@@ -531,11 +596,11 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
                                         shards[p])
             tables.append(_state_table(p, vids, st, comp))
         state_ds = ray.data.from_arrow(tables)
+        if ckpt:
+            ckpt.write_ray(0, state_ds, {})
     metrics = []
     converged = False
     superstep = max(start_superstep, 1)
-    if start_superstep == 0 and ckpt:
-        ckpt.write_ray(0, state_ds, {})
     while True:
         it_limit = max_iterations if comp.count_init_as_iteration else max_iterations + 1
         if superstep >= it_limit:
@@ -551,7 +616,7 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
         aggs = state_ds.aggregate(
             Sum("sending", alias_name="s"), Sum("changed", alias_name="c"),
             *[Sum(c, alias_name=f"m_{c}") for c in comp.master_cols])
-        if comp.master_cols or type(comp).master_part is not Computation.master_part:
+        if _has_master(comp):
             scalars = {c: float(aggs.get(f"m_{c}") or 0.0) for c in comp.master_cols}
             state_ds = state_ds.map_batches(
                 _MasterWorker(comp, scalars, superstep, bounds),
@@ -586,14 +651,14 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
 # --------------------------------------------------------------------------------
 
 class _ShardActor:
-    """One actor per partition: owns the CSR shard (zero-copy from the object
-    store) and its slice of vertex state; scatters/applies per superstep.  The
-    distributed analogue of a GDS PartitionedComputeStep that *keeps* its state
-    across iterations (PartitionedComputer.java:96-123)."""
+    """One actor per partition: owns the CSR shard (zero-copy plasma view) and
+    its slice of vertex state; runs one fused apply+scatter per superstep.  The
+    distributed analogue of a GDS PartitionedComputeStep that keeps its state
+    across iterations (pregel/.../PartitionedComputer.java:96-123)."""
 
     def __init__(self, comp, shard_ref, p, bounds):
-        # a top-level ObjectRef arg is auto-resolved by Ray: the shard arrives as a
-        # zero-copy plasma view (its numpy buffers are mmapped, not copied)
+        # a top-level ObjectRef arg is auto-resolved by Ray: the shard arrives as
+        # a zero-copy plasma view (numpy buffers mmapped, not copied)
         import ray
         self.shard = shard_ref if isinstance(shard_ref, CsrShard) else ray.get(shard_ref)
         self.comp = comp
@@ -613,55 +678,31 @@ class _ShardActor:
         self.vids, self.st = _table_to_state(table, self.comp)
         return int(self.st["sending"].sum())
 
-    def step(self, superstep, *msg_parts):
-        """Fused superstep: apply the incoming messages (finishing superstep
-        ``superstep``), then scatter the updated state (producing the messages for
-        ``superstep + 1``).  Returns (stats, out_0, ..., out_{P-1}) so the driver
-        runs ONE actor RPC round per superstep."""
-        stats = self.apply(superstep, *msg_parts)
-        out = self.scatter()
-        if self.nparts > 1:
-            return tuple([stats] + list(out))
-        return stats, out
-
     def scatter(self):
-        """Returns one (vid, key, val) partial per destination partition."""
-        dst, key, val = scatter_kernel(self.comp, self.shard,
-                                       self.vids - self.shard.lo,
-                                       self.st["send"], self.st["skey"],
-                                       self.st["sending"])
-        dpart = np.searchsorted(self.bounds, dst, side="right") - 1
-        order = np.argsort(dpart, kind="stable")
-        dst, dpart = dst[order], dpart[order]
-        key = key[order] if key is not None else None
-        val = val[order]
-        cut = np.searchsorted(dpart, np.arange(self.nparts + 1))
-        out = []
-        for q in range(self.nparts):
-            a, b = int(cut[q]), int(cut[q + 1])
-            out.append((dst[a:b], None if key is None else key[a:b], val[a:b]))
+        out = scatter_payloads(self.comp, self.shard, self.bounds,
+                               self.vids - self.shard.lo, self.st["send"],
+                               self.st["skey"], self.st["sending"])
         return out if self.nparts > 1 else out[0]
 
-    def apply(self, superstep, *msg_parts):
-        vid_parts = [m[0] for m in msg_parts if m[0].shape[0]]
-        m_vid = np.concatenate(vid_parts) if vid_parts else np.empty(0, np.int64)
-        if self.comp.keyed:
-            m_key = (np.concatenate([m[1] for m in msg_parts if m[0].shape[0]])
-                     if vid_parts else np.empty(0, np.int64))
-        else:
-            m_key = np.empty(0, np.int64)
-        m_val = (np.concatenate([m[2] for m in msg_parts if m[0].shape[0]])
-                 if vid_parts else np.empty(0, np.float64))
-        msg = combine_messages(self.comp, self.shard.lo, self.shard.num_nodes,
-                               m_vid, m_key, m_val)
+    def apply(self, superstep, *payloads):
+        msg = merge_payloads(self.comp, self.shard.num_nodes, list(payloads))
         self.st["changed"][:] = 0
         self.comp.apply_part(self.vids, self.st, msg, superstep, self.shard)
         stats = {"sending": int(self.st["sending"].sum()),
                  "changed": int(self.st["changed"].sum()),
-                 "messages": int(m_vid.shape[0])}
+                 "messages": sum(_payload_count(p) for p in payloads)}
         for c in self.comp.master_cols:
             stats[f"m_{c}"] = float(self.st[c].sum())
         return stats
+
+    def step(self, superstep, *payloads):
+        """Fused superstep: apply incoming messages, then scatter the updated
+        state — ONE actor RPC round per superstep."""
+        stats = self.apply(superstep, *payloads)
+        out = self.scatter()
+        if self.nparts > 1:
+            return tuple([stats] + list(out))
+        return stats, out
 
     def master(self, scalars, superstep):
         self.comp.master_part(self.vids, self.st, scalars, superstep)
@@ -715,8 +756,7 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
     converged = False
     superstep = max(start_superstep, 1)
     outbox = None
-    has_master = bool(comp.master_cols) or \
-        type(comp).master_part is not Computation.master_part
+    has_master = _has_master(comp)
     while True:
         it_limit = max_iterations if comp.count_init_as_iteration else max_iterations + 1
         if superstep >= it_limit:
@@ -728,12 +768,17 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
                           for p in range(nparts)]
             else:
                 outbox = [[workers[0].scatter.remote()]]
-        stepped = [workers[q].step.options(num_returns=nparts + 1).remote(
-                       superstep, *[outbox[p][q] for p in range(nparts)])
-                   for q in range(nparts)] if nparts > 1 else                   [workers[0].step.options(num_returns=2).remote(
-                       superstep, outbox[0][0])]
-        stats = ray.get([r[0] for r in stepped])
-        outbox = [r[1:] for r in stepped] if nparts > 1 else [[stepped[0][1]]]
+        if nparts > 1:
+            stepped = [workers[q].step.options(num_returns=nparts + 1).remote(
+                           superstep, *[outbox[p][q] for p in range(nparts)])
+                       for q in range(nparts)]
+            stats = ray.get([r[0] for r in stepped])
+            outbox = [r[1:] for r in stepped]
+        else:
+            stepped = [workers[0].step.options(num_returns=2).remote(
+                           superstep, outbox[0][0])]
+            stats = ray.get([r[0] for r in stepped])
+            outbox = [[stepped[0][1]]]
         sum_sending = sum(s["sending"] for s in stats)
         sum_changed = sum(s["changed"] for s in stats)
         n_msgs = sum(s["messages"] for s in stats)
