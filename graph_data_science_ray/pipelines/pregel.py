@@ -121,7 +121,7 @@ def _expand_edges(comp, shard, local, send, skey, sending):
         e = np.empty(0, dtype=np.int64)
         return e, (e if comp.keyed else None), np.empty(0, dtype=np.float64)
     idx, lens = shard.neighbors_flat(srcs)
-    dst = shard.indices[idx]
+    dst = shard.indices[idx]          # may be int32 (see build_csr_shard)
     vals = np.repeat(send[mask], lens)
     if comp.weighted and shard.weights is not None:
         vals = vals * shard.weights[idx]
@@ -165,84 +165,92 @@ def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
     return uq, None, out
 
 
-# message payload tags: "k" sparse keyed, "s" sparse, "d" dense sum, "dm" dense min
-def scatter_payloads(comp: Computation, shard: CsrShard, bounds: np.ndarray,
-                     local, send, skey, sending) -> list:
-    """Scatter + route + per-destination-partition pre-combine.
+# message payload tags:
+#   "F"  dense full-range sum   (sumv[n], has[n])
+#   "Fm" dense full-range min   (acc[n])
+#   "s"  sparse global          (dst_global, vals)
+#   "k"  sparse keyed, dst-sorted (dst_global, keys, vals)
+def scatter_global(comp: Computation, shard: CsrShard, n_total: int,
+                   local, send, skey, sending):
+    """Scatter into ONE payload covering the whole vid range.
 
-    Returns one payload (or None) per destination partition.  Dense payloads are
-    ``bincount`` arrays over the destination vid range — O(m + width) with no
-    sort; sparse payloads are raw (ids, vals), used when a partition receives far
-    fewer messages than its width (late supersteps)."""
-    nparts = len(bounds) - 1
+    Receivers slice their own [lo, hi) out of it — on a single node every
+    receiver maps the same plasma object zero-copy, so the exchange creates P
+    objects per superstep (not P²).  On a multi-node cluster, where network
+    bytes matter more than object count, the same payloads would be cut into
+    per-destination slices before shipping (``num_returns=P``); the merge logic
+    below is identical either way.
+
+    Dense payloads (one full-range ``bincount``) are used in heavy supersteps —
+    no routing or sort at all; sparse (dst, val) pairs in the late supersteps."""
     dst, keys, vals = _expand_edges(comp, shard, local, send, skey, sending)
-    if comp.keyed and dst.shape[0]:
-        dst, keys, vals = _combine_sparse_keyed(dst, keys, vals)
-    if dst.shape[0] == 0:
-        return [None] * nparts
-    dpart = (np.searchsorted(bounds, dst, side="right") - 1)
-    order = np.argsort(dpart, kind="stable")
-    dst, vals = dst[order], vals[order]
-    if keys is not None:
-        keys = keys[order]
-    cut = np.searchsorted(dpart[order], np.arange(nparts + 1))
-    payloads = []
-    for q in range(nparts):
-        a, b = int(cut[q]), int(cut[q + 1])
-        if b == a:
-            payloads.append(None)
-            continue
-        lo, width = int(bounds[q]), int(bounds[q + 1] - bounds[q])
-        ids = dst[a:b] - lo
-        vv = vals[a:b]
-        if comp.keyed:
-            payloads.append(("k", ids, keys[a:b], vv))
-        elif (b - a) * 4 < width:
-            payloads.append(("s", ids, vv))
-        elif comp.reducer == "sum":
-            sumv = np.bincount(ids, weights=vv, minlength=width)
-            cnt = np.bincount(ids, minlength=width)
-            payloads.append(("d", sumv, cnt > 0))
-        else:
-            acc = np.full(width, np.inf)
-            np.minimum.at(acc, ids, vv)
-            payloads.append(("dm", acc))
-    return payloads
-
-
-def merge_payloads(comp: Computation, nloc: int, payloads: list):
-    """Final combine of per-source-partition payloads into the dense layout."""
     if comp.keyed:
-        parts = [p for p in payloads if p is not None]
-        if not parts:
+        if dst.shape[0]:
+            dst, keys, vals = _combine_sparse_keyed(dst, keys, vals)
+        return ("k", dst, keys, vals)
+    if dst.shape[0] == 0:
+        return None
+    if dst.shape[0] * 2 >= n_total:
+        if comp.reducer == "sum":
+            sumv = np.bincount(dst, weights=vals, minlength=n_total)
+            cnt = np.bincount(dst, minlength=n_total)
+            return ("F", sumv, cnt > 0)
+        acc = np.full(n_total, np.inf)
+        np.minimum.at(acc, dst, vals)
+        return ("Fm", acc)
+    return ("s", dst, vals)
+
+
+def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
+    """Final combine: slice/filter each global payload to [lo, hi) and reduce."""
+    nloc = hi - lo
+    if comp.keyed:
+        ids_l, keys_l, vals_l = [], [], []
+        for p in payloads:
+            if p is None or p[1].shape[0] == 0:
+                continue
+            a, b = np.searchsorted(p[1], [lo, hi])  # dst-sorted
+            if b > a:
+                ids_l.append(p[1][a:b] - lo)
+                keys_l.append(p[2][a:b])
+                vals_l.append(p[3][a:b])
+        if not ids_l:
             e = np.empty(0, dtype=np.int64)
             return KeyedMsg(e, e, np.empty(0, dtype=np.float64))
-        ids = np.concatenate([p[1] for p in parts])
-        keys = np.concatenate([p[2] for p in parts])
-        vals = np.concatenate([p[3] for p in parts])
-        local, key, val = _combine_sparse_keyed(ids, keys, vals)
+        local, key, val = _combine_sparse_keyed(
+            np.concatenate(ids_l), np.concatenate(keys_l), np.concatenate(vals_l))
         return KeyedMsg(local, key, val)
     if comp.reducer == "sum":
         vals = np.zeros(nloc)
         has = np.zeros(nloc, dtype=bool)
+        sparse_ids, sparse_vals = [], []
         for p in payloads:
             if p is None:
                 continue
-            if p[0] == "s":
-                np.add.at(vals, p[1], p[2])
-                has[p[1]] = True
-            else:  # "d"
-                vals += p[1]
-                has |= p[2]
+            if p[0] == "F":
+                vals += p[1][lo:hi]
+                has |= p[2][lo:hi]
+            else:  # "s"
+                m = (p[1] >= lo) & (p[1] < hi)
+                sparse_ids.append(p[1][m] - lo)
+                sparse_vals.append(p[2][m])
+        if sparse_ids:
+            ids = np.concatenate(sparse_ids)
+            vv = np.concatenate(sparse_vals)
+            if ids.shape[0]:
+                vals += np.bincount(ids, weights=vv, minlength=nloc)
+                has |= np.bincount(ids, minlength=nloc) > 0
         return NonKeyedMsg(vals, has)
     vals = np.full(nloc, np.inf)
     for p in payloads:
         if p is None:
             continue
-        if p[0] == "s":
-            np.minimum.at(vals, p[1], p[2])
-        else:  # "dm"
-            np.minimum(vals, p[1], out=vals)
+        if p[0] == "Fm":
+            np.minimum(vals, p[1][lo:hi], out=vals)
+        else:  # "s"
+            m = (p[1] >= lo) & (p[1] < hi)
+            if m.any():
+                np.minimum.at(vals, p[1][m] - lo, p[2][m])
     return NonKeyedMsg(vals, vals < np.inf)
 
 
@@ -272,7 +280,7 @@ def _payload_count(p) -> int:
         return 0
     if p[0] in ("s", "k"):
         return int(p[1].shape[0])
-    if p[0] == "d":
+    if p[0] == "F":
         return int(p[2].sum())
     return int((p[1] < np.inf).sum())
 
@@ -534,16 +542,15 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
         outbox = []
         n_msgs = 0
         for p, (vids, st) in enumerate(parts):
-            pl = scatter_payloads(comp, shards[p], bounds, vids - shards[p].lo,
-                                  st["send"], st["skey"], st["sending"])
-            n_msgs += sum(_payload_count(x) for x in pl)
+            pl = scatter_global(comp, shards[p], graph.n, vids - shards[p].lo,
+                                st["send"], st["skey"], st["sending"])
+            n_msgs += _payload_count(pl)
             outbox.append(pl)
         sum_sending = 0
         sum_changed = 0
         scalars_acc = {c: 0.0 for c in comp.master_cols}
         for q, (vids, st) in enumerate(parts):
-            msg = merge_payloads(comp, shards[q].num_nodes,
-                                 [outbox[p][q] for p in range(nparts)])
+            msg = merge_payloads(comp, shards[q].lo, shards[q].hi, outbox)
             st["changed"][:] = 0
             comp.apply_part(vids, st, msg, superstep, shards[q])
             for c in comp.master_cols:
@@ -679,30 +686,27 @@ class _ShardActor:
         return int(self.st["sending"].sum())
 
     def scatter(self):
-        out = scatter_payloads(self.comp, self.shard, self.bounds,
-                               self.vids - self.shard.lo, self.st["send"],
-                               self.st["skey"], self.st["sending"])
-        return out if self.nparts > 1 else out[0]
+        return scatter_global(self.comp, self.shard, int(self.bounds[-1]),
+                              self.vids - self.shard.lo, self.st["send"],
+                              self.st["skey"], self.st["sending"])
 
     def apply(self, superstep, *payloads):
-        msg = merge_payloads(self.comp, self.shard.num_nodes, list(payloads))
+        msg = merge_payloads(self.comp, self.shard.lo, self.shard.hi,
+                             list(payloads))
         self.st["changed"][:] = 0
         self.comp.apply_part(self.vids, self.st, msg, superstep, self.shard)
         stats = {"sending": int(self.st["sending"].sum()),
                  "changed": int(self.st["changed"].sum()),
-                 "messages": sum(_payload_count(p) for p in payloads)}
+                 "messages": 0}
         for c in self.comp.master_cols:
             stats[f"m_{c}"] = float(self.st[c].sum())
         return stats
 
     def step(self, superstep, *payloads):
         """Fused superstep: apply incoming messages, then scatter the updated
-        state — ONE actor RPC round per superstep."""
+        state — ONE actor RPC round and ONE outgoing payload per superstep."""
         stats = self.apply(superstep, *payloads)
-        out = self.scatter()
-        if self.nparts > 1:
-            return tuple([stats] + list(out))
-        return stats, out
+        return stats, self.scatter()
 
     def master(self, scalars, superstep):
         self.comp.master_part(self.vids, self.st, scalars, superstep)
@@ -754,49 +758,56 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
             _ckpt_actors(ckpt, workers, 0, {})
     metrics = []
     converged = False
+    converged_at = None
     superstep = max(start_superstep, 1)
+    it_limit = max_iterations if comp.count_init_as_iteration else max_iterations + 1
     outbox = None
     has_master = _has_master(comp)
-    while True:
-        it_limit = max_iterations if comp.count_init_as_iteration else max_iterations + 1
-        if superstep >= it_limit:
-            break
-        t0 = time.perf_counter()
+    # Pipelined stepping: for computations where a post-convergence superstep is a
+    # mathematical no-op (nothing is sent once all vertices halt — PR, WCC, BFS),
+    # the driver keeps `lag` supersteps in flight and checks convergence on a
+    # delayed stats stream; this hides the per-superstep driver round-trip.
+    # Master-compute, always-active, and checkpointed runs stay synchronous.
+    lag = 0 if (ckpt or has_master or comp.always_active) else 2
+
+    def _submit(step_s):
+        nonlocal outbox
         if outbox is None:  # first superstep after init/resume: initial scatter
-            if nparts > 1:
-                outbox = [workers[p].scatter.options(num_returns=nparts).remote()
-                          for p in range(nparts)]
-            else:
-                outbox = [[workers[0].scatter.remote()]]
-        if nparts > 1:
-            stepped = [workers[q].step.options(num_returns=nparts + 1).remote(
-                           superstep, *[outbox[p][q] for p in range(nparts)])
-                       for q in range(nparts)]
-            stats = ray.get([r[0] for r in stepped])
-            outbox = [r[1:] for r in stepped]
-        else:
-            stepped = [workers[0].step.options(num_returns=2).remote(
-                           superstep, outbox[0][0])]
-            stats = ray.get([r[0] for r in stepped])
-            outbox = [[stepped[0][1]]]
+            outbox = [w.scatter.remote() for w in workers]
+        stepped = [workers[q].step.options(num_returns=2).remote(step_s, *outbox)
+                   for q in range(nparts)]
+        outbox = [r[1] for r in stepped]
+        return [r[0] for r in stepped]
+
+    inflight = []
+    next_submit = superstep
+    while True:
+        while (converged_at is None and next_submit < it_limit
+               and len(inflight) <= lag):
+            inflight.append((next_submit, _submit(next_submit), time.perf_counter()))
+            next_submit += 1
+        if not inflight:
+            break
+        s0, stat_refs, t0 = inflight.pop(0)
+        stats = ray.get(stat_refs)
         sum_sending = sum(s["sending"] for s in stats)
         sum_changed = sum(s["changed"] for s in stats)
         n_msgs = sum(s["messages"] for s in stats)
         if has_master:
             scalars = {c: sum(s.get(f"m_{c}", 0.0) for s in stats)
                        for c in comp.master_cols}
-            mstats = ray.get([w.master.remote(scalars, superstep) for w in workers])
+            mstats = ray.get([w.master.remote(scalars, s0) for w in workers])
             sum_sending = sum(s["sending"] for s in mstats)
             sum_changed = sum(s["changed"] for s in mstats)
-        metrics.append({"superstep": superstep, "messages": n_msgs,
+        metrics.append({"superstep": s0, "messages": n_msgs,
                         "sending": sum_sending, "changed": sum_changed,
                         "sec": time.perf_counter() - t0})
-        if ckpt and superstep % ckpt_interval == 0:
-            _ckpt_actors(ckpt, workers, superstep, metrics[-1])
-        if _converged(comp, superstep, sum_sending, sum_changed):
+        if ckpt and s0 % ckpt_interval == 0:
+            _ckpt_actors(ckpt, workers, s0, metrics[-1])
+        if converged_at is None and _converged(comp, s0, sum_sending, sum_changed):
             converged = True
-            break
-        superstep += 1
+            converged_at = s0
+    superstep = converged_at if converged_at is not None else it_limit
     tbl = pa.concat_tables(ray.get([w.result_table.remote() for w in workers]))
     order = np.argsort(tbl.column("vid").to_numpy(zero_copy_only=False), kind="stable")
     tbl = tbl.take(pa.array(order))

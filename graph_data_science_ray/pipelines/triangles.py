@@ -184,7 +184,8 @@ class _WedgeWorker:
             srcs = np.nonzero(deg >= 2)[0]
             if srcs.shape[0] == 0:
                 continue
-            wa, wb, wc = _wedges_from_segment(sh.indices, sh.indptr[srcs],
+            wa, wb, wc = _wedges_from_segment(sh.indices.astype(np.int64),
+                                              sh.indptr[srcs],
                                               deg[srcs], srcs + sh.lo)
             wkey = wb * self.n + wc
             pos = np.searchsorted(self.edge_keys, wkey)

@@ -168,13 +168,21 @@ def degree_balanced_bounds(n: int, num_partitions: int, src_sorted: np.ndarray) 
     return np.asarray(bounds, dtype=np.int64)
 
 
-def build_csr_shard(lo, hi, src, dst, weight=None) -> CsrShard:
-    """Build a CSR shard from edges already restricted & sorted by src (global vids)."""
+def build_csr_shard(lo, hi, src, dst, weight=None, *, n_total=None) -> CsrShard:
+    """Build a CSR shard from edges already restricted & sorted by src (global vids).
+
+    Indices are stored int32 when the graph fits (halves the gather bandwidth of
+    the scatter hot loop — the analogue of GDS's delta-varlong adjacency
+    compression, core/loading/DeltaVarLongCompressor.java:131-198, chosen for
+    vectorized access instead of decode speed)."""
     nloc = hi - lo
     counts = np.bincount(src - lo, minlength=nloc)
     indptr = np.zeros(nloc + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
-    return CsrShard(lo=lo, hi=hi, indptr=indptr, indices=np.ascontiguousarray(dst),
+    hi_id = n_total if n_total is not None else (int(dst.max()) + 1 if dst.shape[0] else 0)
+    idx_dtype = np.int32 if hi_id < 2**31 else np.int64
+    return CsrShard(lo=lo, hi=hi, indptr=indptr,
+                    indices=np.ascontiguousarray(dst, dtype=idx_dtype),
                     weights=None if weight is None else np.ascontiguousarray(weight))
 
 
@@ -301,7 +309,8 @@ class Graph:
                 lo, hi = int(bounds[p]), int(bounds[p + 1])
                 a, b = np.searchsorted(s, [lo, hi])
                 shards.append(build_csr_shard(lo, hi, s[a:b], d[a:b],
-                                              None if w is None else w[a:b]))
+                                              None if w is None else w[a:b],
+                                              n_total=self.n))
             self._shards[key] = shards
         return self._shards[key]
 
