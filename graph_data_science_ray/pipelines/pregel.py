@@ -493,7 +493,14 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
     if execution == "auto":
         execution = "local" if graph.n <= local_threshold else "ray"
     if num_partitions is None:
-        num_partitions = 1 if execution == "local" and graph.n <= 50_000 else 8
+        if execution == "local":
+            num_partitions = 1 if graph.n <= 50_000 else 8
+        else:
+            # target ~250k-1M edges per shard actor, capped at the CPU count —
+            # small graphs don't amortize actor overhead across many partitions
+            import ray
+            ncpu = int(ray.cluster_resources().get("CPU", 8))                 if ray.is_initialized() else 8
+            num_partitions = max(1, min(ncpu, graph.num_edges // 250_000 + 1))
     if execution == "local":
         return _run_local(graph, comp, max_iterations, num_partitions,
                           checkpoint_dir, checkpoint_interval, resume)
