@@ -63,9 +63,12 @@ class CsrShard:
         return np.diff(self.indptr)
 
     def weighted_degrees(self) -> np.ndarray:
+        """Sum of *positive* out-edge weights — matches GDS DegreeCentrality
+        (algo/.../degree/DegreeCentrality.java:127 ``if (weight > 0.0D)``),
+        which is the degree function PageRank's factory installs."""
         if self.weights is None:
             return np.diff(self.indptr).astype(np.float64)
-        cs = np.concatenate(([0.0], np.cumsum(self.weights)))
+        cs = np.concatenate(([0.0], np.cumsum(np.maximum(self.weights, 0.0))))
         return cs[self.indptr[1:]] - cs[self.indptr[:-1]]
 
     def neighbors_flat(self, local_srcs: np.ndarray):
