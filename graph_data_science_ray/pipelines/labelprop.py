@@ -92,7 +92,7 @@ class LabelPropagationComputation(Computation):
         m_indptr = np.searchsorted(msg.local, np.arange(nloc + 1))
         labels = st["label"]
         nodew = st["nodew"]
-        changed = 0
+        st["changed"][:] = 0
         for v in range(nloc):  # sequential sweep — asynchronous in-place semantics
             a, b = indptr[v], indptr[v + 1]
             ma, mb = m_indptr[v], m_indptr[v + 1]
@@ -108,12 +108,7 @@ class LabelPropagationComputation(Computation):
             new = uq[np.nonzero(sums == best)[0][0]]
             if new != labels[v]:
                 labels[v] = new
-                changed += 1
-        st["changed"][:nloc] = 0
-        if changed:
-            # mark changed nodes for metrics (exact per-node flags not needed;
-            # convergence uses the sum) — store count in the first entries
-            st["changed"][:min(changed, nloc)] = 1
+                st["changed"][v] = 1
         st["skey"][:] = labels
         st["send"][:] = nodew
         st["sending"][:] = 1
