@@ -86,8 +86,9 @@ class WccComputation(Computation):
 
 
 def wcc(graph: Graph, *, threshold: Optional[float] = None,
-        consecutive_ids: bool = False, max_iterations: int = 100,
-        execution: str = "auto", num_partitions: Optional[int] = None,
+        seed_property: Optional[str] = None, consecutive_ids: bool = False,
+        max_iterations: int = 100, execution: str = "auto",
+        num_partitions: Optional[int] = None,
         checkpoint_dir: Optional[str] = None, resume: bool = False) -> PregelResult:
     g = graph
     if threshold is not None:
@@ -100,6 +101,26 @@ def wcc(graph: Graph, *, threshold: Optional[float] = None,
     res = run_pregel(g, WccComputation(), max_iterations=max_iterations,
                      execution=execution, num_partitions=num_partitions,
                      checkpoint_dir=checkpoint_dir, resume=resume)
+    if seed_property is not None:
+        # Seeded semantics (HugeAtomicDisjointSetStruct.setIdOf:131-149): the
+        # component's id is the seed of its root (= min-vid member under
+        # Union-by-Min); components whose root carries no seed get fresh ids
+        # above the max seed, allocated in ascending root-vid order (the order a
+        # sequential node scan first touches each root).
+        seeds = np.asarray(graph.node_props[seed_property], dtype=np.float64)
+        seeds = np.where(np.isnan(seeds), -1, seeds).astype(np.int64)
+        comp = res.table.column("component").to_numpy(zero_copy_only=False)
+        roots = np.unique(comp)
+        root_seed = seeds[roots]
+        max_seed = int(seeds.max(initial=-1))
+        unseeded = root_seed < 0
+        fresh = np.cumsum(unseeded)  # 1-based rank among unseeded roots
+        mapped = np.where(unseeded, max_seed + fresh, root_seed)
+        lookup = dict(zip(roots.tolist(), mapped.tolist()))
+        new_comp = np.fromiter((lookup[c] for c in comp.tolist()),
+                               dtype=np.int64, count=comp.shape[0])
+        idx = res.table.column_names.index("component")
+        res.table = res.table.set_column(idx, "component", pa.array(new_comp))
     if consecutive_ids:
         comp = res.table.column("component").to_numpy(zero_copy_only=False)
         uq, inv = np.unique(comp, return_inverse=True)

@@ -100,3 +100,24 @@ class TestRandomized:
                     break
                 comp = nxt
             assert np.array_equal(components(res), comp), trial
+
+
+class TestSeeded:
+    def test_seeded_component_ids(self):
+        """Seeded semantics: component id = seed of the min-vid root; unseeded
+        components numbered above maxSeed in root order
+        (HugeAtomicDisjointSetStruct.setIdOf:131-149)."""
+        from graph_data_science_ray import Graph, wcc
+        # three chains: [0..3] seeded 42 (on root), [4..7] unseeded, [8..11] seeded 7
+        src = [0, 1, 2, 4, 5, 6, 8, 9, 10]
+        dst = [1, 2, 3, 5, 6, 7, 9, 10, 11]
+        seeds = np.full(12, np.nan)
+        seeds[0] = 42.0
+        seeds[8] = 7.0
+        g = Graph.from_edges(src, dst, n=12, node_props={"seed": seeds})
+        res = wcc(g, seed_property="seed", execution="local")
+        comp = res.table.column("component").to_numpy(zero_copy_only=False)
+        assert comp[:4].tolist() == [42] * 4
+        assert comp[8:].tolist() == [7] * 4
+        # unseeded chain gets maxSeed + 1 = 43
+        assert comp[4:8].tolist() == [43] * 4
