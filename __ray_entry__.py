@@ -50,8 +50,7 @@ def _q_pagerank_hierarchy(sf_dir: str):
     from graph_data_science_ray import pagerank
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
     g, _, present = hierarchy_vids(sf_dir)
-    res = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray",
-                   num_partitions=4)
+    res = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray")
     scores = res.table.column("score").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present, "score": np.round(scores[present], 6)})
 
@@ -60,7 +59,7 @@ def _q_wcc_hierarchy(sf_dir: str):
     from graph_data_science_ray import wcc
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
     g, _, present = hierarchy_vids(sf_dir)
-    res = wcc(g, execution="ray", num_partitions=4)
+    res = wcc(g, execution="ray")
     comp = res.table.column("component").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present, "component": comp[present]})
 
@@ -280,9 +279,8 @@ def entry() -> Any:
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
     sf_dir = "/root/testdata/sf0.001"
     g, _, present = hierarchy_vids(sf_dir)
-    pr = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray",
-                  num_partitions=4)
-    cc = wcc(g, execution="ray", num_partitions=4)
+    pr = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray")
+    cc = wcc(g, execution="ray")
     scores = pr.table.column("score").to_numpy(zero_copy_only=False)
     comp = cc.table.column("component").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present,

@@ -165,9 +165,11 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     import ray
 
     hasher = MinHasher(num_perms=num_perms, shingle_k=shingle_k)
-    sigs = docs_ds.map_batches(hasher, batch_format="pyarrow")
+    # small batches: signature hashing is CPU-bound python — many tasks keep
+    # every core busy (a big default batch serializes the stage)
+    sigs = docs_ds.map_batches(hasher, batch_format="pyarrow", batch_size=64)
     bands = sigs.map_batches(lambda t: bands_table(t, num_bands),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow", batch_size=256)
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
