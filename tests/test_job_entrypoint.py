@@ -1,0 +1,44 @@
+"""The ray-job-submit entrypoint: build a graph, run an algo with checkpoints,
+kill-free resume path (in-process main(); the session fixture owns Ray)."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from graph_data_science_ray.__main__ import main
+from graph_data_science_ray.sources.corpus import generate_corpus
+
+
+def test_build_then_run_with_resume(tmp_path):
+    corpus = tmp_path / "corpus"
+    generate_corpus(str(corpus), num_repos=40, files_per_repo=4, seed=42)
+    out = main(["build", "--corpus", str(corpus), "--out", str(tmp_path / "g")])
+    assert out["nodes"] > 0 and out["edges"] > 0
+
+    res = main(["run", "--algo", "pagerank", "--graph", str(tmp_path / "g"),
+                "--out", str(tmp_path / "pr.parquet"),
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--tolerance", "0", "--max-iterations", "4", "--weighted"])
+    assert res["rowsWritten"] == out["nodes"]
+
+    # resubmission resumes from the checkpoint and continues to 8 iterations
+    res2 = main(["run", "--algo", "pagerank", "--graph", str(tmp_path / "g"),
+                 "--out", str(tmp_path / "pr2.parquet"),
+                 "--checkpoint-dir", str(tmp_path / "ck"), "--resume",
+                 "--tolerance", "0", "--max-iterations", "8", "--weighted"])
+    full = main(["run", "--algo", "pagerank", "--graph", str(tmp_path / "g"),
+                 "--out", str(tmp_path / "pr_full.parquet"),
+                 "--tolerance", "0", "--max-iterations", "8", "--weighted"])
+    a = pq.read_table(tmp_path / "pr2.parquet").column("score").to_numpy()
+    b = pq.read_table(tmp_path / "pr_full.parquet").column("score").to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_stats_mode(tmp_path):
+    corpus = tmp_path / "corpus"
+    generate_corpus(str(corpus), num_repos=30, files_per_repo=3, seed=1)
+    main(["build", "--corpus", str(corpus), "--out", str(tmp_path / "g")])
+    s = main(["run", "--algo", "wcc", "--graph", str(tmp_path / "g"),
+              "--out", "unused", "--mode", "stats"])
+    assert "communityCount" in s
