@@ -1,0 +1,93 @@
+"""Join strategies for Ray Data pipelines.
+
+Three tiers (see also pipelines/graph_build.py which uses the broadcast tier for
+the corpus IdMap):
+
+  * **broadcast join** — small side published once (``ray.put``), looked up per
+    batch (dict / sorted-array ``searchsorted``); no shuffle;
+  * **partitioned hash join** — both sides large: tag rows with
+    ``hash(key) % B``, union the streams, join per bucket inside
+    ``groupby("bucket").map_groups`` (an explicit hash-partitioned join; B sized
+    so a bucket pair fits a worker; salt hot keys into sub-buckets);
+  * **semi join** — broadcast the key set and filter inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
+
+
+def _with_bucket(ds, key: str, num_buckets: int, side: int):
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column(key)
+        if pa.types.is_integer(k.type):
+            kv = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = ((kv * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+                % np.uint64(num_buckets)
+        else:
+            bucket = np.asarray([hash(x) % num_buckets for x in k.to_pylist()])
+        t = t.append_column(_BUCKET_COL, pa.array(bucket.astype(np.int64)))
+        return t.append_column(_SIDE_COL, pa.array(
+            np.full(t.num_rows, side, dtype=np.int8)))
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, key: str, *, num_buckets: int = 64,
+              how: str = "inner"):
+    """Partitioned hash join of two Datasets on ``key``; returns a Dataset with
+    left columns + right columns (right's key column dropped)."""
+    import pyarrow as _pa
+
+    left_cols = [c for c in left_ds.schema().names]
+    right_cols = [c for c in right_ds.schema().names if c != key]
+    lt = _with_bucket(left_ds, key, num_buckets, 0)
+    rt = _with_bucket(right_ds, key, num_buckets, 1)
+
+    # pad to a common schema for the union (nulls on the absent side)
+    def pad(cols_missing):
+        def f(t: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                t = t.append_column(c, _pa.nulls(t.num_rows))
+            return t
+        return f
+
+    lt = lt.map_batches(pad(right_cols), batch_format="pyarrow")
+    rt = rt.map_batches(pad([c for c in left_cols if c != key]),
+                        batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE_COL] == 0][[key] + [c for c in left_cols if c != key]]
+        r = g[g[_SIDE_COL] == 1][[key] + right_cols]
+        out = l.merge(r, on=key, how=how)
+        return out
+
+    return lt.union(rt).groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pandas")
+
+
+def semi_join_filter(ds, key: str, key_set, *, anti: bool = False):
+    """Broadcast semi/anti join: keep rows whose key is (not) in the set."""
+    import ray
+    arr = np.sort(np.asarray(list(key_set)))
+    ref = ray.put(arr)
+
+    class _F:
+        def __init__(self):
+            self.keys = None
+            self.__name__ = "semi_join"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys = ray.get(ref)
+            kv = t.column(key).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, kv)
+            pos[pos >= self.keys.shape[0]] = self.keys.shape[0] - 1
+            hit = self.keys[pos] == kv
+            return t.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(_F(), batch_format="pyarrow")

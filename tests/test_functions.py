@@ -164,3 +164,34 @@ class TestTextOps:
                                "xyzzy qwfp"]})
         out = LanguageId()(t)
         assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
+
+
+class TestJoins:
+    def _two_tables(self):
+        import ray.data
+        rng = np.random.default_rng(17)
+        left = pa.table({"k": rng.integers(0, 50, 200),
+                         "lv": rng.random(200)})
+        right = pa.table({"k": np.arange(0, 60, 2, dtype=np.int64),
+                          "rv": np.arange(30, dtype=np.int64) * 10})
+        return ray.data.from_arrow(left), ray.data.from_arrow(right), left, right
+
+    def test_hash_join_matches_pandas(self):
+        from graph_data_science_ray.functions.joins import hash_join
+        lds, rds, lt, rt = self._two_tables()
+        got = hash_join(lds, rds, "k", num_buckets=8).to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="inner")
+        key = lambda df: df.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(key(got[["k", "lv", "rv"]]), key(exp),
+                                      check_dtype=False)
+
+    def test_semi_and_anti_join(self):
+        from graph_data_science_ray.functions.joins import semi_join_filter
+        lds, _, lt, _ = self._two_tables()
+        keep = {1, 2, 3}
+        semi = semi_join_filter(lds, "k", keep).to_pandas()
+        anti = semi_join_filter(lds, "k", keep, anti=True).to_pandas()
+        assert set(semi["k"]) <= keep
+        assert set(anti["k"]).isdisjoint(keep)
+        assert len(semi) + len(anti) == lt.num_rows
