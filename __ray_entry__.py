@@ -231,8 +231,8 @@ def _q_lang_id(sf_dir: str):
 
 def _q_near_dup_minhash(sf_dir: str):
     from graph_data_science_ray.functions.dedup import minhash_near_dups
-    out = minhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
-    return out
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(32)
+    return minhash_near_dups(docs, threshold=0.5)
 
 
 def _q_simhash(sf_dir: str):

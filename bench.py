@@ -199,9 +199,12 @@ def run_scaling_suite() -> dict:
     best_of("triangles_300k", lambda: triangle_count(
         gt, execution="ray", num_partitions=min(NUM_CPUS, 32)))
 
-    docs = _synthetic_docs(4000)
-    best_of("minhash_4k_docs", lambda: minhash_near_dups(
-        ray.data.from_arrow(docs), threshold=0.6).count())
+    docs = _synthetic_docs(12000)
+    # repartition: a single-table from_arrow is ONE block → one task; split it so
+    # the CPU-bound signature stage fans out across the pool
+    docs_ds = ray.data.from_arrow(docs).repartition(NUM_CPUS * 8)
+    best_of("minhash_12k_docs", lambda: minhash_near_dups(
+        docs_ds, threshold=0.6).count())
 
     cdir = _corpus_dir()
     if not os.path.exists(os.path.join(cdir, "_done")):

@@ -35,13 +35,15 @@ def _hash64(s: str) -> int:
 
 
 class MinHasher:
-    """num_perms universal-hash minhashes per document (stateful: the (a,b)
-    coefficients are drawn once per actor from a fixed seed)."""
+    """num_perms independent minhashes per document.  Each permutation is a
+    seeded splitmix64 finalizer over the shingle hash — fully vectorized uint64
+    arithmetic (perms × shingles matrix, wrapping multiplies), equivalent in
+    collision behavior to the classic (a·h+b) mod p family but ~100× faster
+    than big-int mod-p.  Stateful stage: seeds drawn once per actor."""
 
     def __init__(self, num_perms: int = 64, shingle_k: int = 3, seed: int = 17):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perms, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, num_perms, dtype=np.int64)
+        self.seeds = rng.integers(0, 2**63, num_perms, dtype=np.int64)             .astype(np.uint64)
         self.num_perms = num_perms
         self.k = shingle_k
         self.__name__ = "minhash"
@@ -51,13 +53,12 @@ class MinHasher:
         if not sh:
             return np.zeros(self.num_perms, dtype=np.uint64)
         hv = np.fromiter((_hash64(s) for s in sh), dtype=np.uint64, count=len(sh))
-        # (a*h + b) mod p, min over shingles, vectorized over perms × shingles
-        hv = hv.astype(object)  # python ints: exact mod-p arithmetic
-        sig = np.empty(self.num_perms, dtype=np.uint64)
-        for i in range(self.num_perms):
-            sig[i] = min((int(self.a[i]) * int(h) + int(self.b[i])) % _MERSENNE
-                         for h in hv)
-        return sig
+        x = hv[None, :] ^ self.seeds[:, None]
+        # splitmix64 finalizer (wrapping uint64 multiplies)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return x.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
