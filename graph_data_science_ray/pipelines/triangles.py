@@ -215,8 +215,11 @@ def _count_ray(n, rs, rd, P):
         i, j = np.searchsorted(rs, [plo, phi])
         shard_refs.append(ray.put(build_csr_shard(plo, phi, rs[i:j], rd[i:j])))
     edge_keys_ref = ray.put(rs * n + rd)  # sorted ascending (rs, rd lexsorted)
+    # one block per partition id — from_arrow gives a single block, which would
+    # run the whole wedge stage as one task; repartition fans it out
     parts_ds = ray.data.from_arrow(
-        pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)}))
+        pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)})) \
+        .repartition(len(shard_refs))
     partials = parts_ds.map_batches(_WedgeWorker(shard_refs, n, edge_keys_ref),
                                     batch_format="pyarrow", batch_size=1)
     per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
