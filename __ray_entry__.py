@@ -240,6 +240,22 @@ def _q_simhash(sf_dir: str):
     return _to_table(simhash_table(_docs(sf_dir, ["doc_id", "text"])))
 
 
+def _q_corpus_sha(sf_dir: str):
+    """Per-row sha256(content) invariant over the deterministic corpus — the
+    north-rule row conformance surface (pytest cross-checks it against an
+    independent driver-side recompute in tests/test_graph_build.py)."""
+    import os
+    import tempfile
+
+    from graph_data_science_ray.pipelines.graph_build import compute_sha_table
+    from graph_data_science_ray.sources.corpus import generate_corpus
+    d = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_q")
+    if not os.path.exists(os.path.join(d, "_done")):
+        generate_corpus(d, num_repos=200, files_per_repo=10, seed=42)
+        open(os.path.join(d, "_done"), "w").write("1")
+    return _to_table(compute_sha_table(d))
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal plumbing: deterministic synthetic media table → actor-pool
     decode/feature stage (decode stubbed; Ray-side pipeline real)."""
@@ -313,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "near_dup_minhash": _q_near_dup_minhash,
+        "corpus_sha256": _q_corpus_sha,
         "simhash_docs": _q_simhash,
         "image_features": _q_image_features,
     }
