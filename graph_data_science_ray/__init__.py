@@ -9,17 +9,21 @@ analysis) a 100 TB corpus pipeline needs.  See SURVEY.md for the blueprint and
 per-operator reference citations.
 """
 
+from .pipelines.degree import degree_centrality
 from .pipelines.labelprop import label_propagation
+from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
+from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
 from .state.graph import Graph
 
 __all__ = [
-    "Graph", "Computation", "PregelResult", "run_pregel",
-    "pagerank", "article_rank", "eigenvector",
+    "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
+    "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
+    "degree_distribution", "filter_subgraph",
 ]
 
 __version__ = "0.1.0"

@@ -74,3 +74,11 @@ class TestDistributed:
         res = label_propagation(lpa_doc_graph, max_iterations=10, execution="local")
         assert res.did_converge
         assert res.ran_iterations <= 10
+
+    def test_ray_data_mode_matches_actor(self, lpa_doc_graph):
+        a = label_propagation(lpa_doc_graph, max_iterations=10, execution="ray",
+                              num_partitions=2)
+        d = label_propagation(lpa_doc_graph, max_iterations=10,
+                              execution="ray-data", num_partitions=2)
+        assert a.table.column("label").to_pylist() == \
+            d.table.column("label").to_pylist()
