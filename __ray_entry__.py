@@ -240,6 +240,20 @@ def _q_simhash(sf_dir: str):
     return _to_table(simhash_table(_docs(sf_dir, ["doc_id", "text"])))
 
 
+def _q_sssp_hierarchy(sf_dir: str):
+    """Hop distances from the lowest-vid customer (reachable rows only: the
+    customer, its nation, its region — depth-2 DAG)."""
+    from graph_data_science_ray import shortest_paths
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    g, cust_off = hierarchy_graph(sf_dir)
+    source = int(np.min(g.src[g.src >= cust_off]))
+    res = shortest_paths(g, source, weighted=False, execution="local")
+    d = res.table.column("distance").to_numpy(zero_copy_only=False)
+    finite = np.isfinite(d)
+    return pa.table({"vid": np.nonzero(finite)[0].astype(np.int64),
+                     "distance": d[finite]})
+
+
 def _q_corpus_sha(sf_dir: str):
     """Per-row sha256(content) invariant over the deterministic corpus — the
     north-rule row conformance surface (pytest cross-checks it against an
@@ -330,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "near_dup_minhash": _q_near_dup_minhash,
         "corpus_sha256": _q_corpus_sha,
+        "sssp_hierarchy": _q_sssp_hierarchy,
         "simhash_docs": _q_simhash,
         "image_features": _q_image_features,
     }
@@ -415,6 +430,15 @@ e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b
       ON a.p = b.p AND a.s < b.s)
 SELECT vid, count(*)::BIGINT AS degree
 FROM (SELECT u AS vid FROM e UNION ALL SELECT v FROM e) GROUP BY vid
+""",
+        "sssp_hierarchy": """
+WITH c AS (SELECT c_custkey, c_nationkey FROM customer
+           WHERE c_custkey = (SELECT min(c_custkey) FROM customer))
+SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
+       0.0::DOUBLE AS distance FROM c
+UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
+UNION ALL SELECT n_regionkey, 2.0
+          FROM c JOIN nation ON n_nationkey = c.c_nationkey
 """,
         "dedup_exact_documents": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS dup_count

@@ -13,6 +13,7 @@ from .pipelines.degree import degree_centrality
 from .pipelines.labelprop import label_propagation
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
+from .pipelines.paths import shortest_paths
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
@@ -23,6 +24,7 @@ __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
     "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
+    "shortest_paths",
     "degree_distribution", "filter_subgraph",
 ]
 

@@ -65,7 +65,8 @@ class Computation:
     orientation = "natural"      # CSR orientation the shards are built with
     reducer = "sum"              # "sum" | "min" — message combine
     keyed = False                # True ⇒ messages are (key, val); combine = per-key sum
-    weighted = False             # multiply messages by edge weight (applyRelationshipWeight)
+    weighted = False             # apply edge weight to messages (applyRelationshipWeight)
+    edge_combine = "mul"         # how weight applies: "mul" (PR) | "add" (shortest paths)
     scatter_remote_only = False  # True ⇒ skip intra-partition targets (handled in apply)
     always_active = False        # every vertex scatters every superstep (LPA, eigenvector)
     count_init_as_iteration = True   # superstep 0 counts toward ranIterations (Pregel yes)
@@ -124,7 +125,10 @@ def _expand_edges(comp, shard, local, send, skey, sending):
     dst = shard.indices[idx]          # may be int32 (see build_csr_shard)
     vals = np.repeat(send[mask], lens)
     if comp.weighted and shard.weights is not None:
-        vals = vals * shard.weights[idx]
+        if comp.edge_combine == "add":
+            vals = vals + shard.weights[idx]
+        else:
+            vals = vals * shard.weights[idx]
     keys = np.repeat(skey[mask], lens) if comp.keyed else None
     if comp.scatter_remote_only:
         remote = (dst < shard.lo) | (dst >= shard.hi)
