@@ -18,7 +18,9 @@ def _tumble_partial(batch: pa.Table, window: str) -> pa.Table:
     df["window_start"] = df["ts"].dt.floor(window)
     g = df.groupby(["user_id", "window_start"], sort=False).agg(
         n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # strip pandas metadata: distinct per-batch metadata defeats Ray's schema
+    # dedup cache and spams "Failed to hash the schemas" warnings
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def tumbling_window(events_ds, window: str = "h"):
