@@ -284,12 +284,17 @@ class Graph:
     # -- partitioning & shards ---------------------------------------------------
 
     def _oriented_sorted(self, orientation):
-        """Edges re-oriented then sorted by new src — cached."""
+        """Edges re-oriented then sorted by new src — cached.
+
+        Single-key stable sort (radix for int64 — several times faster than a
+        two-key lexsort): adjacency order *within* a source is irrelevant to the
+        BSP message combines, only src-grouping matters.  The canonical NATURAL
+        layout keeps its full (src, dst) sort from construction."""
         if orientation in self._sorted_cache:
             return self._sorted_cache[orientation]
         s, d, w = _apply_orientation(self.src, self.dst, self.weight, orientation)
         if orientation != NATURAL:  # natural is already sorted by src
-            order = np.lexsort((d, s))
+            order = np.argsort(s, kind="stable")
             s, d = s[order], d[order]
             w = None if w is None else w[order]
         self._sorted_cache[orientation] = (s, d, w)
