@@ -84,6 +84,8 @@ def semi_join_filter(ds, key: str, key_set, *, anti: bool = False):
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.keys is None:
                 self.keys = ray.get(ref)
+            if self.keys.shape[0] == 0:  # empty set: anti ⇒ passthrough, semi ⇒ none
+                return t if anti else t.slice(0, 0)
             kv = t.column(key).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, kv)
             pos[pos >= self.keys.shape[0]] = self.keys.shape[0] - 1

@@ -34,6 +34,7 @@ from .pregel import Computation, PregelResult, run_pregel
 
 class _PageRankBase(Computation):
     reducer = "sum"
+    idempotent_on_empty = True  # halted vertex + no messages ⇒ no-op superstep
     state_spec = [("rank", np.float64), ("delta", np.float64)]
     output_cols = {"score": "rank"}
 

@@ -21,6 +21,7 @@ from .pregel import Computation, PregelResult, run_pregel
 class SsspComputation(Computation):
     reducer = "min"
     edge_combine = "add"
+    idempotent_on_empty = True  # min-relaxation: no messages ⇒ distances final
     state_spec = [("dist", np.float64)]
     output_cols = {"distance": "dist"}
 

@@ -69,6 +69,10 @@ class Computation:
     edge_combine = "mul"         # how weight applies: "mul" (PR) | "add" (shortest paths)
     scatter_remote_only = False  # True ⇒ skip intra-partition targets (handled in apply)
     always_active = False        # every vertex scatters every superstep (LPA, eigenvector)
+    idempotent_on_empty = False  # True ⇒ a superstep with no incoming messages is a
+    # mathematical no-op for every halted vertex (PR/WCC/BFS-style).  Opt-in gate
+    # for the actor-mode pipelined stepping: only such computations may run extra
+    # speculative supersteps past convergence without diverging from local mode.
     count_init_as_iteration = True   # superstep 0 counts toward ranIterations (Pregel yes)
     state_spec: list = []        # [(name, np.dtype)] algorithm state columns
     output_cols: dict = {}       # result column name -> state column name
@@ -605,7 +609,8 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     state_ds = None
     if ckpt and resume and (latest := ckpt.latest()) is not None:
         start_superstep = latest + 1
-        state_ds = ray.data.read_parquet(ckpt.part_dir(latest)).materialize()
+        # the checkpoint dir also holds manifest.json — read only the parts
+        state_ds = ray.data.read_parquet(ckpt.part_files(latest)).materialize()
     else:
         shards = graph.shards(P, comp.orientation)
         tables = []
@@ -778,8 +783,10 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
     # mathematical no-op (nothing is sent once all vertices halt — PR, WCC, BFS),
     # the driver keeps `lag` supersteps in flight and checks convergence on a
     # delayed stats stream; this hides the per-superstep driver round-trip.
-    # Master-compute, always-active, and checkpointed runs stay synchronous.
-    lag = 0 if (ckpt or has_master or comp.always_active) else 2
+    # Explicit opt-in via Computation.idempotent_on_empty (built-ins set it);
+    # master-compute, always-active, and checkpointed runs stay synchronous.
+    lag = 2 if (comp.idempotent_on_empty and not ckpt and not has_master
+                and not comp.always_active) else 0
 
     def _submit(step_s):
         nonlocal outbox
@@ -810,9 +817,10 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
             mstats = ray.get([w.master.remote(scalars, s0) for w in workers])
             sum_sending = sum(s["sending"] for s in mstats)
             sum_changed = sum(s["changed"] for s in mstats)
-        metrics.append({"superstep": s0, "messages": n_msgs,
-                        "sending": sum_sending, "changed": sum_changed,
-                        "sec": time.perf_counter() - t0})
+        if converged_at is None:  # drained speculative steps don't pollute metrics
+            metrics.append({"superstep": s0, "messages": n_msgs,
+                            "sending": sum_sending, "changed": sum_changed,
+                            "sec": time.perf_counter() - t0})
         if ckpt and s0 % ckpt_interval == 0:
             _ckpt_actors(ckpt, workers, s0, metrics[-1])
         if converged_at is None and _converged(comp, s0, sum_sending, sum_changed):

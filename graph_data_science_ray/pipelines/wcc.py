@@ -52,6 +52,7 @@ def local_min_labels(nloc: int, s_local: np.ndarray, d_local: np.ndarray) -> np.
 class WccComputation(Computation):
     orientation = "undirected"
     reducer = "min"
+    idempotent_on_empty = True  # no incoming labels ⇒ components already stable
     state_spec = [("comp", np.int64), ("lcomp", np.int64)]
     output_cols = {"component": "comp"}
 

@@ -83,7 +83,8 @@ class GraphCatalog:
         (GraphWriteNodePropertiesProc analogue — persisted to vertices.parquet)."""
         g = self.get(name)
         g.node_props[prop] = np.asarray(values)
-        g.save(self._dir(name))
+        g.save_vertices(self._dir(name))  # mutate touches vertices only — the
+        # edge layout (and its partition count) stays exactly as created
         with open(os.path.join(self._dir(name), "catalog.json"), "w") as f:
             json.dump({"name": name, "created_at": time.time(),
                        "node_count": g.n, "relationship_count": g.num_edges,

@@ -22,11 +22,18 @@ import pyarrow.parquet as pq
 
 
 def _fingerprint(comp) -> str:
+    import numpy as np
     items = []
     for k in sorted(vars(comp)):
         v = vars(comp)[k]
         if isinstance(v, (int, float, str, bool, type(None), tuple)):
             items.append(f"{k}={v!r}")
+        elif isinstance(v, np.ndarray):
+            # array-valued config (personalized-PR sources, LPA seeds/weights)
+            # must differentiate fingerprints or resume silently continues from
+            # a run with different parameters
+            h = hashlib.sha256(np.ascontiguousarray(v).tobytes()).hexdigest()[:16]
+            items.append(f"{k}=ndarray[{v.dtype}:{v.shape}:{h}]")
     blob = type(comp).__name__ + "|" + "|".join(items)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
@@ -98,6 +105,13 @@ class CheckpointManager:
         os.makedirs(tmp)
         state_ds.write_parquet(tmp)
         self._finalize(tmp, self.part_dir(iteration), iteration, metrics)
+
+    def part_files(self, iteration: int) -> list:
+        """Sorted absolute paths of the part parquet files of one checkpoint
+        (excluding manifest.json — required by ray.data.read_parquet resume)."""
+        d = self.part_dir(iteration)
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")]
 
     def read_part(self, iteration: int, p: int) -> pa.Table:
         d = self.part_dir(iteration)

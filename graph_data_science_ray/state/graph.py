@@ -336,7 +336,13 @@ class Graph:
 
     def save(self, path: str, num_partitions: int = 8) -> str:
         """Write canonical layout: one parquet file per partition (resumable layout),
-        forward and reverse sorted, plus vertices + manifest.json."""
+        forward and reverse sorted, plus vertices + manifest.json.
+
+        Existing layout dirs are removed first so a re-save with a different
+        partition count never leaves stale part files behind (Graph.load reads
+        only the parts the manifest lists, but a clean dir keeps the layout
+        self-describing for external readers too)."""
+        import shutil
         os.makedirs(path, exist_ok=True)
         layouts = {"edges_fwd": NATURAL, "edges_rev": REVERSE}
         manifest = {"n": self.n, "num_edges": self.num_edges,
@@ -344,7 +350,9 @@ class Graph:
                     "num_partitions": num_partitions, "bounds": {}}
         for sub, orient in layouts.items():
             d = os.path.join(path, sub)
-            os.makedirs(d, exist_ok=True)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            os.makedirs(d)
             s, ds_, w = self._oriented_sorted(orient)
             bounds = self.bounds(num_partitions, orient)
             manifest["bounds"][sub] = [int(b) for b in bounds]
@@ -355,22 +363,31 @@ class Graph:
                 if w is not None:
                     cols["weight"] = w[a:b]
                 pq.write_table(pa.table(cols), os.path.join(d, f"part-{p:05d}.parquet"))
+        self.save_vertices(path)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return path
+
+    def save_vertices(self, path: str) -> None:
+        """(Re)write only the vertex table — the ``mutate`` fast path: attaching
+        a node property must not rewrite (or re-partition) the edge layout."""
         vcols = {"vid": np.arange(self.n, dtype=np.int64)}
         if self.keys is not None:
             vcols["key"] = pa.array([str(k) for k in self.keys])
         for pn, pv in self.node_props.items():
             vcols[pn] = pv
         pq.write_table(pa.table(vcols), os.path.join(path, "vertices.parquet"))
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
-        return path
 
     @classmethod
     def load(cls, path: str) -> "Graph":
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
         d = os.path.join(path, "edges_fwd")
-        tabs = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        # read exactly the part files the manifest describes — stale files from
+        # an older layout (different partition count) must never be picked up
+        nparts = len(manifest["bounds"]["edges_fwd"]) - 1
+        tabs = [pq.read_table(os.path.join(d, f"part-{p:05d}.parquet"))
+                for p in range(nparts)]
         t = pa.concat_tables(tabs)
         vt = pq.read_table(os.path.join(path, "vertices.parquet"))
         keys = vt.column("key").to_pylist() if "key" in vt.column_names else None

@@ -125,3 +125,37 @@ class TestDegreeDistribution:
         d = degree_distribution(g)
         assert d["min"] <= d["p50"] <= d["max"]
         assert "p999" in d
+
+
+def test_mutate_preserves_partition_layout(tmp_path):
+    """set_node_property must not re-save edges with a different partition count
+    (ADVICE r1: stale part files silently duplicated edges on reload)."""
+    import numpy as np
+
+    from graph_data_science_ray import Graph
+    from graph_data_science_ray.state.catalog import GraphCatalog
+    rng = np.random.default_rng(11)
+    n, m = 60, 99
+    g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n)
+    cat = GraphCatalog(str(tmp_path))
+    cat.create("g", g, num_partitions=3)
+    cat.set_node_property("g", "score", np.arange(n, dtype=np.float64))
+    cat._cache.clear()
+    g2 = cat.get("g")
+    assert g2.num_edges == g.num_edges
+    assert np.array_equal(g2.src, g.src) and np.array_equal(g2.dst, g.dst)
+    assert np.array_equal(g2.node_props["score"], np.arange(n, dtype=np.float64))
+
+
+def test_resave_with_fewer_partitions_drops_stale_parts(tmp_path):
+    import numpy as np
+
+    from graph_data_science_ray import Graph
+    rng = np.random.default_rng(12)
+    n, m = 60, 99
+    g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n)
+    d = str(tmp_path / "g")
+    g.save(d, num_partitions=6)
+    g.save(d, num_partitions=2)
+    g2 = Graph.load(d)
+    assert g2.num_edges == g.num_edges

@@ -90,3 +90,33 @@ def test_wcc_resume(tmp_path):
     assert np.array_equal(
         resumed.table.column("component").to_numpy(zero_copy_only=False),
         np.repeat(np.arange(8) * 20, 20))
+
+
+def test_resume_ray_data_mode(tmp_path, medium_graph):
+    """ray-data resume must skip manifest.json in the checkpoint dir (ADVICE r1)."""
+    full = pagerank(medium_graph, tolerance=0, max_iterations=6,
+                    execution="ray-data", num_partitions=3)
+    ck = tmp_path / "ck"
+    pagerank(medium_graph, tolerance=0, max_iterations=3, execution="ray-data",
+             num_partitions=3, checkpoint_dir=str(ck))
+    resumed = pagerank(medium_graph, tolerance=0, max_iterations=6,
+                       execution="ray-data", num_partitions=3,
+                       checkpoint_dir=str(ck), resume=True)
+    f = full.table.to_pandas().sort_values("vid").reset_index(drop=True)
+    r = resumed.table.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(r["score"], f["score"], atol=1e-9)
+
+
+def test_fingerprint_distinguishes_array_config(tmp_path, medium_graph):
+    """Personalized PR with different source sets must NOT share checkpoints."""
+    ck = tmp_path / "ck"
+    pagerank(medium_graph, tolerance=0, max_iterations=4, source_nodes=[0, 1],
+             execution="local", num_partitions=3, checkpoint_dir=str(ck))
+    res = pagerank(medium_graph, tolerance=0, max_iterations=4, source_nodes=[5, 6],
+                   execution="local", num_partitions=3, checkpoint_dir=str(ck),
+                   resume=True)
+    ref = pagerank(medium_graph, tolerance=0, max_iterations=4, source_nodes=[5, 6],
+                   execution="local", num_partitions=3)
+    np.testing.assert_allclose(
+        res.table.column("score").to_numpy(zero_copy_only=False),
+        ref.table.column("score").to_numpy(zero_copy_only=False), atol=1e-12)

@@ -195,3 +195,12 @@ class TestJoins:
         assert set(semi["k"]) <= keep
         assert set(anti["k"]).isdisjoint(keep)
         assert len(semi) + len(anti) == lt.num_rows
+
+
+def test_semi_join_empty_key_set():
+    import ray.data
+
+    from graph_data_science_ray.functions.joins import semi_join_filter
+    ds = ray.data.from_items([{"k": 1}, {"k": 2}])
+    assert semi_join_filter(ds, "k", []).count() == 0
+    assert semi_join_filter(ds, "k", [], anti=True).count() == 2
