@@ -109,11 +109,9 @@ class SimHasher:
         hv = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
         bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         acc = np.where(bits == 1, 1, -1).sum(axis=0)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v
+        # vectorized bit assembly: sign bits dotted with powers of two
+        return int(((acc > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -147,13 +145,13 @@ def exact_dedup(docs_ds):
                for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
 
+    from ray.data.aggregate import Count, Min
+
     fps = docs_ds.map_batches(_hash, batch_format="pyarrow")
-
-    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()],
-                             "dup_count": [len(g)]})
-
-    return fps.groupby("fp").map_groups(_keep_first, batch_format="pandas")
+    # partial-per-block + final combine inside Ray's aggregate — no per-group
+    # pandas frames (one DataFrame per distinct doc was the round-1 bottleneck)
+    return fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"),
+                                       Count(alias_name="dup_count"))
 
 
 def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
@@ -161,9 +159,15 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard ≥ threshold.  The verification stage joins candidate buckets against
-    the (broadcast) text of candidate docs only."""
-    import ray
+    jaccard ≥ threshold.  Fully distributed: candidate pairs are deduped by a
+    groupby (not on the driver), candidate texts arrive via two partitioned
+    hash joins against the docs Dataset, and the jaccard verification is a
+    map_batches stage over the joined rows — the driver never materializes
+    texts or candidates (round-1 VERDICT "Wrong #3" fix)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
 
     hasher = MinHasher(num_perms=num_perms, shingle_k=shingle_k)
     # small batches: signature hashing is CPU-bound python — many tasks keep
@@ -175,36 +179,56 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
         if ids.shape[0] < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
         ii, jj = np.triu_indices(ids.shape[0], k=1)
         return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
 
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         _pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas()
-    if len(cand_pd) == 0:
-        return ray.data.from_items([])
-    cand_pd = cand_pd.drop_duplicates()
-    # verification: fetch texts of candidate docs (candidate set ≪ corpus)
-    need = np.unique(np.concatenate([cand_pd["doc_a"], cand_pd["doc_b"]]))
-    texts = {}
-    for b in docs_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, need)
-        for i, t in zip(ids[mask], np.asarray(b.column("text").to_pylist(),
-                                              dtype=object)[mask]):
-            texts[int(i)] = t
-    rows = []
-    for a, b_ in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
-        j = exact_jaccard(texts[int(a)], texts[int(b_)], shingle_k)
-        if j >= threshold:
-            rows.append({"doc_a": int(a), "doc_b": int(b_), "jaccard": round(j, 6)})
-    import ray.data
-    if not rows:
+    # distributed pair dedup (same pair surfaces from multiple bands); the
+    # deduped pair set is bounded by the banding math (≪ corpus) — materialize
+    # it so the two verify joins don't re-execute the signature pipeline
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb")) \
+        .drop_columns(["_nb"]).materialize()
+    if cand.count() == 0:  # no candidates: empty blocks have no usable schema
         return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
                                              "doc_b": pa.array([], pa.int64()),
                                              "jaccard": pa.array([], pa.float64())}))
-    return ray.data.from_items(rows)
+
+    def _rename(col_from, col_to):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col_to if c == col_from else c
+                                     for c in t.column_names])
+        return f
+
+    docs_a = docs_ds.map_batches(_rename("doc_id", "doc_a"), batch_format="pyarrow") \
+        .map_batches(_rename("text", "text_a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(_rename("doc_id", "doc_b"), batch_format="pyarrow") \
+        .map_batches(_rename("text", "text_b"), batch_format="pyarrow")
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    da_schema = pa.schema([("doc_a", pa.int64()), ("text_a", pa.string())])
+    db_schema = pa.schema([("doc_b", pa.int64()), ("text_b", pa.string())])
+    j1_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("text_a", pa.string())])
+    joined = hash_join(cand, docs_a, "doc_a", num_buckets=16,
+                       left_schema=pair_schema, right_schema=da_schema)
+    joined = hash_join(joined, docs_b, "doc_b", num_buckets=16,
+                       left_schema=j1_schema, right_schema=db_schema)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        a_ids = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b_ids = t.column("doc_b").to_numpy(zero_copy_only=False)
+        ta = t.column("text_a").to_pylist()
+        tb = t.column("text_b").to_pylist()
+        jac = np.fromiter((exact_jaccard(x, y, shingle_k) for x, y in zip(ta, tb)),
+                          dtype=np.float64, count=len(ta))
+        keep = jac >= threshold
+        return pa.table({"doc_a": a_ids[keep].astype(np.int64),
+                         "doc_b": b_ids[keep].astype(np.int64),
+                         "jaccard": np.round(jac[keep], 6)})
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 def simhash_table(docs_ds):

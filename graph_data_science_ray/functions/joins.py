@@ -38,36 +38,68 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int):
 
 
 def hash_join(left_ds, right_ds, key: str, *, num_buckets: int = 64,
-              how: str = "inner"):
+              how: str = "inner", left_schema=None, right_schema=None):
     """Partitioned hash join of two Datasets on ``key``; returns a Dataset with
-    left columns + right columns (right's key column dropped)."""
+    left columns + right columns (right's key column dropped).
+
+    Pass ``left_schema``/``right_schema`` (pyarrow.Schema) when known: without
+    them ``Dataset.schema()`` partially EXECUTES each side's upstream pipeline
+    just to learn the columns — a silent recompute for expensive upstreams."""
     import pyarrow as _pa
 
-    left_cols = [c for c in left_ds.schema().names]
-    right_cols = [c for c in right_ds.schema().names if c != key]
+    def _pa_type(t):
+        # Ray's Dataset.schema() may report numpy/python types for pandas blocks
+        if isinstance(t, _pa.DataType):
+            return t
+        if t is str:
+            return _pa.string()
+        dt = np.dtype(t)
+        if dt.kind in ("U", "S", "O"):  # numpy strings/objects have no direct map
+            return _pa.string()
+        return _pa.from_numpy_dtype(dt)
+
+    def _names_types(ds, schema):
+        if schema is not None:
+            return list(schema.names), {n: schema.field(n).type for n in schema.names}
+        s = ds.schema()
+        return list(s.names), {n: _pa_type(t) for n, t in zip(s.names, s.types)}
+
+    left_cols, ltypes = _names_types(left_ds, left_schema)
+    rnames, rtypes = _names_types(right_ds, right_schema)
+    right_cols = [c for c in rnames if c != key]
     lt = _with_bucket(left_ds, key, num_buckets, 0)
     rt = _with_bucket(right_ds, key, num_buckets, 1)
 
-    # pad to a common schema for the union (nulls on the absent side)
-    def pad(cols_missing):
+    # pad to a common schema for the union — nulls must carry the REAL column
+    # type (an untyped null column breaks downstream schema unification)
+    def pad(cols_missing, types):
         def f(t: pa.Table) -> pa.Table:
             for c in cols_missing:
-                t = t.append_column(c, _pa.nulls(t.num_rows))
+                t = t.append_column(
+                    pa.field(c, types[c]), _pa.nulls(t.num_rows, type=types[c]))
             return t
         return f
 
-    lt = lt.map_batches(pad(right_cols), batch_format="pyarrow")
-    rt = rt.map_batches(pad([c for c in left_cols if c != key]),
+    lt = lt.map_batches(pad(right_cols, rtypes), batch_format="pyarrow")
+    rt = rt.map_batches(pad([c for c in left_cols if c != key], ltypes),
                         batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE_COL] == 0][[key] + [c for c in left_cols if c != key]]
-        r = g[g[_SIDE_COL] == 1][[key] + right_cols]
-        out = l.merge(r, on=key, how=how)
-        return out
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native per-bucket hash join: typed nulls survive (a pandas
+        # merge silently floats int columns that carry the pad nulls)
+        side = g.column(_SIDE_COL).to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        l = g.filter(lmask).select([key] + [c for c in left_cols if c != key])
+        r = g.filter(pa.compute.invert(lmask)).select([key] + right_cols)
+        out = l.join(r, keys=[key], join_type=arrow_how)
+        # column order is not guaranteed by Table.join — normalize it
+        return out.select([key] + [c for c in left_cols if c != key] + right_cols)
 
     return lt.union(rt).groupby(_BUCKET_COL).map_groups(
-        join_bucket, batch_format="pandas")
+        join_bucket, batch_format="pyarrow")
 
 
 def semi_join_filter(ds, key: str, key_set, *, anti: bool = False):
