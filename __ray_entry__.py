@@ -68,7 +68,7 @@ def _q_wcc_chain(sf_dir: str):
     from graph_data_science_ray import wcc
     from graph_data_science_ray.pipelines.tpch_graph import chain_graph
     g, custkeys = chain_graph(sf_dir)
-    res = wcc(g, execution="local")
+    res = wcc(g, execution="ray")
     comp = res.table.column("component").to_numpy(zero_copy_only=False)
     return pa.table({"vid": custkeys, "component": comp[custkeys]})
 
@@ -77,7 +77,7 @@ def _q_lpa_hierarchy(sf_dir: str):
     from graph_data_science_ray import label_propagation
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
     g, _, present = hierarchy_vids(sf_dir)
-    res = label_propagation(g, max_iterations=10, execution="local")
+    res = label_propagation(g, max_iterations=10, execution="ray")
     lab = res.table.column("label").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present, "label": lab[present]})
 
@@ -86,7 +86,7 @@ def _q_triangle_cosupply(sf_dir: str):
     from graph_data_science_ray import triangle_count
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
-    res = triangle_count(g, execution="local")
+    res = triangle_count(g, execution="ray")
     tri = res.table.column("triangles").to_numpy(zero_copy_only=False)
     present = np.unique(np.concatenate([g.src, g.dst]))
     return pa.table({"vid": present, "triangles": tri[present]})
@@ -104,7 +104,7 @@ def _q_lcc_cosupply(sf_dir: str):
     from graph_data_science_ray import local_clustering_coefficient
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
-    t, _avg = local_clustering_coefficient(g, execution="local")
+    t, _avg = local_clustering_coefficient(g, execution="ray")
     coeff = t.column("coefficient").to_numpy(zero_copy_only=False)
     present = np.unique(np.concatenate([g.src, g.dst]))
     return pa.table({"vid": present, "lcc": np.round(coeff[present], 6)})
@@ -247,7 +247,7 @@ def _q_sssp_hierarchy(sf_dir: str):
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
     g, cust_off = hierarchy_graph(sf_dir)
     source = int(np.min(g.src[g.src >= cust_off]))
-    res = shortest_paths(g, source, weighted=False, execution="local")
+    res = shortest_paths(g, source, weighted=False, execution="ray")
     d = res.table.column("distance").to_numpy(zero_copy_only=False)
     finite = np.isfinite(d)
     return pa.table({"vid": np.nonzero(finite)[0].astype(np.int64),
@@ -284,21 +284,25 @@ def _q_image_features(sf_dir: str):
 
 
 def _q_corpus_pagerank(sf_dir: str):
-    """Flagship: deterministic code corpus → graph projection → PageRank."""
+    """Flagship: deterministic code corpus → STREAMING graph projection
+    (canonical parquet layout; driver holds only the manifest) → distributed
+    PageRank over shard actors that load their own partitions."""
     import os
     import tempfile
 
     from graph_data_science_ray import pagerank
-    from graph_data_science_ray.pipelines.graph_build import build_graph_from_corpus
+    from graph_data_science_ray.pipelines.graph_build import (
+        build_graph_layout_from_corpus)
     from graph_data_science_ray.sources.corpus import generate_corpus
     d = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_q")
     if not os.path.exists(os.path.join(d, "_done")):
         generate_corpus(d, num_repos=200, files_per_repo=10, seed=42)
         open(os.path.join(d, "_done"), "w").write("1")
-    g = build_graph_from_corpus(d)
-    res = pagerank(g, tolerance=1e-7, max_iterations=20, weighted=True,
-                   execution="local")
-    return pa.table({"repo": pa.array([str(k) for k in g.keys]),
+    layout = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_layout_q")
+    pg = build_graph_layout_from_corpus(d, layout, num_partitions=4)
+    res = pagerank(pg, tolerance=1e-7, max_iterations=20, weighted=True,
+                   execution="ray")
+    return pa.table({"repo": pa.array([str(k) for k in pg.keys]),
                      "score": np.round(
                          res.table.column("score").to_numpy(zero_copy_only=False), 6)})
 

@@ -30,7 +30,12 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int):
             bucket = ((kv * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
                 % np.uint64(num_buckets)
         else:
-            bucket = np.asarray([hash(x) % num_buckets for x in k.to_pylist()])
+            # Python's str hash is salted PER PROCESS — workers would bucket
+            # the same key differently and silently drop matches; crc32 is
+            # deterministic across the cluster
+            from zlib import crc32
+            bucket = np.asarray([crc32(x.encode()) % num_buckets
+                                 for x in k.to_pylist()])
         t = t.append_column(_BUCKET_COL, pa.array(bucket.astype(np.int64)))
         return t.append_column(_SIDE_COL, pa.array(
             np.full(t.num_rows, side, dtype=np.int8)))

@@ -48,7 +48,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from ..state.graph import CsrShard, Graph
+from ..state.graph import (CsrShard, Graph, ParquetGraph, ShardSpec,
+                           load_shard_from_layout)
 
 _RUNNER_COLS = [
     ("send", np.float64),    # value pushed along out-edges next scatter
@@ -363,8 +364,7 @@ class _ScatterWorker:
 
     def _shard(self, p):
         if p not in self._cache:
-            import ray
-            self._cache[p] = ray.get(self.shard_refs[p])
+            self._cache[p] = _resolve_shard(self.shard_refs[p])
         return self._cache[p]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -422,8 +422,7 @@ class _ApplyWorker:
             msg_t.column("m_val").to_numpy(zero_copy_only=False))
         st["changed"][:] = 0
         if p not in self._cache:
-            import ray
-            self._cache[p] = ray.get(self.shard_refs[p])
+            self._cache[p] = _resolve_shard(self.shard_refs[p])
         comp.apply_part(vids, st, msg, self.superstep, self._cache[p])
         return _state_table(p, vids, st, comp)
 
@@ -448,6 +447,26 @@ class _MasterWorker:
 # --------------------------------------------------------------------------------
 # runners
 # --------------------------------------------------------------------------------
+
+def _shard_handles(graph, P, orientation):
+    """Per-partition shard handles: object-store refs for in-memory graphs
+    (put once, mapped zero-copy), ShardSpecs for parquet-backed graphs (each
+    worker loads its OWN partition from the layout — no driver materialization)."""
+    if isinstance(graph, ParquetGraph):
+        bounds = graph.bounds(P, orientation)
+        return [graph.shard_spec(p, bounds, orientation)
+                for p in range(len(bounds) - 1)]
+    return graph.shard_refs(P, orientation)
+
+
+def _resolve_shard(handle) -> CsrShard:
+    if isinstance(handle, CsrShard):
+        return handle
+    if isinstance(handle, ShardSpec):
+        return load_shard_from_layout(handle)
+    import ray
+    return ray.get(handle)
+
 
 def _ensure_comp_picklable(comp):
     """User extensions (SURVEY.md §2.7) may live in modules Ray workers cannot
@@ -494,10 +513,15 @@ def _result_from_parts(comp, parts_vids, parts_st, ran, converged, metrics):
 def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
                execution: str = "auto", num_partitions: Optional[int] = None,
                checkpoint_dir: Optional[str] = None, checkpoint_interval: int = 1,
-               resume: bool = False, local_threshold: int = 200_000) -> PregelResult:
+               resume: bool = False, local_threshold: int = 200_000,
+               result_dir: Optional[str] = None) -> PregelResult:
     """Run a vertex computation to convergence (BSP driver loop —
     ref Pregel.run, pregel/.../Pregel.java:158-199).  See the module docstring
-    for the three execution modes."""
+    for the three execution modes.
+
+    ``result_dir``: when set (actor mode), each shard actor writes its own
+    result partition parquet and the driver never materializes the result
+    table (PregelResult.table is None) — the write-mode scale path."""
     if execution == "auto":
         execution = "local" if graph.n <= local_threshold else "ray"
     if num_partitions is None:
@@ -514,7 +538,8 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
                           checkpoint_dir, checkpoint_interval, resume)
     if execution in ("ray", "ray-actors"):
         return _run_ray_actors(graph, comp, max_iterations, num_partitions,
-                               checkpoint_dir, checkpoint_interval, resume)
+                               checkpoint_dir, checkpoint_interval, resume,
+                               result_dir=result_dir)
     if execution == "ray-data":
         return _run_ray(graph, comp, max_iterations, num_partitions,
                         checkpoint_dir, checkpoint_interval, resume)
@@ -601,7 +626,7 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     _ensure_comp_picklable(comp)
 
     bounds = graph.bounds(P, comp.orientation)
-    shards_refs = graph.shard_refs(P, comp.orientation)
+    shards_refs = _shard_handles(graph, P, comp.orientation)
     nparts = len(bounds) - 1
     ckpt = CheckpointManager(ckpt_dir, comp) if ckpt_dir else None
 
@@ -612,13 +637,16 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
         # the checkpoint dir also holds manifest.json — read only the parts
         state_ds = ray.data.read_parquet(ckpt.part_files(latest)).materialize()
     else:
-        shards = graph.shards(P, comp.orientation)
-        tables = []
-        for p in range(nparts):
-            vids, st = _init_state_part(comp, p, int(bounds[p]), int(bounds[p + 1]),
-                                        shards[p])
-            tables.append(_state_table(p, vids, st, comp))
-        state_ds = ray.data.from_arrow(tables)
+        # per-partition init as remote tasks: each task resolves/loads only its
+        # own shard — the driver never holds edge data
+        @ray.remote
+        def _init_table(p, lo, hi, handle):
+            vids, st = _init_state_part(comp, p, lo, hi, _resolve_shard(handle))
+            return _state_table(p, vids, st, comp)
+
+        refs = [_init_table.remote(p, int(bounds[p]), int(bounds[p + 1]),
+                                   shards_refs[p]) for p in range(nparts)]
+        state_ds = ray.data.from_arrow_refs(refs)
         if ckpt:
             ckpt.write_ray(0, state_ds, {})
     metrics = []
@@ -680,10 +708,11 @@ class _ShardActor:
     across iterations (pregel/.../PartitionedComputer.java:96-123)."""
 
     def __init__(self, comp, shard_ref, p, bounds):
-        # a top-level ObjectRef arg is auto-resolved by Ray: the shard arrives as
-        # a zero-copy plasma view (numpy buffers mmapped, not copied)
-        import ray
-        self.shard = shard_ref if isinstance(shard_ref, CsrShard) else ray.get(shard_ref)
+        # in-memory graphs: a top-level ObjectRef arg is auto-resolved by Ray —
+        # the shard arrives as a zero-copy plasma view.  Parquet-backed graphs:
+        # a ShardSpec arrives and the actor loads its OWN partition files here
+        # (once per actor lifetime; restart = reload — retry-safe by design).
+        self.shard = _resolve_shard(shard_ref)
         self.comp = comp
         self.p = p
         self.bounds = np.asarray(bounds)
@@ -746,15 +775,24 @@ class _ShardActor:
             cols[out_name] = self.st[st_name]
         return pa.table(cols)
 
+    def write_result(self, d: str) -> str:
+        import os
 
-def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
+        import pyarrow.parquet as pq
+        path = os.path.join(d, f"part-{self.p:05d}.parquet")
+        pq.write_table(self.result_table(), path)
+        return path
+
+
+def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
+                    resume, result_dir=None):
     import ray
 
     from ..state.checkpoint import CheckpointManager
     _ensure_comp_picklable(comp)
 
     bounds = graph.bounds(P, comp.orientation)
-    shard_refs = graph.shard_refs(P, comp.orientation)
+    shard_refs = _shard_handles(graph, P, comp.orientation)
     nparts = len(bounds) - 1
     ckpt = CheckpointManager(ckpt_dir, comp) if ckpt_dir else None
 
@@ -827,10 +865,18 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, res
             converged = True
             converged_at = s0
     superstep = converged_at if converged_at is not None else it_limit
+    ran = _ran_iterations(comp, superstep, converged, max_iterations)
+    if result_dir is not None:
+        # actors write their own result partitions — nothing flows to the driver
+        import os
+        os.makedirs(result_dir, exist_ok=True)
+        ray.get([w.write_result.remote(result_dir) for w in workers])
+        for w in workers:
+            ray.kill(w)
+        return PregelResult(None, ran, converged, metrics)
     tbl = pa.concat_tables(ray.get([w.result_table.remote() for w in workers]))
     order = np.argsort(tbl.column("vid").to_numpy(zero_copy_only=False), kind="stable")
     tbl = tbl.take(pa.array(order))
-    ran = _ran_iterations(comp, superstep, converged, max_iterations)
     for w in workers:
         ray.kill(w)
     return PregelResult(tbl, ran, converged, metrics)

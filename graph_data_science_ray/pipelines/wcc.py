@@ -90,7 +90,8 @@ def wcc(graph: Graph, *, threshold: Optional[float] = None,
         seed_property: Optional[str] = None, consecutive_ids: bool = False,
         max_iterations: int = 100, execution: str = "auto",
         num_partitions: Optional[int] = None,
-        checkpoint_dir: Optional[str] = None, resume: bool = False) -> PregelResult:
+        checkpoint_dir: Optional[str] = None, resume: bool = False,
+        result_dir: Optional[str] = None) -> PregelResult:
     g = graph
     if threshold is not None:
         if not graph.is_weighted:
@@ -99,9 +100,15 @@ def wcc(graph: Graph, *, threshold: Optional[float] = None,
         keep = graph.weight > threshold
         g = Graph(graph.n, graph.src[keep], graph.dst[keep], graph.weight[keep],
                   keys=graph.keys, node_props=graph.node_props)
+    if result_dir is not None and (seed_property is not None or consecutive_ids):
+        raise ValueError("result_dir (write mode) does not compose with "
+                         "seed_property/consecutive_ids post-processing")
     res = run_pregel(g, WccComputation(), max_iterations=max_iterations,
                      execution=execution, num_partitions=num_partitions,
-                     checkpoint_dir=checkpoint_dir, resume=resume)
+                     checkpoint_dir=checkpoint_dir, resume=resume,
+                     result_dir=result_dir)
+    if res.table is None:
+        return res
     if seed_property is not None:
         # Seeded semantics (HugeAtomicDisjointSetStruct.setIdOf:131-149): the
         # component's id is the seed of its root (= min-vid member under

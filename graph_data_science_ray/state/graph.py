@@ -405,3 +405,171 @@ class Graph:
     def part_of(self, vids: np.ndarray, bounds: np.ndarray) -> np.ndarray:
         """Partition id per vid for given range boundaries."""
         return np.searchsorted(bounds, vids, side="right") - 1
+
+
+# --------------------------------------------------------------------------------
+# parquet-backed graph: driver holds ONLY the manifest; shard actors load their
+# own partition files (the 10^12-file scale path — round-1 VERDICT "Wrong #1")
+# --------------------------------------------------------------------------------
+
+@dataclass
+class ShardSpec:
+    """Picklable recipe for a worker to build its own CSR shard from the
+    canonical parquet layout — the actor-restart hook SURVEY §4 describes:
+    state lives on disk, so retry = reload."""
+
+    p: int
+    lo: int
+    hi: int
+    orientation: str
+    path: str
+    n: int
+    weighted: bool
+    layout_bounds: dict  # sub-layout name -> list of boundaries (from manifest)
+
+
+def _layout_subs(orientation: str):
+    if orientation == NATURAL:
+        return ["edges_fwd"]
+    if orientation == REVERSE:
+        return ["edges_rev"]
+    return ["edges_fwd", "edges_rev"]  # undirected = both directions materialized
+
+
+def load_shard_from_layout(spec: ShardSpec) -> CsrShard:
+    """Build the CSR shard for [lo, hi) by reading ONLY the overlapping part
+    files of the canonical layout (each part is src-sorted, so the overlap is a
+    binary-searched slice)."""
+    srcs, dsts, ws = [], [], []
+    for sub in _layout_subs(spec.orientation):
+        bounds = spec.layout_bounds[sub]
+        for q in range(len(bounds) - 1):
+            if bounds[q + 1] <= spec.lo or bounds[q] >= spec.hi:
+                continue
+            fp = os.path.join(spec.path, sub, f"part-{q:05d}.parquet")
+            if not os.path.exists(fp):  # empty partitions write no file
+                continue
+            t = pq.read_table(fp)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            a, b = np.searchsorted(s, [spec.lo, spec.hi])
+            if b <= a:
+                continue
+            srcs.append(s[a:b])
+            dsts.append(t.column("dst").to_numpy(zero_copy_only=False)[a:b])
+            if spec.weighted:
+                ws.append(t.column("weight").to_numpy(zero_copy_only=False)[a:b])
+    if not srcs:
+        e = np.empty(0, dtype=np.int64)
+        return build_csr_shard(spec.lo, spec.hi, e, e,
+                               np.empty(0) if spec.weighted else None,
+                               n_total=spec.n)
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    w = np.concatenate(ws) if spec.weighted else None
+    if len(srcs) > 1:  # undirected union of two sorted streams: re-sort by src
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        w = None if w is None else w[order]
+    return build_csr_shard(spec.lo, spec.hi, s, d, w, n_total=spec.n)
+
+
+def _merged_quantile_bounds(bounds_list, edge_counts, n, P) -> np.ndarray:
+    """Degree-balanced boundaries for a target partition count derived from the
+    stored layouts' boundaries alone (each stored interval holds ~equal edges, so
+    the boundary arrays are edge-count quantiles — merge the piecewise-linear
+    CDFs and invert).  No edge data is read."""
+    pts = np.unique(np.concatenate([np.asarray(b, dtype=np.float64)
+                                    for b in bounds_list]))
+    cdf = np.zeros(pts.shape[0])
+    for b, m in zip(bounds_list, edge_counts):
+        b = np.asarray(b, dtype=np.float64)
+        cdf += np.interp(pts, b, np.linspace(0.0, float(m), b.shape[0]))
+    total = cdf[-1] if cdf[-1] > 0 else 1.0
+    targets = total * np.arange(1, P) / P
+    cuts = np.interp(targets, cdf, pts)
+    bounds = np.unique(np.concatenate(
+        ([0], np.round(cuts).astype(np.int64), [n])))
+    return bounds.astype(np.int64)
+
+
+class ParquetGraph:
+    """Driver-side handle to a canonical parquet layout: holds the manifest and
+    partition boundaries only — NEVER the edge data.  Shard actors construct
+    their own CSR from the layout via :func:`load_shard_from_layout`.
+
+    The distributed analogue of GDS's CSRGraphStore handle
+    (core/loading/CSRGraphStore.java) where the "store" is the layout on
+    shared storage instead of shared heap."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n = int(self.manifest["n"])
+        self.name = self.manifest.get("name")
+        self._vt = None
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.manifest["num_edges"])
+
+    @property
+    def is_weighted(self) -> bool:
+        return bool(self.manifest["weighted"])
+
+    def average_degree(self) -> float:
+        return self.num_edges / self.n if self.n else 0.0
+
+    def bounds(self, num_partitions: int, orientation=NATURAL) -> np.ndarray:
+        subs = _layout_subs(orientation)
+        stored = {s: self.manifest["bounds"][s] for s in subs}
+        if len(subs) == 1 and len(stored[subs[0]]) - 1 == num_partitions:
+            return np.asarray(stored[subs[0]], dtype=np.int64)
+        m = self.num_edges
+        return _merged_quantile_bounds([stored[s] for s in subs],
+                                       [m] * len(subs), self.n, num_partitions)
+
+    def shard_spec(self, p: int, bounds: np.ndarray, orientation=NATURAL) -> ShardSpec:
+        subs = _layout_subs(orientation)
+        return ShardSpec(p=p, lo=int(bounds[p]), hi=int(bounds[p + 1]),
+                         orientation=orientation, path=self.path, n=self.n,
+                         weighted=self.is_weighted,
+                         layout_bounds={s: self.manifest["bounds"][s] for s in subs})
+
+    def shards(self, num_partitions: int, orientation=NATURAL) -> list:
+        """Driver-local shard build (small graphs / the local execution oracle)."""
+        bounds = self.bounds(num_partitions, orientation)
+        return [load_shard_from_layout(self.shard_spec(p, bounds, orientation))
+                for p in range(len(bounds) - 1)]
+
+    # -- vertices ---------------------------------------------------------------
+
+    def vertices_table(self) -> pa.Table:
+        """Driver-side vertex table read — use only when the vertex table is
+        known small (result naming joins); the scale path is vertices_ds()."""
+        if self._vt is None:
+            single = os.path.join(self.path, "vertices.parquet")
+            if os.path.exists(single):
+                self._vt = pq.read_table(single)
+            else:
+                d = os.path.join(self.path, "vertices")
+                t = pa.concat_tables(
+                    [pq.read_table(os.path.join(d, f))
+                     for f in sorted(os.listdir(d)) if f.endswith(".parquet")])
+                order = np.argsort(t.column("vid").to_numpy(zero_copy_only=False),
+                                   kind="stable")
+                self._vt = t.take(pa.array(order))
+        return self._vt
+
+    @property
+    def keys(self):
+        vt = self.vertices_table()
+        return (np.asarray(vt.column("key").to_pylist(), dtype=object)
+                if "key" in vt.column_names else None)
+
+    def vertices_ds(self):
+        import ray.data
+        single = os.path.join(self.path, "vertices.parquet")
+        if os.path.exists(single):
+            return ray.data.read_parquet(single)
+        return ray.data.read_parquet(os.path.join(self.path, "vertices"))

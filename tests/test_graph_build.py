@@ -74,3 +74,92 @@ def test_algorithms_on_built_graph(corpus_dir, tmp_path):
     from graph_data_science_ray import Graph
     g2 = Graph.load(str(tmp_path / "g"))
     assert np.array_equal(g2.src, g.src) and np.array_equal(g2.dst, g.dst)
+
+
+class TestStreamingLayoutBuild:
+    """Round-2: fully streaming corpus → canonical layout (driver holds only
+    the manifest), parquet-backed execution for all orientations."""
+
+    def _corpus(self, tmp_path):
+        import os
+
+        from graph_data_science_ray.sources.corpus import generate_corpus
+        d = str(tmp_path / "corpus")
+        generate_corpus(d, num_repos=120, files_per_repo=6, seed=7)
+        return d
+
+    def test_layout_matches_driver_build_all_orientations(self, tmp_path):
+        import numpy as np
+
+        from graph_data_science_ray import (label_propagation, pagerank, wcc)
+        from graph_data_science_ray.pipelines.graph_build import (
+            build_graph_from_corpus, build_graph_layout_from_corpus)
+        d = self._corpus(tmp_path)
+        g = build_graph_from_corpus(d)
+        pg = build_graph_layout_from_corpus(d, str(tmp_path / "layout"),
+                                            num_partitions=3)
+        assert (pg.n, pg.num_edges) == (g.n, g.num_edges)
+        # natural orientation: PageRank
+        s_old = pagerank(g, tolerance=1e-7, weighted=True, execution="local") \
+            .table.column("score").to_numpy(zero_copy_only=False)
+        s_new = pagerank(pg, tolerance=1e-7, weighted=True, execution="ray") \
+            .table.column("score").to_numpy(zero_copy_only=False)
+        np.testing.assert_allclose(s_new, s_old, atol=1e-9)
+        # undirected orientation (merged fwd+rev slices): WCC exact
+        c_old = wcc(g, execution="local").table.column("component") \
+            .to_numpy(zero_copy_only=False)
+        c_new = wcc(pg, execution="ray").table.column("component") \
+            .to_numpy(zero_copy_only=False)
+        assert np.array_equal(c_new, c_old)
+        # reverse orientation: LPA converged labels
+        l_old = label_propagation(g, execution="local", num_partitions=1) \
+            .table.column("label").to_numpy(zero_copy_only=False)
+        l_new = label_propagation(pg, execution="ray", num_partitions=1) \
+            .table.column("label").to_numpy(zero_copy_only=False)
+        assert np.array_equal(l_new, l_old)
+
+    def test_hash_id_join_equals_broadcast(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from graph_data_science_ray.pipelines.graph_build import (
+            build_graph_layout_from_corpus)
+        d = self._corpus(tmp_path)
+        pb = build_graph_layout_from_corpus(d, str(tmp_path / "lb"),
+                                            num_partitions=2, id_join="broadcast")
+        ph = build_graph_layout_from_corpus(d, str(tmp_path / "lh"),
+                                            num_partitions=2, id_join="hash")
+        assert (pb.n, pb.num_edges) == (ph.n, ph.num_edges)
+        # identical canonical edge tables
+        def edges(pg):
+            sh = pg.shards(1, "natural")[0]
+            return sh.indptr, sh.indices, sh.weights
+        for x, y in zip(edges(pb), edges(ph)):
+            np.testing.assert_array_equal(x, y)
+
+    def test_result_dir_write_mode(self, tmp_path):
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from graph_data_science_ray import pagerank
+        from graph_data_science_ray.pipelines.graph_build import (
+            build_graph_layout_from_corpus)
+        d = self._corpus(tmp_path)
+        pg = build_graph_layout_from_corpus(d, str(tmp_path / "layout2"),
+                                            num_partitions=3)
+        rd = str(tmp_path / "result")
+        res = pagerank(pg, tolerance=1e-7, weighted=True, execution="ray",
+                       result_dir=rd)
+        assert res.table is None  # nothing materialized on the driver
+        files = sorted(f for f in os.listdir(rd) if f.endswith(".parquet"))
+        assert files
+        import pyarrow as pa
+        t = pa.concat_tables([pq.read_table(os.path.join(rd, f)) for f in files])
+        assert t.num_rows == pg.n
+        ref = pagerank(pg, tolerance=1e-7, weighted=True, execution="ray")
+        got = t.to_pandas().sort_values("vid")["score"].to_numpy()
+        np.testing.assert_allclose(
+            got, ref.table.column("score").to_numpy(zero_copy_only=False),
+            atol=1e-12)
