@@ -92,6 +92,46 @@ def _q_triangle_cosupply(sf_dir: str):
     return pa.table({"vid": present, "triangles": tri[present]})
 
 
+def _q_louvain_hierarchy(sf_dir: str):
+    """Louvain communities on the undirected-materialized hierarchy graph
+    (trajectory-deterministic sequential schedule; converged structure
+    pytest-verified vs GDS fixtures, no SQL oracle — the metric it optimizes is
+    oracle-checked by modularity_regions)."""
+    from graph_data_science_ray import Graph, louvain
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    und = Graph.from_edges(g.src, g.dst, n=g.n, orientation="undirected",
+                           aggregation="single")
+    res = louvain(und)
+    comm = res.table.column("community").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "community": comm[present]})
+
+
+def _q_modularity_regions(sf_dir: str):
+    """Modularity of the WCC partition (= regions) of the hierarchy graph —
+    fixed-partition modularity is exactly SQL-expressible, giving the oracle
+    for the metric Louvain optimizes."""
+    from graph_data_science_ray import modularity_of, wcc
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    res = wcc(g, execution="ray")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    q = modularity_of(g, comp)
+    return pa.table({"modularity": pa.array([round(q, 6)], pa.float64())})
+
+
+def _q_node_similarity_suppliers(sf_dir: str):
+    """NodeSimilarity (Jaccard, all qualifying pairs) over the supplier→part
+    bipartite graph from lineitem — suppliers similar by shared part sets."""
+    from graph_data_science_ray.functions.nodesim import node_similarity
+    from graph_data_science_ray.pipelines.tpch_graph import supplier_part_graph
+    g = supplier_part_graph(sf_dir)
+    t = node_similarity(g, top_k=0)
+    return pa.table({"node1": t.column("node1"), "node2": t.column("node2"),
+                     "similarity": np.round(
+                         t.column("similarity").to_numpy(zero_copy_only=False), 6)})
+
+
 def _q_degree_cosupply(sf_dir: str):
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
@@ -254,6 +294,23 @@ def _q_sssp_hierarchy(sf_dir: str):
                      "distance": d[finite]})
 
 
+def _q_dijkstra_path_hierarchy(sf_dir: str):
+    """Source-target shortest path WITH reconstruction: lowest-vid customer →
+    its region (depth-2).  The path rows (seq, vid, agg_cost) are the expanded
+    node_ids/costs arrays of the gds.shortestPath.dijkstra result row."""
+    from graph_data_science_ray.pipelines.paths import dijkstra
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    g, cust_off = hierarchy_graph(sf_dir)
+    source = int(np.min(g.src[g.src >= cust_off]))
+    t = dijkstra(g, source, weighted=False, execution="ray")
+    rows = [r for r in t.to_pylist() if r["total_cost"] == 2.0]
+    assert len(rows) == 1
+    path, costs = rows[0]["node_ids"], rows[0]["costs"]
+    return pa.table({"seq": np.arange(len(path), dtype=np.int64),
+                     "vid": np.asarray(path, dtype=np.int64),
+                     "agg_cost": np.asarray(costs, dtype=np.float64)})
+
+
 def _q_corpus_sha(sf_dir: str):
     """Per-row sha256(content) invariant over the deterministic corpus — the
     north-rule row conformance surface (pytest cross-checks it against an
@@ -330,6 +387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_chain": _q_wcc_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
         "triangle_cosupply": _q_triangle_cosupply,
+        "louvain_hierarchy": _q_louvain_hierarchy,
+        "node_similarity_suppliers": _q_node_similarity_suppliers,
+        "modularity_regions": _q_modularity_regions,
         "lcc_cosupply": _q_lcc_cosupply,
         "degree_cosupply": _q_degree_cosupply,
         "corpus_pagerank": _q_corpus_pagerank,
@@ -349,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_minhash": _q_near_dup_minhash,
         "corpus_sha256": _q_corpus_sha,
         "sssp_hierarchy": _q_sssp_hierarchy,
+        "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
         "simhash_docs": _q_simhash,
         "image_features": _q_image_features,
     }
@@ -442,6 +503,41 @@ SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
        0.0::DOUBLE AS distance FROM c
 UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
 UNION ALL SELECT n_regionkey, 2.0
+          FROM c JOIN nation ON n_nationkey = c.c_nationkey
+""",
+        "node_similarity_suppliers": """
+WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, count(*) AS d FROM ps GROUP BY s),
+inter AS (SELECT a.s AS n1, b.s AS n2, count(*) AS i
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+SELECT n1 AS node1, n2 AS node2,
+       round(i * 1.0 / (da.d + db.d - i), 6) AS similarity
+FROM inter JOIN deg da ON da.s = n1 JOIN deg db ON db.s = n2
+WHERE i * 1.0 / (da.d + db.d - i) >= 1e-42
+""",
+        "modularity_regions": """
+WITH k AS (
+  SELECT n_regionkey AS reg, count(*)::DOUBLE AS kw FROM nation GROUP BY 1
+  UNION ALL
+  SELECT n_regionkey, count(*) FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey GROUP BY 1
+  UNION ALL
+  SELECT n_regionkey, count(*) FROM customer
+    JOIN nation ON n_nationkey = c_nationkey GROUP BY 1),
+regk AS (SELECT reg, SUM(kw) AS kw FROM k GROUP BY reg),
+tot AS (SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM supplier)
+             + (SELECT count(*) FROM customer) AS w)
+SELECT round(1.0 - (SELECT SUM(kw * kw) FROM regk) / (w * w), 6) AS modularity
+FROM tot
+""",
+        "dijkstra_path_hierarchy": """
+WITH c AS (SELECT c_custkey, c_nationkey FROM customer
+           WHERE c_custkey = (SELECT min(c_custkey) FROM customer))
+SELECT 0::BIGINT AS seq,
+       31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
+       0.0::DOUBLE AS agg_cost FROM c
+UNION ALL SELECT 1, 5 + c_nationkey, 1.0 FROM c
+UNION ALL SELECT 2, n_regionkey, 2.0
           FROM c JOIN nation ON n_nationkey = c.c_nationkey
 """,
         "dedup_exact_documents": """

@@ -44,9 +44,10 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
 
-    from graph_data_science_ray import (label_propagation, pagerank,
-                                        triangle_count, wcc)
-    from graph_data_science_ray.pipelines.graph_build import build_graph_from_corpus
+    from graph_data_science_ray import (Graph, label_propagation, louvain,
+                                        pagerank, triangle_count, wcc)
+    from graph_data_science_ray.pipelines.graph_build import (
+        build_graph_layout_from_corpus)
     from graph_data_science_ray.sources.corpus import generate_corpus
 
     P = max(2, min(NUM_CPUS, 32))
@@ -63,9 +64,12 @@ def run_bench() -> dict:
     import pyarrow.dataset as pads
     pads.dataset(cdir, format="parquet").count_rows()
 
-    # 1. corpus → canonical graph projection (read → extract → id join → dedup)
+    # 1. corpus → canonical graph projection, FULLY STREAMING: the driver holds
+    #    only the manifest; layout part files are written by the groups
     t0 = time.perf_counter()
-    g = build_graph_from_corpus(cdir)
+    g = build_graph_layout_from_corpus(
+        cdir, f"/tmp/gds_ray_bench_layout_{CORPUS_REPOS}x{CORPUS_FILES}",
+        num_partitions=max(4, min(NUM_CPUS, 16)))
     timings["graph_build"] = time.perf_counter() - t0
     extra["corpus_files"] = CORPUS_REPOS * CORPUS_FILES
     extra["graph_nodes"] = g.n
@@ -94,10 +98,21 @@ def run_bench() -> dict:
     label_propagation(g, max_iterations=10, execution="ray")
     timings["lpa_corpus"] = time.perf_counter() - t0
 
+    # triangle count + louvain consume the driver-array graph (their kernels
+    # operate on canonical pair arrays) — loaded from the layout, untimed
+    gd = Graph.load(g.path)
     t0 = time.perf_counter()
-    tc = triangle_count(g, execution="ray", num_partitions=min(NUM_CPUS, 16))
+    tc = triangle_count(gd, execution="ray", num_partitions=min(NUM_CPUS, 16))
     timings["triangles_corpus"] = time.perf_counter() - t0
     extra["global_triangles"] = tc.global_count
+
+    gu = Graph.from_edges(gd.src, gd.dst, gd.weight, n=gd.n,
+                          orientation="undirected", aggregation="sum")
+    t0 = time.perf_counter()
+    lv = louvain(gu)
+    timings["louvain_corpus"] = time.perf_counter() - t0
+    extra["louvain_levels"] = lv.ran_levels
+    extra["louvain_modularity"] = round(lv.modularity, 4)
 
     # 4. synthetic power-law edge table at bench scale (the north-star headline:
     #    PageRank edges/sec to 1e-6 convergence) — vectorized generator, no I/O;
@@ -119,7 +134,8 @@ def run_bench() -> dict:
     # 5. TPC-H-derived graph + data-pipeline queries at $GRAFT_SF_DIR
     import __ray_entry__ as em
     for name in ["pagerank_hierarchy", "wcc_chain", "dedup_exact_documents",
-                 "near_dup_minhash", "knn_cosine", "events_hourly"]:
+                 "near_dup_minhash", "knn_cosine", "events_hourly",
+                 "node_similarity_suppliers"]:
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(SF_DIR)
@@ -168,7 +184,8 @@ def run_scaling_suite() -> dict:
 
     from graph_data_science_ray import pagerank, triangle_count, wcc
     from graph_data_science_ray.functions.dedup import minhash_near_dups
-    from graph_data_science_ray.pipelines.graph_build import build_graph_from_corpus
+    from graph_data_science_ray.pipelines.graph_build import (
+        build_graph_layout_from_corpus)
     from graph_data_science_ray.sources.corpus import generate_corpus
     from graph_data_science_ray.sources.generator import random_graph
 
@@ -213,7 +230,9 @@ def run_scaling_suite() -> dict:
         open(os.path.join(cdir, "_done"), "w").write("1")
     import pyarrow.dataset as pads
     pads.dataset(cdir, format="parquet").count_rows()
-    best_of("graph_build_100k_files", lambda: build_graph_from_corpus(cdir))
+    best_of("graph_build_100k_files", lambda: build_graph_layout_from_corpus(
+        cdir, f"/tmp/gds_scaling_layout_{NUM_CPUS}",
+        num_partitions=max(4, min(NUM_CPUS, 16))))
 
     ray.shutdown()
     total = sum(timings.values())

@@ -11,20 +11,23 @@ per-operator reference citations.
 
 from .pipelines.degree import degree_centrality
 from .pipelines.labelprop import label_propagation
+from .functions.nodesim import node_similarity
+from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
-from .pipelines.paths import shortest_paths
+from .pipelines.paths import dijkstra, shortest_paths
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
 from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
-from .state.graph import Graph
+from .state.graph import Graph, ParquetGraph
 
 __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
     "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
-    "shortest_paths",
+    "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
+    "node_similarity", "dijkstra",
     "degree_distribution", "filter_subgraph",
 ]
 

@@ -61,13 +61,12 @@ class EdgeExtractor:
                     src.append(r)
                     dst.append(d)
         # per-batch pre-aggregation: collapse duplicate (src, dst) pairs early so the
-        # groupby shuffle moves one row per distinct pair per batch
+        # groupby shuffle moves one row per distinct pair per batch (Arrow-native
+        # group_by — no pandas round-trip inside the Arrow stage)
         if src:
             arr = pa.table({"src_key": src, "dst_key": dst})
-            df = arr.to_pandas().groupby(["src_key", "dst_key"], sort=False)\
-                .size().reset_index(name="weight")
-            out = pa.Table.from_pandas(df, preserve_index=False)
-            out = out.replace_schema_metadata(None)
+            out = arr.group_by(["src_key", "dst_key"]).aggregate([([], "count_all")])
+            out = out.rename_columns(["src_key", "dst_key", "weight"])
         else:
             out = pa.table({"src_key": pa.array([], pa.string()),
                             "dst_key": pa.array([], pa.string()),
@@ -226,7 +225,13 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     bounds_rev = _sample_quantile_bounds(agg, "dst", n, num_partitions)
     import json as _json
     import os as _os
+    import shutil as _shutil
     _os.makedirs(out_dir, exist_ok=True)
+    # a rebuild must never append to an old layout (stale parts = duplicates)
+    for sub in ("edges_fwd", "edges_rev", "vertices"):
+        d = _os.path.join(out_dir, sub)
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
     m_fwd = _write_layout(agg, out_dir, "edges_fwd", "src", "dst", bounds_fwd)
     _write_layout(agg, out_dir, "edges_rev", "dst", "src", bounds_rev)
     vdir = _os.path.join(out_dir, "vertices")

@@ -48,6 +48,7 @@ class LabelPropagationComputation(Computation):
         self.seeds = seeds              # np.ndarray[int64]; int64 min sentinel = missing
         self.node_weights = node_weights
         self._pull = {}                 # (lo, hi) -> local pull CSR, built once
+        self._dirty = {}                # (lo, hi) -> carry-over dirty frontier
 
     def init_part(self, vids, shard, st):
         if self.seeds is not None:
@@ -67,7 +68,9 @@ class LabelPropagationComputation(Computation):
     def _pull_csr(self, shard):
         """Local pull structure: for each local node v, its local out-neighbors u
         (u, v both in [lo, hi)) with edge weights — derived once from the reverse
-        shard (which stores, per local u, the receivers v of u's label)."""
+        shard (which stores, per local u, the receivers v of u's label).  Also
+        builds the inverted "readers" CSR (for each u, the local v that read
+        u's label) used by the dirty-frontier sweep."""
         key = (shard.lo, shard.hi)
         if key not in self._pull:
             lo, hi = shard.lo, shard.hi
@@ -82,18 +85,55 @@ class LabelPropagationComputation(Computation):
             order = np.argsort(v_local, kind="stable")
             v_sorted, u_sorted, w_sorted = v_local[order], u_loc[order], w[order]
             indptr = np.searchsorted(v_sorted, np.arange(shard.num_nodes + 1))
-            self._pull[key] = (indptr, u_sorted, w_sorted)
+            r_order = np.argsort(u_sorted, kind="stable")
+            r_u = u_sorted[r_order]
+            r_v = v_sorted[r_order]
+            r_indptr = np.searchsorted(r_u, np.arange(shard.num_nodes + 1))
+            self._pull[key] = (indptr, u_sorted, w_sorted, r_indptr, r_v)
         return self._pull[key]
 
     def apply_part(self, vids, st, msg, superstep, shard):
+        """Sequential ascending sweep with EXACT-trajectory dirty skipping:
+        a node is re-tallied only when an input could have changed — any remote
+        message arrived, or a local out-neighbor changed label in the previous
+        sweep (dirty-carry) or EARLIER IN THIS SWEEP at a smaller index (heap
+        of forward marks — preserving the in-place asynchronous order).  A
+        skipped node's tally inputs are bit-identical to its last tally, so its
+        argmax cannot differ — the trajectory equals the full GDS sweep at any
+        partition count."""
+        import heapq
         nloc = vids.shape[0]
-        indptr, u_sorted, w_sorted = self._pull_csr(shard)
+        indptr, u_sorted, w_sorted, r_indptr, r_v = self._pull_csr(shard)
         # remote votes: msg sorted by (local, key) — slice per node
         m_indptr = np.searchsorted(msg.local, np.arange(nloc + 1))
         labels = st["label"]
         nodew = st["nodew"]
         st["changed"][:] = 0
-        for v in range(nloc):  # sequential sweep — asynchronous in-place semantics
+        key = (shard.lo, shard.hi)
+        carry = self._dirty.get(key)
+        if carry is None or superstep <= 1:
+            todo = np.ones(nloc, dtype=bool)
+        else:
+            todo = carry
+            todo |= np.diff(m_indptr) > 0  # remote votes may differ
+        dirty_next = np.zeros(nloc, dtype=bool)
+        pending = np.nonzero(todo)[0]
+        heap: list = []          # forward in-sweep marks (readers > current v)
+        in_heap = np.zeros(nloc, dtype=bool)
+        processed = np.zeros(nloc, dtype=bool)
+        pi = 0
+        while True:
+            if heap and (pi >= pending.shape[0] or heap[0] <= pending[pi]):
+                v = heapq.heappop(heap)
+                in_heap[v] = False
+            elif pi < pending.shape[0]:
+                v = int(pending[pi])
+                pi += 1
+            else:
+                break
+            if processed[v]:
+                continue
+            processed[v] = True
             a, b = indptr[v], indptr[v + 1]
             ma, mb = m_indptr[v], m_indptr[v + 1]
             if a == b and ma == mb:
@@ -109,6 +149,13 @@ class LabelPropagationComputation(Computation):
             if new != labels[v]:
                 labels[v] = new
                 st["changed"][v] = 1
+                readers = r_v[r_indptr[v]:r_indptr[v + 1]]
+                dirty_next[readers] = True
+                for w_ in readers[readers > v]:  # ahead of the sweep: this pass
+                    if not in_heap[w_] and not processed[w_]:
+                        heapq.heappush(heap, int(w_))
+                        in_heap[w_] = True
+        self._dirty[key] = dirty_next
         st["skey"][:] = labels
         st["send"][:] = nodew
         st["sending"][:] = 1

@@ -1,0 +1,332 @@
+"""Louvain community detection (multi-level modularity optimization).
+
+Reference semantics (conformance-critical):
+  * Louvain driver: ≤ maxLevels (10) levels; per level run ModularityOptimization,
+    build the dendrogram, aggregate communities into a summarized graph
+    (Aggregation.SUM, intra-community edges become self-loops), seed the next
+    level with the community ids; stop when the node count stops shrinking,
+    hits 1, or modularity gain ≤ tolerance —
+    algo/src/main/java/org/neo4j/gds/louvain/Louvain.java:84-118,234-243.
+  * ModularityOptimization: K1-coloring (≤5 iterations) schedules moves so no
+    two adjacent nodes move in the same batch; within a color batch every node
+    picks the neighbor community with max gain
+    ``(eiy - eix)/m + (2·k_i·ax − 2·k_i·ay)/(2m)²`` (exact ties → smaller
+    community id, zero gains never move); community weights are updated only
+    AFTER each color batch — algo/.../beta/modularity/ModularityOptimization.java:117-158,
+    ModularityOptimizationTask.java:77-140.
+  * Modularity = Σ_i infl_i/(2m) − Σ_c W_c²/(2m)², m = Σ_i k_i / 2 —
+    ModularityOptimization.calculateModularity (:346-371).
+  * Seeding: seed values densified in first-seen node order; results map back
+    to the original seed values — ModularityOptimization.initSeeding (:176-207).
+
+The color-batched formulation is what makes the local moving *deterministic at
+any concurrency* (GDS applies weight updates post-batch, so a batch is a pure
+function of the pre-batch state): each color batch here is one vectorized NumPy
+pass — the same data-parallel shape a distributed map_batches level would use.
+The only inherently sequential piece is the greedy K1 coloring sweep, kept
+faithful to the concurrency=1 trajectory for fixture conformance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.graph import Graph
+
+TOLERANCE_DEFAULT = 0.0001  # ref core ProcedureConstants.TOLERANCE_DEFAULT
+
+
+def _csr(n, src, dst, w):
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    ww = w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s, minlength=n), out=indptr[1:])
+    return indptr, d, ww
+
+
+def k1_coloring(n: int, indptr: np.ndarray, indices: np.ndarray,
+                max_iterations: int = 5) -> np.ndarray:
+    """Greedy K1 coloring, faithful to the reference's concurrency=1 trajectory
+    (sequential in-place sweep + validation pass) —
+    ref algo/.../beta/k1coloring/K1Coloring.java:compute, ColoringStep.java:56-80,
+    ValidationStep.java:53-73."""
+    colors = np.full(n, 1000, dtype=np.int64)  # INITIAL_FORBIDDEN_COLORS
+    to_color = np.ones(n, dtype=bool)
+    it = 0
+    while it < max_iterations and to_color.any():
+        for v in np.nonzero(to_color)[0]:
+            nb = indices[indptr[v]:indptr[v + 1]]
+            nbc = colors[nb[nb != v]]
+            used = np.unique(nbc)
+            c = 0
+            for u in used:  # mex over the sorted forbidden set
+                if u == c:
+                    c += 1
+                elif u > c:
+                    break
+            colors[v] = c
+        nxt = np.zeros(n, dtype=bool)
+        for v in np.nonzero(to_color)[0]:
+            for t in indices[indptr[v]:indptr[v + 1]]:
+                if t != v and colors[v] == colors[t] and not nxt[t]:
+                    nxt[v] = True
+                    break
+        to_color = nxt
+        it += 1
+    return colors
+
+
+def _dense_seed_remap(seeds: np.ndarray):
+    """Seed values → dense internal ids in FIRST-SEEN node order; returns
+    (internal, reverse_map) — ref ModularityOptimization.initSeeding:176-207."""
+    uq, first_idx, inv = np.unique(seeds, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank_of_uq = np.empty(uq.shape[0], dtype=np.int64)
+    rank_of_uq[order] = np.arange(uq.shape[0])
+    return rank_of_uq[inv], uq[order]
+
+
+@dataclass
+class ModularityOptimizationResult:
+    communities: np.ndarray  # per-node community id (seed-space if seeded)
+    modularity: float
+    ran_iterations: int
+    did_converge: bool
+
+
+def modularity_optimization(n, src, dst, weight=None, *, seeds=None,
+                            max_iterations: int = 10,
+                            tolerance: float = TOLERANCE_DEFAULT,
+                            k1_iterations: int = 5) -> ModularityOptimizationResult:
+    """One level of parallel local moving over the STORED topology (run on an
+    undirected-materialized graph for undirected semantics, like the reference's
+    doubled fixture graphs)."""
+    w = (np.ones(src.shape[0]) if weight is None
+         else np.asarray(weight, dtype=np.float64))
+    indptr, indices, ew = _csr(n, np.asarray(src, dtype=np.int64),
+                               np.asarray(dst, dtype=np.int64), w)
+    deg = np.diff(indptr)
+    # cumulativeNodeWeights: sum of out-edge weights (InitTask:279-291)
+    csw = np.concatenate(([0.0], np.cumsum(ew)))
+    k = csw[indptr[1:]] - csw[indptr[:-1]]
+    total_w = k.sum() / 2.0  # totalNodeWeight (init:229-231)
+    if total_w <= 0:
+        return ModularityOptimizationResult(
+            seeds.copy() if seeds is not None else np.arange(n, dtype=np.int64),
+            -1.0, 0, True)
+
+    if seeds is not None:
+        comm, rev_map = _dense_seed_remap(np.asarray(seeds, dtype=np.int64))
+    else:
+        comm, rev_map = np.arange(n, dtype=np.int64), None
+    comm_w = np.bincount(comm, weights=k, minlength=n)
+
+    colors = k1_coloring(n, indptr, indices, k1_iterations)
+    color_values = np.unique(colors)
+
+    e_src_all = np.repeat(np.arange(n, dtype=np.int64), deg)
+    modularity = -1.0
+    did_converge = False
+    ran = 0
+    for it in range(max_iterations):
+        ran = it + 1
+        node_infl = np.zeros(n)
+        for color in color_values:
+            batch = np.nonzero(colors == color)[0]
+            batch = batch[deg[batch] > 0]
+            if batch.shape[0] == 0:
+                continue
+            starts = indptr[batch]
+            lens = deg[batch]
+            total = int(lens.sum())
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gather = (np.arange(total, dtype=np.int64)
+                      + np.repeat(starts - offs, lens))
+            e_node = np.repeat(batch, lens)
+            e_t = indices[gather]
+            e_w = ew[gather]
+            tc = comm[e_t]
+            self_mask = e_t == e_node
+            selfw = np.zeros(n)
+            if self_mask.any():
+                np.add.at(selfw, e_node[self_mask], e_w[self_mask])
+            # per (node, target-community) influence sums
+            order = np.lexsort((tc, e_node))
+            en, ec, ewo = e_node[order], tc[order], e_w[order]
+            run = np.empty(en.shape[0], dtype=bool)
+            run[0] = True
+            run[1:] = (en[1:] != en[:-1]) | (ec[1:] != ec[:-1])
+            gstarts = np.nonzero(run)[0]
+            g_node = en[gstarts]
+            g_comm = ec[gstarts]
+            g_w = np.add.reduceat(ewo, gstarts)
+            cur_g = comm[g_node]
+            # per-node current-community influence (eix + selfweight)
+            cur_mask = g_comm == cur_g
+            infl_cur = np.zeros(n)
+            infl_cur[g_node[cur_mask]] = g_w[cur_mask]
+            eix_n = infl_cur - selfw
+            ax_n = comm_w[comm] - k  # per node (only batch entries used)
+            # candidate gains (ModularityOptimizationTask:116-140)
+            cand = ~cur_mask
+            c_node = g_node[cand]
+            c_comm = g_comm[cand]
+            eiy = g_w[cand]
+            ki = k[c_node]
+            gain = ((eiy - eix_n[c_node]) / total_w
+                    + (2.0 * ki * ax_n[c_node] - 2.0 * ki * comm_w[c_comm])
+                    / (2.0 * total_w) ** 2)
+            pos = gain > 0.0
+            c_node, c_comm, eiy, gain = c_node[pos], c_comm[pos], eiy[pos], gain[pos]
+            nxt = comm.copy()
+            if c_node.shape[0]:
+                # per node: max gain, ties → smaller community id
+                o2 = np.lexsort((c_comm, -gain, c_node))
+                cn, cc = c_node[o2], c_comm[o2]
+                first = np.empty(cn.shape[0], dtype=bool)
+                first[0] = True
+                first[1:] = cn[1:] != cn[:-1]
+                win_node = cn[first]
+                win_comm = cc[first]
+                win_eiy = eiy[o2][first]
+                nxt[win_node] = win_comm
+                node_infl[win_node] = win_eiy
+                stay = np.setdiff1d(batch, win_node, assume_unique=True)
+            else:
+                stay = batch
+            node_infl[stay] = infl_cur[stay]
+            moved = nxt[batch] != comm[batch]
+            if moved.any():
+                mb = batch[moved]
+                np.add.at(comm_w, comm[mb], -k[mb])
+                np.add.at(comm_w, nxt[mb], k[mb])
+                comm[mb] = nxt[mb]
+        new_mod = (node_infl.sum() / (2.0 * total_w)
+                   - (comm_w ** 2).sum() / (2.0 * total_w) ** 2)
+        converged_now = not (new_mod > modularity
+                             and abs(new_mod - modularity) > tolerance)
+        modularity = new_mod
+        if converged_now:
+            did_converge = True
+            break
+    out = rev_map[comm] if rev_map is not None else comm
+    return ModularityOptimizationResult(out, float(modularity), ran, did_converge)
+
+
+def modularity_of(graph: Graph, communities: np.ndarray) -> float:
+    """Modularity of a FIXED partition over the stored topology — the
+    ``gds.alpha.modularity``-style metric, same formula as
+    ModularityOptimization.calculateModularity (SQL-expressible oracle)."""
+    w = (np.ones(graph.num_edges) if graph.weight is None else graph.weight)
+    comm = np.asarray(communities, dtype=np.int64)
+    k = np.bincount(graph.src, weights=w, minlength=graph.n)
+    total_w = k.sum() / 2.0
+    if total_w <= 0:
+        return 0.0
+    intra = comm[graph.src] == comm[graph.dst]
+    ex = float(w[intra].sum())
+    cw = np.bincount(comm, weights=k)
+    ax = float((cw ** 2).sum())
+    return ex / (2.0 * total_w) - ax / (2.0 * total_w) ** 2
+
+
+@dataclass
+class LouvainResult:
+    table: pa.Table                  # (vid, community)
+    modularities: list
+    ran_levels: int
+    dendrograms: list = field(default_factory=list)  # per-level np arrays (root space)
+
+    @property
+    def modularity(self) -> float:
+        return self.modularities[-1] if self.modularities else -1.0
+
+    def to_pandas(self):
+        return self.table.to_pandas()
+
+
+def louvain(graph: Graph, *, max_levels: int = 10, max_iterations: int = 10,
+            tolerance: float = TOLERANCE_DEFAULT,
+            seed_property: Optional[str] = None,
+            include_intermediate: bool = False,
+            weighted: Optional[bool] = None) -> LouvainResult:
+    """Multi-level Louvain over the stored topology (pass an
+    undirected-materialized graph for undirected semantics — the reference
+    fixtures store both directions).  Defaults per LouvainBaseConfig
+    (maxLevels=10, maxIterations=10, tolerance=1e-4)."""
+    if weighted is None:
+        weighted = graph.is_weighted
+    root_n = graph.n
+    src = graph.src
+    dst = graph.dst
+    w = (graph.weight if (weighted and graph.weight is not None)
+         else np.ones(src.shape[0]))
+    seeds = None
+    if seed_property is not None:
+        seeds = np.asarray(graph.node_props[seed_property], dtype=np.int64)
+
+    dendrograms = []
+    modularities = []
+    work_n = root_n
+    # working-graph node id -> community id produced at the previous level
+    prev_comm_ids = None  # sorted community ids = original ids of working nodes
+    old_node_count = root_n
+    ran_levels = max_levels  # GDS ranLevels: loop index at break (Louvain.java:90-118)
+    for level in range(max_levels):
+        res = modularity_optimization(work_n, src, dst, w, seeds=seeds,
+                                      max_iterations=max_iterations,
+                                      tolerance=tolerance)
+        modularities.append(res.modularity)
+        # dendrogram in root-node space (Louvain.buildDendrogram:135-160)
+        if level == 0:
+            dendro = res.communities.copy()
+        else:
+            prev = dendrograms[-1]
+            mapped = np.searchsorted(prev_comm_ids, prev)  # toMappedNodeId
+            dendro = res.communities[mapped]
+        dendrograms.append(dendro)
+        # summarize (Louvain.summarizeGraph:185-232): communities -> supernodes,
+        # SUM-aggregated edges, self-loops kept
+        uq = np.unique(res.communities)
+        ranks = np.searchsorted(uq, res.communities)
+        new_src = ranks[src]
+        new_dst = ranks[dst]
+        order = np.lexsort((new_dst, new_src))
+        ns, nd, nw = new_src[order], new_dst[order], w[order]
+        run = np.empty(ns.shape[0], dtype=bool)
+        if ns.shape[0]:
+            run[0] = True
+            run[1:] = (ns[1:] != ns[:-1]) | (nd[1:] != nd[:-1])
+            starts = np.nonzero(run)[0]
+            src, dst = ns[starts], nd[starts]
+            w = np.add.reduceat(nw, starts)
+        else:
+            src, dst, w = ns, nd, nw
+        work_n = uq.shape[0]
+        prev_comm_ids = uq
+        seeds = uq.copy()  # next level seeded with the community ids
+        stop = work_n == old_node_count or work_n == 1
+        # hasConverged (Louvain.java:234-243)
+        if not stop and level >= 1:
+            stop = not (modularities[level] > modularities[level - 1]
+                        and abs(modularities[level] - modularities[level - 1])
+                        > tolerance)
+        if stop:
+            ran_levels = level
+            break
+        old_node_count = work_n
+
+    # GDS truncates to levels() = max(1, ranLevels): the level that triggered
+    # the stop produced no improvement and is DISCARDED (resizeResultArrays)
+    levels = max(1, ran_levels)
+    dendrograms = dendrograms[:levels]
+    modularities = modularities[:levels]
+    table = pa.table({"vid": np.arange(root_n, dtype=np.int64),
+                      "community": dendrograms[-1]})
+    return LouvainResult(table, modularities, levels,
+                         dendrograms if include_intermediate else [])

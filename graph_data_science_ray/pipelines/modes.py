@@ -30,7 +30,7 @@ def _algo(name):
 
 def _resolve(algo: str):
     if not _ALGOS:
-        from . import labelprop, pagerank, triangles, wcc
+        from . import labelprop, louvain, pagerank, paths, triangles, wcc
         _ALGOS.update({
             "pagerank": lambda g, **kw: pagerank.pagerank(g, **kw),
             "articlerank": lambda g, **kw: pagerank.article_rank(g, **kw),
@@ -38,6 +38,8 @@ def _resolve(algo: str):
             "wcc": lambda g, **kw: wcc.wcc(g, **kw),
             "labelpropagation": lambda g, **kw: labelprop.label_propagation(g, **kw),
             "trianglecount": lambda g, **kw: triangles.triangle_count(g, **kw),
+            "louvain": lambda g, **kw: louvain.louvain(g, **kw),
+            "sssp": lambda g, **kw: paths.shortest_paths(g, **kw),
         })
     if algo not in _ALGOS:
         raise ValueError(f"unknown algorithm {algo!r}; have {sorted(_ALGOS)}")

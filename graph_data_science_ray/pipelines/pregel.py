@@ -64,7 +64,11 @@ class Computation:
     (pregel/.../PregelComputation.java), vectorized over partitions."""
 
     orientation = "natural"      # CSR orientation the shards are built with
-    reducer = "sum"              # "sum" | "min" — message combine
+    reducer = "sum"              # "sum" | "min" | "max" | "count" (Reducer.java:34-86)
+    #                              or None ⇒ QUEUE mode: no combine, apply_part
+    #                              receives the full per-vertex message lists
+    #                              (SyncQueueMessenger analogue — for user
+    #                              computations whose messages don't reduce)
     keyed = False                # True ⇒ messages are (key, val); combine = per-key sum
     weighted = False             # apply edge weight to messages (applyRelationshipWeight)
     edge_combine = "mul"         # how weight applies: "mul" (PR) | "add" (shortest paths)
@@ -102,6 +106,24 @@ class KeyedMsg:
     local: np.ndarray  # local vid indices (may repeat across keys)
     key: np.ndarray
     val: np.ndarray    # summed weight per (local, key)
+
+
+@dataclass
+class QueueMsg:
+    """Uncombined per-vertex message queues (SyncQueueMessenger analogue):
+    ``local`` is sorted; ``vals[indptr[v]:indptr[v+1]]`` are vertex v's
+    messages (order unspecified, like the reference's parallel queues)."""
+
+    local: np.ndarray   # sorted local vid per message
+    vals: np.ndarray
+    indptr: np.ndarray  # length nloc+1: per-local-vertex segment bounds
+
+    def messages_of(self, v: int) -> np.ndarray:
+        return self.vals[self.indptr[v]:self.indptr[v + 1]]
+
+    @property
+    def has(self) -> np.ndarray:
+        return np.diff(self.indptr) > 0
 
 
 @dataclass
@@ -163,12 +185,19 @@ def scatter_kernel(comp: Computation, shard: CsrShard, local: np.ndarray,
         return _combine_sparse_keyed(dst, keys, vals)
     if dst.shape[0] == 0:
         return dst, None, vals
+    if comp.reducer is None:  # queue mode: ship raw, no pre-combine
+        return np.ascontiguousarray(dst, dtype=np.int64), None, vals
     uq, inv = np.unique(dst, return_inverse=True)
     if comp.reducer == "sum":
         out = np.bincount(inv, weights=vals)
+    elif comp.reducer == "count":
+        out = np.bincount(inv).astype(np.float64)
     elif comp.reducer == "min":
         out = np.full(uq.shape[0], np.inf)
         np.minimum.at(out, inv, vals)
+    elif comp.reducer == "max":
+        out = np.full(uq.shape[0], -np.inf)
+        np.maximum.at(out, inv, vals)
     else:
         raise ValueError(f"unknown reducer {comp.reducer}")
     return uq, None, out
@@ -199,11 +228,21 @@ def scatter_global(comp: Computation, shard: CsrShard, n_total: int,
         return ("k", dst, keys, vals)
     if dst.shape[0] == 0:
         return None
+    if comp.reducer is None:  # queue mode: dst-sorted raw pairs
+        order = np.argsort(dst, kind="stable")
+        return ("q", np.ascontiguousarray(dst[order], dtype=np.int64),
+                vals[order])
+    if comp.reducer == "count":
+        vals = np.ones(dst.shape[0])
     if dst.shape[0] * 2 >= n_total:
-        if comp.reducer == "sum":
+        if comp.reducer in ("sum", "count"):
             sumv = np.bincount(dst, weights=vals, minlength=n_total)
             cnt = np.bincount(dst, minlength=n_total)
             return ("F", sumv, cnt > 0)
+        if comp.reducer == "max":
+            acc = np.full(n_total, -np.inf)
+            np.maximum.at(acc, dst, vals)
+            return ("FM", acc)
         acc = np.full(n_total, np.inf)
         np.minimum.at(acc, dst, vals)
         return ("Fm", acc)
@@ -229,7 +268,25 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
         local, key, val = _combine_sparse_keyed(
             np.concatenate(ids_l), np.concatenate(keys_l), np.concatenate(vals_l))
         return KeyedMsg(local, key, val)
-    if comp.reducer == "sum":
+    if comp.reducer is None:  # queue mode: concatenate the raw per-vertex lists
+        ids_l, vals_l = [], []
+        for p in payloads:
+            if p is None:
+                continue
+            a, b = np.searchsorted(p[1], [lo, hi])  # "q": dst-sorted
+            if b > a:
+                ids_l.append(p[1][a:b] - lo)
+                vals_l.append(p[2][a:b])
+        if ids_l:
+            local = np.concatenate(ids_l)
+            vals = np.concatenate(vals_l)
+            order = np.argsort(local, kind="stable")
+            local, vals = local[order], vals[order]
+        else:
+            local, vals = np.empty(0, dtype=np.int64), np.empty(0)
+        indptr = np.searchsorted(local, np.arange(nloc + 1))
+        return QueueMsg(local, vals, indptr)
+    if comp.reducer in ("sum", "count"):
         vals = np.zeros(nloc)
         has = np.zeros(nloc, dtype=bool)
         sparse_ids, sparse_vals = [], []
@@ -239,7 +296,7 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
             if p[0] == "F":
                 vals += p[1][lo:hi]
                 has |= p[2][lo:hi]
-            else:  # "s"
+            else:  # "s" — count payloads already carry per-message ones
                 m = (p[1] >= lo) & (p[1] < hi)
                 sparse_ids.append(p[1][m] - lo)
                 sparse_vals.append(p[2][m])
@@ -250,6 +307,18 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
                 vals += np.bincount(ids, weights=vv, minlength=nloc)
                 has |= np.bincount(ids, minlength=nloc) > 0
         return NonKeyedMsg(vals, has)
+    if comp.reducer == "max":
+        vals = np.full(nloc, -np.inf)
+        for p in payloads:
+            if p is None:
+                continue
+            if p[0] == "FM":
+                np.maximum(vals, p[1][lo:hi], out=vals)
+            else:  # "s"
+                m = (p[1] >= lo) & (p[1] < hi)
+                if m.any():
+                    np.maximum.at(vals, p[1][m] - lo, p[2][m])
+        return NonKeyedMsg(vals, vals > -np.inf)
     vals = np.full(nloc, np.inf)
     for p in payloads:
         if p is None:
@@ -272,12 +341,22 @@ def combine_messages(comp: Computation, lo: int, nloc: int,
             return KeyedMsg(local, m_key, m_val)
         loc, key, val = _combine_sparse_keyed(local, m_key, m_val)
         return KeyedMsg(loc, key, val)
-    has = np.zeros(nloc, dtype=bool)
     local = m_vid - lo
+    if comp.reducer is None:
+        order = np.argsort(local, kind="stable")
+        local_s, vals_s = local[order], m_val[order]
+        indptr = np.searchsorted(local_s, np.arange(nloc + 1))
+        return QueueMsg(local_s, vals_s, indptr)
+    has = np.zeros(nloc, dtype=bool)
     has[local] = True
-    if comp.reducer == "sum":
+    if comp.reducer in ("sum", "count"):
+        # count partials are already per-shard counts in m_val — SUM them
+        # (re-counting rows here would count partials, not messages)
         vals = np.zeros(nloc)
         np.add.at(vals, local, m_val)
+    elif comp.reducer == "max":
+        vals = np.full(nloc, -np.inf)
+        np.maximum.at(vals, local, m_val)
     else:
         vals = np.full(nloc, np.inf)
         np.minimum.at(vals, local, m_val)
@@ -287,10 +366,12 @@ def combine_messages(comp: Computation, lo: int, nloc: int,
 def _payload_count(p) -> int:
     if p is None:
         return 0
-    if p[0] in ("s", "k"):
+    if p[0] in ("s", "k", "q"):
         return int(p[1].shape[0])
     if p[0] == "F":
         return int(p[2].sum())
+    if p[0] == "FM":
+        return int((p[1] > -np.inf).sum())
     return int((p[1] < np.inf).sum())
 
 
@@ -661,9 +742,19 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
             _ScatterWorker(comp, shards_refs, bounds),
             batch_format="pyarrow", zero_copy_batch=True)
         unioned = state_ds.union(msgs)
+        # repartition BEFORE materializing: union doubles the block count and
+        # the sort-based groupby preserves it (mostly as empty blocks), so
+        # without the coalesce the block count — and with it the per-superstep
+        # fixed cost — DOUBLES every superstep (measured: 4→512 blocks and
+        # 0.3s→11s per superstep by superstep 8).  Coalescing to nparts keeps
+        # the loop O(1) blocks per superstep; correctness is unaffected because
+        # both scatter and apply key on the `part` COLUMN, not block boundaries.
         state_ds = unioned.groupby("part").map_groups(
             _ApplyWorker(comp, shards_refs, bounds, superstep),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(nparts).materialize()
+        # also cut the lineage: the union embeds TWO copies of the previous
+        # plan, so the logical plan would still double every superstep
+        state_ds = ray.data.from_arrow_refs(list(state_ds.to_arrow_refs()))
         aggs = state_ds.aggregate(
             Sum("sending", alias_name="s"), Sum("changed", alias_name="c"),
             *[Sum(c, alias_name=f"m_{c}") for c in comp.master_cols])

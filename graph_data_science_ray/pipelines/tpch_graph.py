@@ -83,6 +83,20 @@ def cosupply_graph(sf_dir: str) -> Graph:
                             aggregation="single", name="cosupply")
 
 
+def supplier_part_graph(sf_dir: str) -> Graph:
+    """Bipartite supplier→part graph from distinct lineitem pairs: supplier
+    vid = l_suppkey, part vid = max_suppkey + 1 + l_partkey."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    distinct = ds.groupby(["l_partkey", "l_suppkey"]).count()
+    t = _to_table(distinct)
+    part = t.column("l_partkey").to_numpy(zero_copy_only=False)
+    supp = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+    off = int(supp.max()) + 1
+    n = off + int(part.max()) + 1
+    return Graph.from_edges(supp, off + part, n=n, aggregation="single",
+                            name="supplier_part")
+
+
 def chain_graph(sf_dir: str):
     """Chain customers with consecutive custkeys within each nation — long paths
     exercising multi-round WCC convergence.  Returns (Graph, custkeys)."""

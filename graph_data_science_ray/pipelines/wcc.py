@@ -124,9 +124,7 @@ def wcc(graph: Graph, *, threshold: Optional[float] = None,
         unseeded = root_seed < 0
         fresh = np.cumsum(unseeded)  # 1-based rank among unseeded roots
         mapped = np.where(unseeded, max_seed + fresh, root_seed)
-        lookup = dict(zip(roots.tolist(), mapped.tolist()))
-        new_comp = np.fromiter((lookup[c] for c in comp.tolist()),
-                               dtype=np.int64, count=comp.shape[0])
+        new_comp = mapped[np.searchsorted(roots, comp)]  # roots sorted unique
         idx = res.table.column_names.index("component")
         res.table = res.table.set_column(idx, "component", pa.array(new_comp))
     if consecutive_ids:

@@ -387,9 +387,20 @@ class Graph:
         # an older layout (different partition count) must never be picked up
         nparts = len(manifest["bounds"]["edges_fwd"]) - 1
         tabs = [pq.read_table(os.path.join(d, f"part-{p:05d}.parquet"))
-                for p in range(nparts)]
+                for p in range(nparts)
+                if os.path.exists(os.path.join(d, f"part-{p:05d}.parquet"))]
         t = pa.concat_tables(tabs)
-        vt = pq.read_table(os.path.join(path, "vertices.parquet"))
+        vfile = os.path.join(path, "vertices.parquet")
+        if os.path.exists(vfile):
+            vt = pq.read_table(vfile)
+        else:  # streaming-builder layout: vertices/ directory, vid-sorted
+            vd = os.path.join(path, "vertices")
+            vt = pa.concat_tables(
+                [pq.read_table(os.path.join(vd, f))
+                 for f in sorted(os.listdir(vd)) if f.endswith(".parquet")])
+            order = np.argsort(vt.column("vid").to_numpy(zero_copy_only=False),
+                               kind="stable")
+            vt = vt.take(pa.array(order))
         keys = vt.column("key").to_pylist() if "key" in vt.column_names else None
         props = {c: vt.column(c).to_numpy(zero_copy_only=False)
                  for c in vt.column_names if c not in ("vid", "key")}

@@ -1,0 +1,104 @@
+"""NodeSimilarity conformance vs the reference fixture
+(NodeSimilarityTest.java:81-235): persons a-d LIKE items i1-i4."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import Graph
+from graph_data_science_ray.functions.nodesim import node_similarity
+
+NODES = ["a", "b", "c", "d", "i1", "i2", "i3", "i4"]
+EDGES = [("a", "i1", 1.0), ("a", "i2", 1.0), ("a", "i3", 2.0),
+         ("b", "i1", 1.0), ("b", "i2", 1.0),
+         ("c", "i3", 1.0),
+         ("d", "i1", 0.5), ("d", "i2", 1.0), ("d", "i3", 1.0)]
+
+
+@pytest.fixture
+def likes_graph():
+    return Graph.from_edge_list(EDGES, nodes=NODES)
+
+
+def _rows(t):
+    return {(int(a), int(b), round(float(s), 6))
+            for a, b, s in zip(t.column("node1").to_pylist(),
+                               t.column("node2").to_pylist(),
+                               t.column("similarity").to_pylist())}
+
+
+def test_outgoing_topk10_cutoff0(likes_graph):
+    t = node_similarity(likes_graph, top_k=10, similarity_cutoff=0.0)
+    exp = {(0, 1, round(2 / 3, 6)), (0, 2, round(1 / 3, 6)), (0, 3, 1.0),
+           (1, 2, 0.0), (1, 3, round(2 / 3, 6)), (2, 3, round(1 / 3, 6)),
+           (1, 0, round(2 / 3, 6)), (2, 0, round(1 / 3, 6)), (3, 0, 1.0),
+           (2, 1, 0.0), (3, 1, round(2 / 3, 6)), (3, 2, round(1 / 3, 6))}
+    assert _rows(t) == exp
+
+
+def test_topk1_tie_breaks(likes_graph):
+    t = node_similarity(likes_graph, top_k=1, similarity_cutoff=0.0)
+    exp = {(0, 3, 1.0), (1, 0, round(2 / 3, 6)), (2, 0, round(1 / 3, 6)),
+           (3, 0, 1.0)}
+    assert _rows(t) == exp
+
+
+def test_topn1(likes_graph):
+    t = node_similarity(likes_graph, top_k=10, top_n=1, similarity_cutoff=0.0)
+    assert _rows(t) == {(0, 3, 1.0)}
+
+
+def test_similarity_cutoff(likes_graph):
+    t = node_similarity(likes_graph, top_k=10, similarity_cutoff=0.1)
+    assert (1, 2, 0.0) not in _rows(t) and (2, 1, 0.0) not in _rows(t)
+    assert (0, 3, 1.0) in _rows(t)
+
+
+def test_degree_cutoff(likes_graph):
+    t = node_similarity(likes_graph, top_k=10, similarity_cutoff=0.0,
+                        degree_cutoff=2)
+    exp = {(0, 1, round(2 / 3, 6)), (0, 3, 1.0), (1, 3, round(2 / 3, 6)),
+           (1, 0, round(2 / 3, 6)), (3, 0, 1.0), (3, 1, round(2 / 3, 6))}
+    assert _rows(t) == exp
+
+
+def test_weighted(likes_graph):
+    t = node_similarity(likes_graph, top_k=10, similarity_cutoff=0.0,
+                        weighted=True)
+    exp = {(0, 1, 0.5), (0, 2, 0.25), (0, 3, 0.625), (1, 2, 0.0),
+           (1, 3, 0.5), (2, 3, 0.4),
+           (1, 0, 0.5), (2, 0, 0.25), (3, 0, 0.625), (2, 1, 0.0),
+           (3, 1, 0.5), (3, 2, 0.4)}
+    assert _rows(t) == exp
+
+
+def test_all_pairs_mode(likes_graph):
+    """top_k=0: each qualifying pair once, node1 < node2 (computeAll)."""
+    t = node_similarity(likes_graph, top_k=0, similarity_cutoff=0.0)
+    exp = {(0, 1, round(2 / 3, 6)), (0, 2, round(1 / 3, 6)), (0, 3, 1.0),
+           (1, 2, 0.0), (1, 3, round(2 / 3, 6)), (2, 3, round(1 / 3, 6))}
+    assert _rows(t) == exp
+
+
+def test_matches_bruteforce_random():
+    rng = np.random.default_rng(8)
+    n_people, n_items, m = 20, 15, 120
+    src = rng.integers(0, n_people, m)
+    dst = n_people + rng.integers(0, n_items, m)
+    g = Graph.from_edges(src, dst, n=n_people + n_items, aggregation="single")
+    t = node_similarity(g, top_k=0, similarity_cutoff=1e-42)
+    got = _rows(t)
+    # brute force
+    sets = [set(g.dst[g.src == i].tolist()) for i in range(n_people + n_items)]
+    exp = set()
+    for a in range(n_people + n_items):
+        if not sets[a]:
+            continue
+        for b in range(a + 1, n_people + n_items):
+            if not sets[b]:
+                continue
+            i = len(sets[a] & sets[b])
+            u = len(sets[a]) + len(sets[b]) - i
+            s = i / u if u else 0.0
+            if s >= 1e-42:
+                exp.add((a, b, round(s, 6)))
+    assert got == exp

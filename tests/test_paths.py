@@ -66,3 +66,62 @@ def test_negative_weights_rejected():
     g = Graph.from_edges([0], [1], [-1.0], n=2)
     with pytest.raises(ValueError):
         shortest_paths(g, 0)
+
+
+class TestDijkstraPaths:
+    """Path reconstruction vs the reference fixture (DijkstraTest.java:101-155):
+    a->f shortest path is a,c,e,d,f with costs 0,2,5,9,20."""
+
+    def _graph(self):
+        from graph_data_science_ray import Graph
+        edges = [("a", "b", 4), ("a", "c", 2), ("b", "c", 5), ("b", "d", 10),
+                 ("c", "e", 3), ("d", "f", 11), ("e", "d", 4)]
+        return Graph.from_edge_list(edges, nodes=list("abcdef"))
+
+    def test_source_target_path(self):
+        from graph_data_science_ray.pipelines.paths import dijkstra
+        g = self._graph()
+        t = dijkstra(g, "a", targets=["f"], execution="local")
+        assert t.num_rows == 1
+        assert t.column("total_cost").to_pylist() == [20.0]
+        assert t.column("node_ids").to_pylist() == [[0, 2, 4, 3, 5]]
+        assert t.column("costs").to_pylist() == [[0.0, 2.0, 5.0, 9.0, 20.0]]
+
+    def test_single_source_all_targets(self):
+        from graph_data_science_ray.pipelines.paths import dijkstra
+        g = self._graph()
+        t = dijkstra(g, 0, execution="local")
+        by_target = {r["target_node"]: r for r in t.to_pylist()}
+        assert by_target[5]["total_cost"] == 20.0
+        assert by_target[1]["node_ids"] == [0, 1]
+        assert by_target[4]["node_ids"] == [0, 2, 4]
+
+    def test_distributed_matches_local(self):
+        from graph_data_science_ray.pipelines.paths import dijkstra
+        g = self._graph()
+        tl = dijkstra(g, 0, execution="local")
+        tr = dijkstra(g, 0, execution="ray", num_partitions=2)
+        assert tl.to_pylist() == tr.to_pylist()
+
+    def test_parquet_graph_reconstruction(self, tmp_path):
+        """Point-lookup reconstruction against the edges_rev layout."""
+        import numpy as np
+
+        from graph_data_science_ray import ParquetGraph
+        from graph_data_science_ray.pipelines.paths import dijkstra
+        g = self._graph()
+        g.save(str(tmp_path / "g"), num_partitions=2)
+        pg = ParquetGraph(str(tmp_path / "g"))
+        t = dijkstra(pg, 0, targets=[5], execution="ray")
+        assert t.column("node_ids").to_pylist() == [[0, 2, 4, 3, 5]]
+        assert t.column("total_cost").to_pylist() == [20.0]
+
+    def test_unweighted_hop_paths(self):
+        from graph_data_science_ray import Graph
+        from graph_data_science_ray.pipelines.paths import dijkstra
+        g = Graph.from_edge_list([("a", "b"), ("b", "c"), ("a", "c")],
+                                 nodes=list("abc"))
+        t = dijkstra(g, 0, weighted=False, execution="local")
+        by_target = {r["target_node"]: r for r in t.to_pylist()}
+        assert by_target[2]["node_ids"] == [0, 2]  # direct hop beats a,b,c
+        assert by_target[2]["total_cost"] == 1.0

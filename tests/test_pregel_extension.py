@@ -58,3 +58,117 @@ def test_custom_computation_all_modes_agree():
     np.testing.assert_array_equal(
         lo.table.column("distance").to_numpy(zero_copy_only=False),
         ac.table.column("distance").to_numpy(zero_copy_only=False))
+
+
+class MaxPropagation:
+    """Component id = MAX vid in component — exercises Reducer.Max."""
+
+
+def test_max_reducer_all_modes():
+    import numpy as np
+
+    from graph_data_science_ray import Computation, Graph, run_pregel
+
+    class MaxComp(Computation):
+        orientation = "undirected"
+        reducer = "max"
+        idempotent_on_empty = True
+        state_spec = [("comp", np.int64)]
+        output_cols = {"component": "comp"}
+
+        def init_part(self, vids, shard, st):
+            st["comp"][:] = vids
+            st["sending"][:] = (np.diff(shard.indptr) > 0).astype(np.uint8)
+            st["send"][:] = vids.astype(np.float64)
+
+        def apply_part(self, vids, st, msg, superstep, shard):
+            cand = np.where(msg.has, msg.vals, -np.inf)
+            better = cand > st["comp"]
+            st["comp"][:] = np.where(better, cand, st["comp"]).astype(np.int64)
+            st["sending"][:] = better.astype(np.uint8)
+            st["send"][:] = st["comp"].astype(np.float64)
+            st["changed"][:] = better.astype(np.uint8)
+
+    rng = np.random.default_rng(21)
+    # 5 chains of 12 (ray-data mode pays per-superstep pipeline overhead)
+    src = np.concatenate([np.arange(12 * i, 12 * i + 11) for i in range(5)])
+    dst = src + 1
+    g = Graph.from_edges(src, dst, n=60)
+    expect = np.repeat(np.arange(5) * 12 + 11, 12)
+    for mode in ("local", "ray", "ray-data"):
+        res = run_pregel(g, MaxComp(), max_iterations=100, execution=mode,
+                         num_partitions=3)
+        got = res.table.column("component").to_numpy(zero_copy_only=False)
+        assert np.array_equal(got, expect), mode
+
+
+def test_count_reducer_in_degree():
+    import numpy as np
+
+    from graph_data_science_ray import Computation, Graph, run_pregel
+
+    class InDegree(Computation):
+        reducer = "count"
+        state_spec = [("indeg", np.float64)]
+        output_cols = {"in_degree": "indeg"}
+
+        def init_part(self, vids, shard, st):
+            st["sending"][:] = (np.diff(shard.indptr) > 0).astype(np.uint8)
+            st["send"][:] = 1.0
+
+        def apply_part(self, vids, st, msg, superstep, shard):
+            if superstep == 1:
+                st["indeg"][:] = np.where(msg.has, msg.vals, 0.0)
+            st["sending"][:] = 0
+
+    rng = np.random.default_rng(22)
+    n, m = 80, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = Graph.from_edges(src, dst, n=n)
+    expect = np.bincount(g.dst, minlength=n).astype(np.float64)
+    for mode in ("local", "ray", "ray-data"):
+        res = run_pregel(g, InDegree(), max_iterations=2, execution=mode,
+                         num_partitions=3)
+        got = res.table.column("in_degree").to_numpy(zero_copy_only=False)
+        assert np.allclose(got, expect), mode
+
+
+def test_queue_messenger_median_of_neighbors():
+    """No-combiner mode: vertices receive the full message list
+    (SyncQueueMessenger analogue) — median is not reducible."""
+    import numpy as np
+
+    from graph_data_science_ray import Computation, Graph, run_pregel
+
+    class NeighborMedian(Computation):
+        reducer = None
+        state_spec = [("med", np.float64)]
+        output_cols = {"median": "med"}
+
+        def init_part(self, vids, shard, st):
+            st["sending"][:] = (np.diff(shard.indptr) > 0).astype(np.uint8)
+            st["send"][:] = vids.astype(np.float64)
+
+        def apply_part(self, vids, st, msg, superstep, shard):
+            if superstep == 1:
+                for v in range(vids.shape[0]):
+                    ms = msg.messages_of(v)
+                    st["med"][v] = float(np.median(ms)) if ms.shape[0] else -1.0
+            st["sending"][:] = 0
+
+    rng = np.random.default_rng(23)
+    n, m = 60, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = Graph.from_edges(src, dst, n=n)
+    expect = np.full(n, -1.0)
+    for v in range(n):
+        ins = g.src[g.dst == v]
+        if ins.shape[0]:
+            expect[v] = float(np.median(ins))
+    for mode in ("local", "ray", "ray-data"):
+        res = run_pregel(g, NeighborMedian(), max_iterations=2, execution=mode,
+                         num_partitions=3)
+        got = res.table.column("median").to_numpy(zero_copy_only=False)
+        assert np.allclose(got, expect), mode
