@@ -21,13 +21,14 @@ from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
 from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
 from .state.graph import Graph, ParquetGraph
+from .state.store import GraphStore as TypedGraphStore
 
 __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
     "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
     "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
-    "node_similarity", "dijkstra",
+    "node_similarity", "dijkstra", "TypedGraphStore",
     "degree_distribution", "filter_subgraph",
 ]
 

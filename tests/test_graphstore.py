@@ -1,0 +1,95 @@
+"""Multi-type GraphStore: type-filtered views, union composition, orientation
+matrix — mirrors the reference's union-graph WCC matrix (WccTest.java:121-151)
+and GraphStore.java:33-120 semantics."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import wcc
+from graph_data_science_ray.state.store import GraphStore
+
+# the reference's union fixture: 5 chains a->b<-c with alternating types A/B
+# (WccTest.java orientationAndGraphs)
+NODES = list("abcdefghijklmno")
+TYPE_A = [("a", "b"), ("d", "e"), ("g", "h"), ("j", "k"), ("m", "n")]
+TYPE_B = [("c", "b"), ("f", "e"), ("i", "h"), ("l", "k"), ("o", "n")]
+SEEDS = {n: i // 3 for i, n in enumerate(NODES[:12])}  # m,n,o unseeded
+
+
+@pytest.fixture
+def union_store():
+    return GraphStore.from_typed_edge_lists(
+        {"A": TYPE_A, "B": TYPE_B}, nodes=NODES, name="union")
+
+
+@pytest.mark.parametrize("orientation", ["natural", "reverse", "undirected"])
+def test_union_wcc_orientation_matrix(union_store, orientation):
+    """WCC ignores direction: all three orientations of the union view give the
+    5 three-node components (WccTest.shouldComputeComponents)."""
+    g = union_store.graph(orientation=orientation)
+    res = wcc(g, execution="local")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    expect = np.repeat(np.arange(5) * 3, 3)  # min-vid of each {3i,3i+1,3i+2}
+    assert np.array_equal(comp, expect)
+
+
+def test_type_filtered_view(union_store):
+    """Running on type A only: each a->b pair is a 2-component, c isolated."""
+    g = union_store.graph(["A"])
+    assert g.num_edges == 5
+    res = wcc(g, execution="local")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    # a,b together; c alone (its edge is type B)
+    assert comp[0] == comp[1] and comp[2] == 2
+
+
+def test_union_equals_concat(union_store):
+    ga = union_store.graph(["A"])
+    gu = union_store.graph(["A", "B"])
+    assert gu.num_edges == ga.num_edges + union_store.relationship_count("B")
+    assert union_store.relationship_count() == 10
+
+
+def test_unknown_type_raises(union_store):
+    with pytest.raises(KeyError):
+        union_store.graph(["C"])
+
+
+def test_delete_relationships(union_store):
+    n = union_store.delete_relationships("B")
+    assert n == 5
+    assert union_store.relationship_types() == ["A"]
+
+
+def test_weighted_union_mixed_types():
+    """A weighted + an unweighted type union: missing weights default to 1.0
+    (DefaultValue semantics)."""
+    store = GraphStore.from_typed_edge_lists(
+        {"W": [("a", "b", 2.5)], "U": [("b", "c")]})
+    g = store.graph()
+    assert g.is_weighted
+    assert sorted(g.weight.tolist()) == [1.0, 2.5]
+
+
+def test_save_load_roundtrip(tmp_path, union_store):
+    union_store.save(str(tmp_path / "store"))
+    st2 = GraphStore.load(str(tmp_path / "store"))
+    assert st2.relationship_types() == ["A", "B"]
+    g1 = union_store.graph(orientation="undirected")
+    g2 = st2.graph(orientation="undirected")
+    assert np.array_equal(g1.src, g2.src) and np.array_equal(g1.dst, g2.dst)
+    assert np.array_equal(np.asarray(st2.keys, dtype=object),
+                          np.asarray(union_store.keys, dtype=object))
+
+
+def test_seeded_wcc_on_union(union_store):
+    """Seeded WCC over the union view (WccTest.seededWccOnUnionGraphs):
+    components adopt their root's seed; unseeded chains get fresh ids."""
+    store = GraphStore.from_typed_edge_lists(
+        {"A": TYPE_A, "B": TYPE_B}, nodes=NODES, node_props={"seed": SEEDS})
+    g = store.graph(orientation="undirected")
+    res = wcc(g, seed_property="seed", execution="local")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == comp[4] == comp[5] == 1
+    assert comp[12] == comp[13] == comp[14] > 3  # fresh id above max seed
