@@ -132,6 +132,31 @@ def _q_node_similarity_suppliers(sf_dir: str):
                          t.column("similarity").to_numpy(zero_copy_only=False), 6)})
 
 
+def _q_betweenness_hierarchy(sf_dir: str):
+    """Brandes betweenness on the hierarchy forest: the only interior vertices
+    are nations — each customer/supplier contributes exactly one path to its
+    region passing through its nation, so centrality(nation) = members."""
+    from graph_data_science_ray import betweenness_centrality
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = betweenness_centrality(g, execution="ray")
+    c = t.column("centrality").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "centrality": c[present]})
+
+
+def _q_knn_graph_embeddings(sf_dir: str):
+    """Exact kNN graph (k=5) over the embeddings table — all-nodes top-k by
+    cosine, ties to the smaller id."""
+    from graph_data_science_ray.functions.knn import knn_graph
+    rd = _ray_data()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    t = knn_graph(emb, k=5)
+    return pa.table({"node1": t.column("node1"), "node2": t.column("node2"),
+                     "similarity": np.round(
+                         t.column("similarity").to_numpy(zero_copy_only=False), 6)})
+
+
 def _q_degree_cosupply(sf_dir: str):
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
@@ -389,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_cosupply": _q_triangle_cosupply,
         "louvain_hierarchy": _q_louvain_hierarchy,
         "node_similarity_suppliers": _q_node_similarity_suppliers,
+        "betweenness_hierarchy": _q_betweenness_hierarchy,
+        "knn_graph_embeddings": _q_knn_graph_embeddings,
         "modularity_regions": _q_modularity_regions,
         "lcc_cosupply": _q_lcc_cosupply,
         "degree_cosupply": _q_degree_cosupply,
@@ -504,6 +531,27 @@ SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
 UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
 UNION ALL SELECT n_regionkey, 2.0
           FROM c JOIN nation ON n_nationkey = c.c_nationkey
+""",
+        "betweenness_hierarchy": """
+WITH members AS (
+  SELECT n_nationkey AS nk,
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n_nationkey)
+       + (SELECT count(*) FROM customer c WHERE c.c_nationkey = n_nationkey)
+         AS m
+  FROM nation)
+SELECT r_regionkey AS vid, 0.0::DOUBLE AS centrality FROM region
+UNION ALL SELECT 5 + nk, m::DOUBLE FROM members
+UNION ALL SELECT 30 + s_suppkey, 0.0 FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.0
+          FROM customer
+""",
+        "knn_graph_embeddings": """
+WITH p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                  list_cosine_similarity(a.embedding, b.embedding) AS s
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT i, j, s, row_number() OVER (PARTITION BY i ORDER BY s DESC, j) rn
+      FROM p)
+SELECT i AS node1, j AS node2, round(s, 6) AS similarity FROM r WHERE rn <= 5
 """,
         "node_similarity_suppliers": """
 WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),

@@ -11,7 +11,11 @@ per-operator reference citations.
 
 from .pipelines.degree import degree_centrality
 from .pipelines.labelprop import label_propagation
+from .functions.knn import knn_graph
 from .functions.nodesim import node_similarity
+from .pipelines.betweenness import betweenness_centrality
+from .pipelines.coloring import k1_coloring, modularity_optimization
+from .pipelines.fastrp import fastrp
 from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
@@ -28,7 +32,8 @@ __all__ = [
     "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
     "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
-    "node_similarity", "dijkstra", "TypedGraphStore",
+    "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
+    "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "degree_distribution", "filter_subgraph",
 ]
 

@@ -173,7 +173,8 @@ def pagerank(graph: Graph, *, damping: float = 0.85, tolerance: float = 1e-7,
              weighted: bool = False, scaler: str = "none", mode: str = "pagerank",
              execution: str = "auto", num_partitions: Optional[int] = None,
              checkpoint_dir: Optional[str] = None, resume: bool = False,
-             result_dir: Optional[str] = None) -> PregelResult:
+             result_dir: Optional[str] = None,
+             memory_limit_bytes: Optional[int] = None) -> PregelResult:
     """Defaults per PageRankConfig.java:39-57 (maxIterations=20, tol=1e-7, d=0.85)."""
     if not (0 <= damping < 1):
         raise ValueError("dampingFactor must be in [0, 1)")
@@ -193,7 +194,8 @@ def pagerank(graph: Graph, *, damping: float = 0.85, tolerance: float = 1e-7,
         raise ValueError(f"unknown mode {mode!r}")
     res = run_pregel(graph, comp, max_iterations=max_iterations, execution=execution,
                      num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
-                     resume=resume, result_dir=result_dir)
+                     resume=resume, result_dir=result_dir,
+                     memory_limit_bytes=memory_limit_bytes)
     if res.table is None:  # write-mode: actors wrote their own partitions
         return res
     if scaler and scaler.lower() != "none":

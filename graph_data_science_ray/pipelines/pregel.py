@@ -41,6 +41,7 @@ Three execution modes (``run_pregel(execution=...)``):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -591,11 +592,62 @@ def _result_from_parts(comp, parts_vids, parts_st, ran, converged, metrics):
     return PregelResult(pa.table(cols), ran, converged, metrics)
 
 
+class MemoryEstimationExceeded(RuntimeError):
+    """Raised when the pre-run memory estimate exceeds the allowed budget —
+    the analogue of the reference's MemoryUsageValidator abort
+    (proc/common/.../MemoryUsageValidator.java:50-80)."""
+
+
+def estimate_pregel_memory(graph, comp: Computation,
+                           num_partitions: int) -> dict:
+    """Upper-bound byte estimate for one BSP run, in the spirit of
+    Pregel.memoryEstimation (pregel/.../Pregel.java:81-98): per-node state
+    columns, CSR shards (indices may be int32), and the worst-case message
+    exchange (dense payloads: P × n doubles)."""
+    n, m = graph.n, graph.num_edges
+    state_cols = len(comp.state_spec) + len(_RUNNER_COLS) + 2  # + vid + part
+    state = n * 8 * state_cols
+    idx_bytes = 4 if n < 2**31 else 8
+    shards = m * idx_bytes + (n + num_partitions) * 8 \
+        + (m * 8 if getattr(graph, "is_weighted", False) else 0)
+    if comp.orientation == "undirected":
+        shards *= 2
+    messages = min(num_partitions * n * 10, 2 * m * 16 + n * 10)
+    total = state + shards + messages
+    return {"state_bytes": int(state), "shard_bytes": int(shards),
+            "message_bytes": int(messages), "total_bytes": int(total)}
+
+
+def _available_memory_bytes() -> int:
+    try:
+        return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        return 1 << 62
+
+
+def validate_memory(graph, comp: Computation, num_partitions: int,
+                    memory_limit_bytes: Optional[int]) -> dict:
+    """Abort BEFORE execution when the estimate exceeds the budget
+    (``memory_limit_bytes``; defaults to currently-available physical RAM).
+    GDS's ``sudo`` escape = pass ``memory_limit_bytes=0`` to skip."""
+    est = estimate_pregel_memory(graph, comp, num_partitions)
+    limit = (memory_limit_bytes if memory_limit_bytes is not None
+             else _available_memory_bytes())
+    if limit and est["total_bytes"] > limit:
+        raise MemoryEstimationExceeded(
+            f"estimated {est['total_bytes']:,} bytes exceeds the budget "
+            f"{limit:,} bytes (state {est['state_bytes']:,} + shards "
+            f"{est['shard_bytes']:,} + messages {est['message_bytes']:,}); "
+            "raise memory_limit_bytes (or pass 0 to override, the GDS 'sudo')")
+    return est
+
+
 def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
                execution: str = "auto", num_partitions: Optional[int] = None,
                checkpoint_dir: Optional[str] = None, checkpoint_interval: int = 1,
                resume: bool = False, local_threshold: int = 200_000,
-               result_dir: Optional[str] = None) -> PregelResult:
+               result_dir: Optional[str] = None,
+               memory_limit_bytes: Optional[int] = None) -> PregelResult:
     """Run a vertex computation to convergence (BSP driver loop —
     ref Pregel.run, pregel/.../Pregel.java:158-199).  See the module docstring
     for the three execution modes.
@@ -614,6 +666,7 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
             import ray
             ncpu = int(ray.cluster_resources().get("CPU", 8))                 if ray.is_initialized() else 8
             num_partitions = max(1, min(ncpu, graph.num_edges // 250_000 + 1))
+    validate_memory(graph, comp, num_partitions, memory_limit_bytes)
     if execution == "local":
         return _run_local(graph, comp, max_iterations, num_partitions,
                           checkpoint_dir, checkpoint_interval, resume)

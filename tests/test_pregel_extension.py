@@ -172,3 +172,29 @@ def test_queue_messenger_median_of_neighbors():
                          num_partitions=3)
         got = res.table.column("median").to_numpy(zero_copy_only=False)
         assert np.allclose(got, expect), mode
+
+
+def test_memory_estimation_guard():
+    """Pre-run estimate aborts oversized jobs (MemoryUsageValidator analogue);
+    memory_limit_bytes=0 is the 'sudo' override."""
+    import numpy as np
+    import pytest
+
+    from graph_data_science_ray import Graph, pagerank
+    from graph_data_science_ray.pipelines.pregel import (
+        MemoryEstimationExceeded, estimate_pregel_memory)
+    from graph_data_science_ray.pipelines.pagerank import PageRankComputation
+    rng = np.random.default_rng(50)
+    g = Graph.from_edges(rng.integers(0, 100, 500), rng.integers(0, 100, 500),
+                         n=100)
+    est = estimate_pregel_memory(g, PageRankComputation(0.85, 1e-7), 4)
+    assert est["total_bytes"] > 0
+    # a 1-byte budget must refuse the run
+    with pytest.raises(MemoryEstimationExceeded):
+        pagerank(g, execution="local", memory_limit_bytes=1)
+    # sudo override runs anyway
+    res = pagerank(g, execution="local", memory_limit_bytes=0)
+    assert res.table.num_rows == 100
+    # default budget (available RAM) admits the small job
+    res2 = pagerank(g, execution="local")
+    assert res2.table.num_rows == 100
