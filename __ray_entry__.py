@@ -157,6 +157,18 @@ def _q_knn_graph_embeddings(sf_dir: str):
                          t.column("similarity").to_numpy(zero_copy_only=False), 6)})
 
 
+def _q_closeness_hierarchy(sf_dir: str):
+    """Closeness on the hierarchy forest: nations are reached only by their own
+    members at distance 1 (closeness 1.0), regions by nations at 1 and members
+    at 2; leaves are unreached (0)."""
+    from graph_data_science_ray import closeness_centrality
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = closeness_centrality(g, execution="ray")
+    c = t.column("centrality").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "centrality": np.round(c[present], 6)})
+
+
 def _q_degree_cosupply(sf_dir: str):
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
@@ -415,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_hierarchy": _q_louvain_hierarchy,
         "node_similarity_suppliers": _q_node_similarity_suppliers,
         "betweenness_hierarchy": _q_betweenness_hierarchy,
+        "closeness_hierarchy": _q_closeness_hierarchy,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         "modularity_regions": _q_modularity_regions,
         "lcc_cosupply": _q_lcc_cosupply,
@@ -531,6 +544,23 @@ SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
 UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
 UNION ALL SELECT n_regionkey, 2.0
           FROM c JOIN nation ON n_nationkey = c.c_nationkey
+""",
+        "closeness_hierarchy": """
+WITH members AS (
+  SELECT n_nationkey AS nk, n_regionkey AS reg,
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n_nationkey)
+       + (SELECT count(*) FROM customer c WHERE c.c_nationkey = n_nationkey)
+         AS m
+  FROM nation),
+regc AS (
+  SELECT reg, count(*) AS nn, SUM(m) AS mm FROM members GROUP BY reg)
+SELECT r_regionkey AS vid,
+       round((nn + mm) * 1.0 / (nn + 2.0 * mm), 6) AS centrality
+FROM region JOIN regc ON regc.reg = r_regionkey
+UNION ALL SELECT 5 + nk, CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END FROM members
+UNION ALL SELECT 30 + s_suppkey, 0.0 FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.0
+          FROM customer
 """,
         "betweenness_hierarchy": """
 WITH members AS (

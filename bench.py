@@ -209,6 +209,18 @@ def run_scaling_suite() -> dict:
     extra["pagerank_edges"] = g.num_edges
     extra["pagerank_iterations"] = pr.ran_iterations
     extra["pagerank_edges_per_sec"] =         pr.ran_iterations * g.num_edges / timings["pagerank_1m"]
+    # bandwidth-controlled experiment (BASELINE.md §c): the SAME job with a
+    # FIXED 8-actor pool at both CPU counts.  If the per-edge cost at
+    # num_cpus=32/P=8 matches num_cpus=8/P=8, the efficiency loss of the
+    # 32-actor run is DRAM saturation (adding actors on one box multiplies
+    # cores, not memory controllers), which real added NODES would restore.
+    g.shard_refs(8)
+    pr8 = best_of("pagerank_1m_fixed_p8", lambda: pagerank(
+        g, tolerance=1e-6, max_iterations=60, execution="ray",
+        num_partitions=8))
+    extra["fixed_p8_ns_per_edge"] = round(
+        timings["pagerank_1m_fixed_p8"] / (pr8.ran_iterations * g.num_edges)
+        * 1e9, 2)
     g.shard_refs(min(NUM_CPUS, 32), "undirected")
     best_of("wcc_1m", lambda: wcc(g, execution="ray"))
 

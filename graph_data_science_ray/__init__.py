@@ -14,12 +14,14 @@ from .pipelines.labelprop import label_propagation
 from .functions.knn import knn_graph
 from .functions.nodesim import node_similarity
 from .pipelines.betweenness import betweenness_centrality
+from .pipelines.centrality import closeness_centrality, harmonic_centrality
 from .pipelines.coloring import k1_coloring, modularity_optimization
 from .pipelines.fastrp import fastrp
 from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.paths import dijkstra, shortest_paths
+from .pipelines.scc import scc
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
@@ -34,6 +36,7 @@ __all__ = [
     "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
     "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
+    "closeness_centrality", "harmonic_centrality", "scc",
     "degree_distribution", "filter_subgraph",
 ]
 

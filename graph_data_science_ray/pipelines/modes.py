@@ -65,6 +65,87 @@ def score_stats(values: np.ndarray) -> dict:
             "mean": float(values.mean()), **pct}
 
 
+def stream_relationship_properties(graph) -> pa.Table:
+    """gds.graph.streamRelationshipProperties analogue: the edge table with its
+    property column(s) as rows (src, dst, weight)."""
+    cols = {"src": graph.src, "dst": graph.dst}
+    if graph.weight is not None:
+        cols["weight"] = graph.weight
+    return pa.table(cols)
+
+
+def write_relationships(rel_table, path: str, *, src_col: str = "src",
+                        dst_col: str = "dst") -> dict:
+    """gds.graph.writeRelationship analogue: persist a relationship set (e.g. a
+    similarity result (node1, node2, similarity)) as a canonical edge parquet.
+    Accepts a pyarrow Table or a Ray Dataset (written in parallel per block)."""
+    import os
+    if hasattr(rel_table, "write_parquet"):  # Ray Dataset: parallel block write
+        os.makedirs(path, exist_ok=True)
+        rel_table.write_parquet(path)
+        rows = rel_table.count()
+    else:
+        t = rel_table
+        names = list(t.column_names)
+        rename = {src_col: "src", dst_col: "dst"}
+        t = t.rename_columns([rename.get(c, c) for c in names])
+        pq.write_table(t, path)
+        rows = t.num_rows
+    return {"writePath": path, "relationshipsWritten": int(rows)}
+
+
+def export_csv(graph, out_dir: str) -> dict:
+    """gds.graph.export CSV analogue (csv/.../GraphStoreToFileExporter.java):
+    vertices.csv + edges.csv + a tiny schema sidecar."""
+    import json
+    import os
+
+    from pyarrow import csv as pacsv
+    os.makedirs(out_dir, exist_ok=True)
+    vcols = {"vid": np.arange(graph.n, dtype=np.int64)}
+    if graph.keys is not None:
+        vcols["key"] = pa.array([str(k) for k in np.asarray(graph.keys,
+                                                            dtype=object)])
+    for pn, pv in graph.node_props.items():
+        vcols[pn] = pv
+    pacsv.write_csv(pa.table(vcols), os.path.join(out_dir, "vertices.csv"))
+    ecols = {"src": graph.src, "dst": graph.dst}
+    if graph.weight is not None:
+        ecols["weight"] = graph.weight
+    pacsv.write_csv(pa.table(ecols), os.path.join(out_dir, "edges.csv"))
+    schema = {"n": graph.n, "weighted": graph.weight is not None,
+              "node_props": sorted(graph.node_props),
+              "has_keys": graph.keys is not None}
+    with open(os.path.join(out_dir, "schema.json"), "w") as f:
+        json.dump(schema, f)
+    return {"exportDir": out_dir, "nodeCount": graph.n,
+            "relationshipCount": graph.num_edges}
+
+
+def import_csv(in_dir: str):
+    """CSV import (csv/.../CsvGraphStoreImporter.java analogue)."""
+    import json
+    import os
+
+    from pyarrow import csv as pacsv
+
+    from ..state.graph import Graph
+    with open(os.path.join(in_dir, "schema.json")) as f:
+        schema = json.load(f)
+    vt = pacsv.read_csv(os.path.join(in_dir, "vertices.csv"))
+    et = pacsv.read_csv(os.path.join(in_dir, "edges.csv"))
+    keys = (np.asarray([str(x) for x in vt.column("key").to_pylist()],
+                       dtype=object) if schema["has_keys"] else None)
+    props = {c: vt.column(c).to_numpy(zero_copy_only=False)
+             for c in vt.column_names if c not in ("vid", "key")}
+    return Graph(schema["n"],
+                 et.column("src").to_numpy(zero_copy_only=False),
+                 et.column("dst").to_numpy(zero_copy_only=False),
+                 et.column("weight").to_numpy(zero_copy_only=False)
+                 if schema["weighted"] else None,
+                 keys=keys, node_props=props)
+
+
 def run(algo: str, graph, mode: str = "stream", *, catalog=None,
         graph_name: Optional[str] = None, mutate_property: Optional[str] = None,
         write_path: Optional[str] = None, **config):

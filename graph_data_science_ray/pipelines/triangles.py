@@ -98,7 +98,8 @@ def _wedges_from_segment(nb_full: np.ndarray, seg_starts, seg_lens, src_vals):
 
 def triangle_count(graph: Graph, *, max_degree: Optional[int] = None,
                    execution: str = "auto", num_partitions: Optional[int] = None,
-                   local_threshold: int = 200_000) -> TriangleCountResult:
+                   local_threshold: int = 200_000,
+                   edge_key_mode: str = "broadcast") -> TriangleCountResult:
     if max_degree is not None and max_degree < 2:
         raise ValueError("maxDegree must be >= 2 (ref TriangleCountBaseConfig.java:34-44)")
     n = graph.n
@@ -122,7 +123,8 @@ def triangle_count(graph: Graph, *, max_degree: Optional[int] = None,
     if execution == "local":
         counts_ranked, total = _count_local(n, rs, rd)
     else:
-        counts_ranked, total = _count_ray(n, rs, rd, num_partitions or 8)
+        counts_ranked, total = _count_ray(n, rs, rd, num_partitions or 8,
+                                          edge_key_mode=edge_key_mode)
     counts = counts_ranked[rank].astype(np.int64)  # back to vid space
     counts[excluded] = -1
     return TriangleCountResult(
@@ -203,7 +205,15 @@ class _WedgeWorker:
         return pa.concat_tables(outs)
 
 
-def _count_ray(n, rs, rd, P):
+def _count_ray(n, rs, rd, P, edge_key_mode="broadcast", num_buckets=64):
+    """Distributed wedge-join.  ``edge_key_mode``:
+
+    * "broadcast" — the sorted |E| edge-key array is put once and mapped
+      zero-copy by every wedge worker (fine while |E|·8B fits a node);
+    * "bucketed"  — the 100 TB degradation: edge keys are split into
+      ``num_buckets`` hash buckets (one object each); wedges route to their
+      key's bucket and match against ONLY that bucket's keys — no worker ever
+      maps the full edge set.  Same counts, one extra shuffle."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -214,7 +224,10 @@ def _count_ray(n, rs, rd, P):
         plo, phi = int(bounds[p]), int(bounds[p + 1])
         i, j = np.searchsorted(rs, [plo, phi])
         shard_refs.append(ray.put(build_csr_shard(plo, phi, rs[i:j], rd[i:j])))
-    edge_keys_ref = ray.put(rs * n + rd)  # sorted ascending (rs, rd lexsorted)
+    keys_sorted = rs * n + rd  # sorted ascending (rs, rd lexsorted)
+    if edge_key_mode == "bucketed":
+        return _count_ray_bucketed(n, keys_sorted, shard_refs, num_buckets)
+    edge_keys_ref = ray.put(keys_sorted)
     # one block per partition id — from_arrow gives a single block, which would
     # run the whole wedge stage as one task; repartition fans it out
     parts_ds = ray.data.from_arrow(
@@ -222,6 +235,90 @@ def _count_ray(n, rs, rd, P):
         .repartition(len(shard_refs))
     partials = parts_ds.map_batches(_WedgeWorker(shard_refs, n, edge_keys_ref),
                                     batch_format="pyarrow", batch_size=1)
+    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
+    t_refs = [ray.get(r) for r in per_node.to_arrow_refs()]
+    tabs = [t for t in t_refs if t.num_rows and t.num_columns]
+    counts = np.zeros(n, dtype=np.int64)
+    if tabs:
+        t = pa.concat_tables(tabs)
+        counts[t.column("vid").to_numpy(zero_copy_only=False)] = \
+            t.column("triangles").to_numpy(zero_copy_only=False)
+    total = int(counts.sum()) // 3
+    return counts, total
+
+
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)).astype(np.int64) % num_buckets
+
+
+class _WedgeEmitter:
+    """Stage 1 of the bucketed path: emit wedges as (bucket, key, a, b, c)
+    rows — no edge-key access at all."""
+
+    def __init__(self, shard_refs, n, num_buckets):
+        self.shard_refs = shard_refs
+        self.n = n
+        self.num_buckets = num_buckets
+        self.__name__ = "wedge_emit"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        outs = []
+        for p in batch.column("part").to_pylist():
+            sh = ray.get(self.shard_refs[p])
+            deg = np.diff(sh.indptr)
+            srcs = np.nonzero(deg >= 2)[0]
+            if srcs.shape[0] == 0:
+                continue
+            wa, wb, wc = _wedges_from_segment(sh.indices.astype(np.int64),
+                                              sh.indptr[srcs],
+                                              deg[srcs], srcs + sh.lo)
+            key = wb * self.n + wc
+            outs.append(pa.table({
+                "bucket": _bucket_of(key, self.num_buckets),
+                "key": key, "a": wa, "b": wb, "c": wc}))
+        if not outs:
+            e = np.empty(0, np.int64)
+            return pa.table({"bucket": e, "key": e, "a": e, "b": e, "c": e})
+        return pa.concat_tables(outs)
+
+
+def _count_ray_bucketed(n, keys_sorted, shard_refs, num_buckets):
+    """Hash-bucketed wedge↔edge matching: per-bucket sorted key arrays are
+    separate objects; each bucket group matches only against its own keys."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    kb = _bucket_of(keys_sorted, num_buckets)
+    bucket_refs = {int(b): ray.put(np.sort(keys_sorted[kb == b]))
+                   for b in np.unique(kb)}
+
+    def _match(g: pa.Table) -> pa.Table:
+        b = int(g.column("bucket")[0].as_py())
+        keys = ray.get(bucket_refs[b]) if b in bucket_refs else None
+        wkey = g.column("key").to_numpy(zero_copy_only=False)
+        if keys is None or keys.shape[0] == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"vid": e, "cnt": e})
+        pos = np.searchsorted(keys, wkey)
+        pos[pos >= keys.shape[0]] = keys.shape[0] - 1
+        m = keys[pos] == wkey
+        if not m.any():
+            e = np.empty(0, np.int64)
+            return pa.table({"vid": e, "cnt": e})
+        vids = np.concatenate([g.column(c).to_numpy(zero_copy_only=False)[m]
+                               for c in ("a", "b", "c")])
+        uq, inv = np.unique(vids, return_inverse=True)
+        return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
+
+    parts_ds = ray.data.from_arrow(
+        pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)})) \
+        .repartition(len(shard_refs))
+    wedges = parts_ds.map_batches(_WedgeEmitter(shard_refs, n, num_buckets),
+                                  batch_format="pyarrow", batch_size=1)
+    partials = wedges.groupby("bucket").map_groups(_match, batch_format="pyarrow")
     per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
     t_refs = [ray.get(r) for r in per_node.to_arrow_refs()]
     tabs = [t for t in t_refs if t.num_rows and t.num_columns]

@@ -1,0 +1,95 @@
+"""Alpha-tier algorithms: closeness/harmonic centrality (GDS fixtures) and SCC
+(Tarjan vs forward-backward equality, brute-force reachability oracle)."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import Graph
+from graph_data_science_ray.pipelines.centrality import (closeness_centrality,
+                                                         harmonic_centrality)
+from graph_data_science_ray.pipelines.scc import scc
+
+
+class TestCloseness:
+    def test_path_graph_fixture(self):
+        """ClosenessCentralityTest.java:55-100: 5-path, expected
+        0.4 0.57 0.67 0.57 0.4."""
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"),
+                 ("d", "c"), ("d", "e"), ("e", "d")]
+        g = Graph.from_edge_list(edges, nodes=list("abcde"))
+        c = closeness_centrality(g).column("centrality") \
+            .to_numpy(zero_copy_only=False)
+        np.testing.assert_allclose(c, [0.4, 4 / 7, 2 / 3, 4 / 7, 0.4], atol=0.01)
+
+    def test_wasserman_faust(self):
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"),
+                 ("d", "c"), ("d", "e"), ("e", "d")]
+        g = Graph.from_edge_list(edges, nodes=list("abcde"))
+        c = closeness_centrality(g, wasserman_faust=True) \
+            .column("centrality").to_numpy(zero_copy_only=False)
+        base = np.asarray([0.4, 4 / 7, 2 / 3, 4 / 7, 0.4])
+        np.testing.assert_allclose(c, base, atol=0.01)  # reach=n-1 here → same
+
+    def test_distributed_matches(self):
+        rng = np.random.default_rng(81)
+        g = Graph.from_edges(rng.integers(0, 80, 300), rng.integers(0, 80, 300),
+                             n=80, aggregation="single")
+        a = closeness_centrality(g, execution="local").column("centrality")
+        b = closeness_centrality(g, execution="ray").column("centrality")
+        np.testing.assert_allclose(a.to_numpy(zero_copy_only=False),
+                                   b.to_numpy(zero_copy_only=False), atol=1e-12)
+
+
+class TestHarmonic:
+    def test_fixture(self):
+        """HarmonicCentralityTest.java:40-83: a-b, b-c, d-e undirected →
+        0.375, 0.5, 0.375, 0.25, 0.25."""
+        g = Graph.from_edge_list([("a", "b"), ("b", "c"), ("d", "e")],
+                                 nodes=list("abcde"), orientation="undirected")
+        c = harmonic_centrality(g).column("centrality") \
+            .to_numpy(zero_copy_only=False)
+        np.testing.assert_allclose(c, [0.375, 0.5, 0.375, 0.25, 0.25], atol=0.01)
+
+
+class TestScc:
+    def _brute(self, g):
+        n = g.n
+        reach = np.zeros((n, n), dtype=bool)
+        np.fill_diagonal(reach, True)
+        for s, d in zip(g.src, g.dst):
+            reach[s, d] = True
+        for k in range(n):
+            reach |= reach[:, k][:, None] & reach[k, :][None, :]
+        comp = np.full(n, -1, dtype=np.int64)
+        for v in range(n):
+            members = np.nonzero(reach[v] & reach[:, v])[0]
+            comp[v] = members.min()
+        return comp
+
+    def test_cycles_and_tails(self):
+        # two 3-cycles bridged one-way, plus a dangling tail
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (5, 6)]
+        g = Graph.from_edges([e[0] for e in edges], [e[1] for e in edges], n=7)
+        c = scc(g, execution="local").column("component") \
+            .to_numpy(zero_copy_only=False)
+        assert c.tolist() == [0, 0, 0, 3, 3, 3, 6]
+
+    @pytest.mark.parametrize("mode", ["local", "fb"])
+    def test_random_vs_bruteforce(self, mode):
+        rng = np.random.default_rng(82)
+        n, m = 40, 120
+        g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                             aggregation="single")
+        c = scc(g, execution=mode).column("component") \
+            .to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(c, self._brute(g))
+
+    def test_tarjan_equals_fb(self):
+        rng = np.random.default_rng(83)
+        n, m = 300, 900
+        g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                             aggregation="single")
+        a = scc(g, execution="local").column("component")
+        b = scc(g, execution="fb").column("component")
+        np.testing.assert_array_equal(a.to_numpy(zero_copy_only=False),
+                                      b.to_numpy(zero_copy_only=False))

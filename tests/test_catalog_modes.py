@@ -159,3 +159,52 @@ def test_resave_with_fewer_partitions_drops_stale_parts(tmp_path):
     g.save(d, num_partitions=2)
     g2 = Graph.load(d)
     assert g2.num_edges == g.num_edges
+
+
+def test_stream_relationship_properties():
+    import numpy as np
+
+    from graph_data_science_ray import Graph
+    from graph_data_science_ray.pipelines.modes import (
+        stream_relationship_properties)
+    g = Graph.from_edge_list([("a", "b", 2.0), ("b", "c", 0.5)])
+    t = stream_relationship_properties(g)
+    assert t.column_names == ["src", "dst", "weight"]
+    assert sorted(t.column("weight").to_pylist()) == [0.5, 2.0]
+
+
+def test_write_relationships_roundtrip(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_data_science_ray import Graph, node_similarity
+    from graph_data_science_ray.pipelines.modes import write_relationships
+    g = Graph.from_edge_list([("a", "i1"), ("b", "i1"), ("a", "i2"), ("b", "i2")],
+                             nodes=["a", "b", "i1", "i2"])
+    sims = node_similarity(g, top_k=0, similarity_cutoff=0.0)
+    out = write_relationships(sims, str(tmp_path / "sims.parquet"),
+                              src_col="node1", dst_col="node2")
+    assert out["relationshipsWritten"] == sims.num_rows
+    back = pq.read_table(str(tmp_path / "sims.parquet"))
+    assert back.column_names == ["src", "dst", "similarity"]
+
+
+def test_csv_export_import_roundtrip(tmp_path):
+    import numpy as np
+
+    from graph_data_science_ray import Graph, pagerank
+    from graph_data_science_ray.pipelines.modes import export_csv, import_csv
+    rng = np.random.default_rng(71)
+    g = Graph.from_edges(rng.integers(0, 40, 120), rng.integers(0, 40, 120),
+                         rng.random(120), n=40,
+                         node_props={"seed": np.arange(40)})
+    export_csv(g, str(tmp_path / "csv"))
+    g2 = import_csv(str(tmp_path / "csv"))
+    assert (g2.n, g2.num_edges) == (g.n, g.num_edges)
+    assert np.array_equal(g2.src, g.src) and np.allclose(g2.weight, g.weight)
+    assert np.array_equal(g2.node_props["seed"], g.node_props["seed"])
+    s1 = pagerank(g, execution="local").table.column("score")
+    s2 = pagerank(g2, execution="local").table.column("score")
+    np.testing.assert_allclose(s1.to_numpy(zero_copy_only=False),
+                               s2.to_numpy(zero_copy_only=False), atol=1e-12)

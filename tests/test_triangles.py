@@ -128,3 +128,22 @@ class TestRandomizedVsBruteForce:
                             per_node[[a, b, c]] += 1
             assert res.global_count == total, trial
             assert np.array_equal(counts(res), per_node), trial
+
+
+def test_bucketed_edge_key_mode_matches():
+    """The 100 TB degradation path (hash-bucketed wedge-edge matching) counts
+    identically to the broadcast path."""
+    import numpy as np
+
+    from graph_data_science_ray import Graph, triangle_count
+    rng = np.random.default_rng(61)
+    n, m = 400, 3000
+    g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                         orientation="undirected", aggregation="single")
+    a = triangle_count(g, execution="ray", num_partitions=4)
+    b = triangle_count(g, execution="ray", num_partitions=4,
+                       edge_key_mode="bucketed")
+    assert a.global_count == b.global_count
+    assert np.array_equal(
+        a.table.column("triangles").to_numpy(zero_copy_only=False),
+        b.table.column("triangles").to_numpy(zero_copy_only=False))
