@@ -21,7 +21,9 @@ from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.paths import dijkstra, shortest_paths
+from .pipelines.paths_local import astar, yens
 from .pipelines.scc import scc
+from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
 from .pipelines.wcc import wcc
@@ -36,7 +38,8 @@ __all__ = [
     "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
     "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
-    "closeness_centrality", "harmonic_centrality", "scc",
+    "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
+    "random_walks",
     "degree_distribution", "filter_subgraph",
 ]
 

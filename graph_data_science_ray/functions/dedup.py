@@ -176,16 +176,41 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     bands = sigs.map_batches(lambda t: bands_table(t, num_bands),
                              batch_format="pyarrow", batch_size=256)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.shape[0] < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(ids.shape[0], k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    # hash-bucket the band key: one vectorized map_groups call per BUCKET
+    # (segment pair-expansion over all the bucket's band groups at once) —
+    # a per-band-group map_groups pays Ray's per-group overhead once per
+    # DISTINCT band hash, i.e. ~n_docs×bands times (measured 37s → <1s at 8k docs)
+    num_pair_buckets = 64
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        _pairs, batch_format="pandas")
+    def _tag(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (h ^ (b * np.uint64(0x9E3779B97F4A7C15)))
+        return t.append_column("bucket", pa.array(
+            ((mix * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
+            .astype(np.int64) % num_pair_buckets))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        from ..pipelines.triangles import _wedges_from_segment
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        seg = np.concatenate(([True], (band[1:] != band[:-1])
+                              | (bh[1:] != bh[:-1])))
+        seg_starts = np.nonzero(seg)[0]
+        seg_lens = np.diff(np.append(seg_starts, band.shape[0]))
+        _, ii, jj = _wedges_from_segment(
+            np.arange(doc.shape[0], dtype=np.int64), seg_starts, seg_lens,
+            np.zeros(seg_starts.shape[0], dtype=np.int64))
+        if ii.shape[0] == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        return pa.table({"doc_a": doc[ii], "doc_b": doc[jj]})
+
+    cand = bands.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
     # distributed pair dedup (same pair surfaces from multiple bands); the
     # deduped pair set is bounded by the banding math (≪ corpus) — materialize
     # it so the two verify joins don't re-execute the signature pipeline

@@ -93,3 +93,59 @@ class TestScc:
         b = scc(g, execution="fb").column("component")
         np.testing.assert_array_equal(a.to_numpy(zero_copy_only=False),
                                       b.to_numpy(zero_copy_only=False))
+
+
+class TestRandomWalks:
+    def _graph(self):
+        rng = np.random.default_rng(91)
+        n, m = 60, 400
+        return Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m),
+                                n=n, aggregation="single")
+
+    def test_walks_follow_edges(self):
+        from graph_data_science_ray.pipelines.walks import random_walks
+        g = self._graph()
+        edge_set = set(zip(g.src.tolist(), g.dst.tolist()))
+        t = random_walks(g, walks_per_node=2, walk_length=10, seed=1)
+        assert t.num_rows == g.n * 2
+        for path in t.column("path").to_pylist()[:50]:
+            for a, b in zip(path[:-1], path[1:]):
+                assert (a, b) in edge_set
+
+    def test_deterministic_per_seed(self):
+        from graph_data_science_ray.pipelines.walks import random_walks
+        g = self._graph()
+        a = random_walks(g, walks_per_node=1, walk_length=8, seed=5)
+        b = random_walks(g, walks_per_node=1, walk_length=8, seed=5)
+        assert a.column("path").to_pylist() == b.column("path").to_pylist()
+        c = random_walks(g, walks_per_node=1, walk_length=8, seed=6)
+        assert a.column("path").to_pylist() != c.column("path").to_pylist()
+
+    def test_return_factor_bias(self):
+        """Tiny p (cheap returns) must produce far more immediate backtracks
+        than huge p, on an undirected path-rich graph."""
+        from graph_data_science_ray.pipelines.walks import random_walks
+        rng = np.random.default_rng(92)
+        n, m = 40, 200
+        g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m),
+                             n=n, orientation="undirected", aggregation="single")
+
+        def backtrack_rate(p):
+            t = random_walks(g, walks_per_node=4, walk_length=20,
+                             return_factor=p, seed=3)
+            back = total = 0
+            for path in t.column("path").to_pylist():
+                for i in range(2, len(path)):
+                    total += 1
+                    back += path[i] == path[i - 2]
+            return back / max(total, 1)
+
+        assert backtrack_rate(0.05) > backtrack_rate(20.0) + 0.1
+
+    def test_sink_terminates_walk(self):
+        from graph_data_science_ray.pipelines.walks import random_walks
+        g = Graph.from_edges([0, 1], [1, 2], n=3)  # 2 is a sink
+        t = random_walks(g, walks_per_node=1, walk_length=10, seed=2)
+        paths = {r["start_node"]: r["path"] for r in t.to_pylist()}
+        assert paths[0] == [0, 1, 2]
+        assert paths[2] == [2]

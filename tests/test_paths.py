@@ -125,3 +125,71 @@ class TestDijkstraPaths:
         by_target = {r["target_node"]: r for r in t.to_pylist()}
         assert by_target[2]["node_ids"] == [0, 2]  # direct hop beats a,b,c
         assert by_target[2]["total_cost"] == 1.0
+
+
+class TestAStar:
+    """AStarTest.java:85-135: shipping-route fixture, expected path nA..nH,nX
+    with aggregated costs."""
+
+    def test_source_target(self):
+        import numpy as np
+
+        from graph_data_science_ray import Graph
+        from graph_data_science_ray.pipelines.paths_local import astar
+        nodes = ["nA", "nB", "nC", "nD", "nE", "nF", "nG", "nH", "nI", "nJ",
+                 "nK", "nL", "nM", "nN", "nO", "nP", "nX"]
+        lat = {"nA": 1.304444, "nB": 1.1892, "nC": 8.83055556, "nD": 10.82916667,
+               "nE": 11.9675, "nF": 16.0728, "nG": 20.5325, "nH": 29.32611111,
+               "nI": -2.0428, "nJ": -8.3256, "nK": -8.5945, "nL": -8.2211,
+               "nM": -1.8558, "nN": 3.96861111, "nO": 12.76305556,
+               "nP": 22.32027778, "nX": 35.562222}
+        lon = {"nA": 103.717373, "nB": 103.4689, "nC": 111.8725,
+               "nD": 113.9722222, "nE": 115.2366667, "nF": 119.6128,
+               "nG": 121.845, "nH": 131.2988889, "nI": 108.6225, "nJ": 115.8872,
+               "nK": 116.6867, "nL": 125.2411, "nM": 126.5572, "nN": 128.3052778,
+               "nO": 131.2980556, "nP": 134.7, "nX": 140.059187}
+        edges = [("nA", "nB", 29.0), ("nB", "nC", 694.0), ("nC", "nD", 172.0),
+                 ("nD", "nE", 101.0), ("nE", "nF", 357.0), ("nF", "nG", 299.0),
+                 ("nG", "nH", 740.0), ("nH", "nX", 587.0), ("nB", "nI", 389.0),
+                 ("nI", "nJ", 584.0), ("nJ", "nK", 82.0), ("nK", "nL", 528.0),
+                 ("nL", "nM", 391.0), ("nM", "nN", 364.0), ("nN", "nO", 554.0),
+                 ("nO", "nP", 603.0), ("nP", "nX", 847.0)]
+        order = sorted(nodes)
+        g = Graph.from_edge_list(edges, nodes=order, node_props={
+            "latitude": lat, "longitude": lon})
+        s, t = order.index("nA"), order.index("nX")
+        res = astar(g, s, t)
+        assert res.num_rows == 1
+        path = res.column("node_ids").to_pylist()[0]
+        names = [order[v] for v in path]
+        assert names == ["nA", "nB", "nC", "nD", "nE", "nF", "nG", "nH", "nX"]
+        np.testing.assert_allclose(
+            res.column("costs").to_pylist()[0],
+            [0.0, 29.0, 723.0, 895.0, 996.0, 1353.0, 1652.0, 2392.0, 2979.0])
+
+
+class TestYens:
+    """YensTest.java:85-165: k=1..7 expected paths c→h, including the
+    equal-cost tie emission order."""
+
+    EXPECTED = [
+        (5.0, "cefh"), (7.0, "cegh"), (8.0, "cdfh"), (8.0, "cedfh"),
+        (8.0, "cefgh"), (11.0, "cdfgh"), (11.0, "cedfgh")]
+
+    def _graph(self):
+        from graph_data_science_ray import Graph
+        edges = [("c", "d", 3.0), ("c", "e", 2.0), ("d", "f", 4.0),
+                 ("e", "d", 1.0), ("e", "f", 2.0), ("e", "g", 3.0),
+                 ("f", "g", 2.0), ("f", "h", 1.0), ("g", "h", 2.0)]
+        return Graph.from_edge_list(edges, nodes=list("cdefgh"))
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6, 7])
+    def test_k_paths(self, k):
+        from graph_data_science_ray.pipelines.paths_local import yens
+        g = self._graph()
+        nodes = list("cdefgh")
+        res = yens(g, nodes.index("c"), nodes.index("h"), k=k)
+        got = [(c, "".join(nodes[v] for v in p))
+               for c, p in zip(res.column("total_cost").to_pylist(),
+                               res.column("node_ids").to_pylist())]
+        assert got == [e for e in self.EXPECTED[:k]]
