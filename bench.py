@@ -214,13 +214,16 @@ def run_scaling_suite() -> dict:
     # num_cpus=32/P=8 matches num_cpus=8/P=8, the efficiency loss of the
     # 32-actor run is DRAM saturation (adding actors on one box multiplies
     # cores, not memory controllers), which real added NODES would restore.
+    # diagnostic, NOT part of the timed suite (it deliberately under-uses the
+    # larger CPU count, so including it would misstate suite efficiency)
     g.shard_refs(8)
-    pr8 = best_of("pagerank_1m_fixed_p8", lambda: pagerank(
-        g, tolerance=1e-6, max_iterations=60, execution="ray",
-        num_partitions=8))
+    t0 = time.perf_counter()
+    pr8 = pagerank(g, tolerance=1e-6, max_iterations=60, execution="ray",
+                   num_partitions=8)
+    dt8 = time.perf_counter() - t0
+    extra["fixed_p8_sec"] = round(dt8, 3)
     extra["fixed_p8_ns_per_edge"] = round(
-        timings["pagerank_1m_fixed_p8"] / (pr8.ran_iterations * g.num_edges)
-        * 1e9, 2)
+        dt8 / (pr8.ran_iterations * g.num_edges) * 1e9, 2)
     g.shard_refs(min(NUM_CPUS, 32), "undirected")
     best_of("wcc_1m", lambda: wcc(g, execution="ray"))
 
@@ -228,11 +231,13 @@ def run_scaling_suite() -> dict:
     best_of("triangles_300k", lambda: triangle_count(
         gt, execution="ray", num_partitions=min(NUM_CPUS, 32)))
 
-    docs = _synthetic_docs(8000)
+    # 40k docs: after the vectorized band-pair fix the 8k corpus finishes in
+    # ~2s — too fixed-cost-bound to measure scaling
+    docs = _synthetic_docs(40_000)
     # repartition: a single-table from_arrow is ONE block → one task; split it so
     # the CPU-bound signature stage fans out across the pool
     docs_ds = ray.data.from_arrow(docs).repartition(NUM_CPUS * 8)
-    best_of("minhash_8k_docs", lambda: minhash_near_dups(
+    best_of("minhash_40k_docs", lambda: minhash_near_dups(
         docs_ds, threshold=0.6).count())
 
     cdir = _corpus_dir()
@@ -291,6 +296,11 @@ def run_scaling() -> dict:
         "queries_8": q8, "queries_32": q32,
         "pagerank_edges_per_sec_8": out[8].get("pagerank_edges_per_sec"),
         "pagerank_edges_per_sec_32": out[32].get("pagerank_edges_per_sec"),
+        # bandwidth-control diagnostic: identical job, fixed 8-actor pool
+        "fixed_p8_sec_8": out[8].get("fixed_p8_sec"),
+        "fixed_p8_sec_32": out[32].get("fixed_p8_sec"),
+        "fixed_p8_ns_per_edge_8": out[8].get("fixed_p8_ns_per_edge"),
+        "fixed_p8_ns_per_edge_32": out[32].get("fixed_p8_ns_per_edge"),
     }
 
 

@@ -218,7 +218,16 @@ def _count_ray(n, rs, rd, P, edge_key_mode="broadcast", num_buckets=64):
     import ray.data
     from ray.data.aggregate import Sum
 
-    bounds = degree_balanced_bounds(n, P, rs)
+    # balance shards by WEDGE count (Σ C(outdeg,2)), not edge count — the
+    # per-shard work is quadratic in out-degree, so edge-balanced ranges leave
+    # one shard holding most of the wedges (stragglers)
+    outdeg = np.bincount(rs, minlength=n).astype(np.float64)
+    wedge_w = outdeg * np.maximum(outdeg - 1.0, 0.0) / 2.0
+    cum = np.cumsum(wedge_w)
+    total_w = cum[-1] if cum[-1] > 0 else 1.0
+    targets = total_w * np.arange(1, P) / P
+    cuts = np.searchsorted(cum, targets)
+    bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
     shard_refs = []
     for p in range(len(bounds) - 1):
         plo, phi = int(bounds[p]), int(bounds[p + 1])
