@@ -169,6 +169,36 @@ def _q_closeness_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "centrality": np.round(c[present], 6)})
 
 
+def _q_conductance_nations(sf_dir: str):
+    """Conductance of the nation partition on the hierarchy graph: each
+    nation-community's only external edge is nation→region, so
+    conductance = 1/(1+members).  Regions carry community -1 (excluded)."""
+    from graph_data_science_ray import conductance
+    from graph_data_science_ray.pipelines.tpch_graph import (NATION_OFF,
+                                                             SUPP_OFF,
+                                                             hierarchy_graph)
+    import ray.data
+    g, cust_off = hierarchy_graph(sf_dir)
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey"]).to_pandas()
+    supplier = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                     columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+    comm = np.full(g.n, -1, dtype=np.int64)
+    comm[NATION_OFF + nation["n_nationkey"].to_numpy()] = \
+        nation["n_nationkey"].to_numpy()
+    comm[SUPP_OFF + supplier["s_suppkey"].to_numpy()] = \
+        supplier["s_nationkey"].to_numpy()
+    comm[cust_off + customer["c_custkey"].to_numpy()] = \
+        customer["c_nationkey"].to_numpy()
+    res = conductance(g, comm)
+    t = res["table"]
+    return pa.table({"community": t.column("community"),
+                     "conductance": np.round(
+                         t.column("conductance").to_numpy(zero_copy_only=False), 6)})
+
+
 def _q_degree_cosupply(sf_dir: str):
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
     g = cosupply_graph(sf_dir)
@@ -428,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_similarity_suppliers": _q_node_similarity_suppliers,
         "betweenness_hierarchy": _q_betweenness_hierarchy,
         "closeness_hierarchy": _q_closeness_hierarchy,
+        "conductance_nations": _q_conductance_nations,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         "modularity_regions": _q_modularity_regions,
         "lcc_cosupply": _q_lcc_cosupply,
@@ -544,6 +575,15 @@ SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
 UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
 UNION ALL SELECT n_regionkey, 2.0
           FROM c JOIN nation ON n_nationkey = c.c_nationkey
+""",
+        "conductance_nations": """
+WITH members AS (
+  SELECT n_nationkey AS nk,
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n_nationkey)
+       + (SELECT count(*) FROM customer c WHERE c.c_nationkey = n_nationkey)
+         AS m
+  FROM nation)
+SELECT nk AS community, round(1.0 / (1.0 + m), 6) AS conductance FROM members
 """,
         "closeness_hierarchy": """
 WITH members AS (

@@ -15,7 +15,8 @@ from .functions.knn import knn_graph
 from .functions.nodesim import node_similarity
 from .pipelines.betweenness import betweenness_centrality
 from .pipelines.centrality import closeness_centrality, harmonic_centrality
-from .pipelines.coloring import k1_coloring, modularity_optimization
+from .pipelines.coloring import (conductance, k1_coloring,
+                                 modularity_optimization)
 from .pipelines.fastrp import fastrp
 from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
@@ -39,7 +40,7 @@ __all__ = [
     "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
-    "random_walks",
+    "random_walks", "conductance",
     "degree_distribution", "filter_subgraph",
 ]
 

@@ -38,6 +38,36 @@ def k1_coloring(graph: Graph, *, max_iterations: int = 10) -> dict:
             "conflicts": conflicts}
 
 
+def conductance(graph: Graph, communities, *, weighted: bool = False) -> dict:
+    """Per-community conductance = external / (external + internal) over the
+    stored edges, classifying each edge by its SOURCE's community; negative
+    community ids are excluded from enumeration but count as external targets —
+    ref alpha/.../impl/conductance/Conductance.java:248-274,300-330.
+
+    Returns {table(community, conductance), global_average}."""
+    comm = np.asarray(communities, dtype=np.int64)
+    w = (graph.weight if (weighted and graph.weight is not None)
+         else np.ones(graph.num_edges))
+    cs = comm[graph.src]
+    keep = cs >= 0
+    cs = cs[keep]
+    internal_mask = cs == comm[graph.dst[keep]]
+    # remap to dense for bincount
+    uq = np.unique(comm[comm >= 0])
+    idx = np.searchsorted(uq, cs)
+    internal = np.bincount(idx[internal_mask], weights=w[keep][internal_mask],
+                           minlength=uq.shape[0])
+    external = np.bincount(idx[~internal_mask], weights=w[keep][~internal_mask],
+                           minlength=uq.shape[0])
+    tot = internal + external
+    valid = tot > 0
+    cond = np.zeros(uq.shape[0])
+    cond[valid] = external[valid] / tot[valid]
+    table = pa.table({"community": uq[valid], "conductance": cond[valid]})
+    avg = float(cond[valid].mean()) if valid.any() else 0.0
+    return {"table": table, "global_average": avg}
+
+
 def modularity_optimization(graph: Graph, *, max_iterations: int = 10,
                             tolerance: float = 0.0001,
                             seed_property: Optional[str] = None,

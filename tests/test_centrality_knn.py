@@ -199,3 +199,32 @@ class TestFastRP:
         e = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(e, axis=1)
         assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+
+class TestConductance:
+    def test_fixture(self):
+        """ConductanceStreamProcTest: communities {a,b,c}=0, {d,e,f,g}=1, h=-1;
+        unweighted expected 5/7 and 4/5."""
+        from graph_data_science_ray.pipelines.coloring import conductance
+        nodes = list("abcdefgh")
+        edges = [("a", "b", 81.0), ("a", "d", 7.0), ("b", "d", 1.0),
+                 ("b", "g", 1.0), ("b", "h", 3.0), ("c", "b", 45.0),
+                 ("c", "e", 3.0), ("d", "c", 3.0), ("e", "b", 1.0),
+                 ("f", "a", 3.0), ("g", "c", 4.0), ("g", "g", 999.0),
+                 ("h", "a", 2.0)]
+        g = Graph.from_edge_list(edges, nodes=nodes)
+        comm = np.array([0, 0, 0, 1, 1, 1, 1, -1], dtype=np.int64)
+        res = conductance(g, comm)
+        got = dict(zip(res["table"].column("community").to_pylist(),
+                       res["table"].column("conductance").to_pylist()))
+        assert got[0] == pytest.approx(5.0 / 7.0, abs=1e-4)
+        assert got[1] == pytest.approx(4.0 / 5.0, abs=1e-4)
+
+    def test_weighted(self):
+        from graph_data_science_ray.pipelines.coloring import conductance
+        g = Graph.from_edge_list([("a", "b", 10.0), ("a", "c", 30.0)],
+                                 nodes=list("abc"))
+        res = conductance(g, np.array([0, 0, 1]), weighted=True)
+        got = dict(zip(res["table"].column("community").to_pylist(),
+                       res["table"].column("conductance").to_pylist()))
+        assert got[0] == pytest.approx(30.0 / 40.0)
