@@ -145,13 +145,33 @@ def exact_dedup(docs_ds):
                for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
 
-    from ray.data.aggregate import Count, Min
-
     fps = docs_ds.map_batches(_hash, batch_format="pyarrow")
-    # partial-per-block + final combine inside Ray's aggregate — no per-group
-    # pandas frames (one DataFrame per distinct doc was the round-1 bottleneck)
-    return fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"),
-                                       Count(alias_name="dup_count"))
+
+    # hash-bucket the fingerprint + vectorized per-bucket combine (Ray's
+    # sort aggregate over a string key pays a comparison sort of the full
+    # corpus; the bucket key is 64-valued and the combine one lexsort)
+    num_buckets = 64
+
+    def _tag(t: pa.Table) -> pa.Table:
+        from zlib import crc32
+        b = np.asarray([crc32(x.encode()) % num_buckets
+                        for x in t.column("fp").to_pylist()], dtype=np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def _combine(g: pa.Table) -> pa.Table:
+        fp = np.asarray(g.column("fp").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        run = np.concatenate(([True], fp[1:] != fp[:-1]))
+        starts = np.nonzero(run)[0]
+        counts = np.diff(np.append(starts, fp.shape[0]))
+        return pa.table({"fp": pa.array(list(fp[starts])),
+                         "doc_id": ids[starts],  # min doc_id (ids sorted in runs)
+                         "dup_count": counts.astype(np.int64)})
+
+    return fps.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_combine, batch_format="pyarrow")
 
 
 def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,

@@ -215,8 +215,33 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     else:
         edges_ids = _resolve_ids_hash_join(edges_raw, vertices_ds, hash_join)
 
-    agg = edges_ids.groupby(["src", "dst"]).aggregate(
-        Sum("weight", alias_name="weight"))
+    # parallel-edge aggregation via hash-bucketed vectorized combine — Ray's
+    # sort aggregate on a two-column key costs ~9s per million rows; a 64-value
+    # bucket key sorts in seconds and the per-bucket combine is one
+    # lexsort+reduceat (same pattern as NodeSimilarity/minhash)
+    num_agg_buckets = 64
+
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = s * np.uint64(0x9E3779B97F4A7C15) ^ d
+        return t.append_column("bucket", pa.array(
+            ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
+            .astype(np.int64) % num_agg_buckets))
+
+    def _combine_edges(g: pa.Table) -> pa.Table:
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        w = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((d, s))
+        s, d, w = s[order], d[order], w[order]
+        run = np.concatenate(([True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])))
+        starts = np.nonzero(run)[0]
+        return pa.table({"src": s[starts], "dst": d[starts],
+                         "weight": np.add.reduceat(w, starts)})
+
+    agg = edges_ids.map_batches(_tag_edge, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_combine_edges, batch_format="pyarrow")
     # materialized in the OBJECT STORE (distributed, spillable) so the bounds
     # sample and the two layout writes don't re-execute the whole pipeline
     agg = agg.materialize()

@@ -23,15 +23,35 @@ def _tumble_partial(batch: pa.Table, window: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
-def tumbling_window(events_ds, window: str = "h"):
-    """(user_id, window_start, n_events, sum_value) per tumbling window."""
-    from ray.data.aggregate import Sum
+_NUM_BUCKETS = 64
 
+
+def _user_bucket(t: pa.Table) -> pa.Table:
+    u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
+        % np.uint64(_NUM_BUCKETS)
+    return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+
+def tumbling_window(events_ds, window: str = "h"):
+    """(user_id, window_start, n_events, sum_value) per tumbling window.
+
+    Final combine is hash-bucketed by user (all of a user's windows land in one
+    group) with a vectorized in-group reduce — Ray's two-key sort aggregate on
+    (user, window) pays a comparison sort of every partial row."""
     partial = events_ds.map_batches(lambda t: _tumble_partial(t, window),
                                     batch_format="pyarrow")
-    return partial.groupby(["user_id", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"))
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "window_start"], sort=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum")).reset_index()
+        return out
+
+    return partial.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: _combine(g.drop(columns=["bucket"])),
+            batch_format="pandas")
 
 
 def sessionize(events_ds, gap_seconds: float = 1800.0):
@@ -40,13 +60,19 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
     (groupby(user).map_groups over ts-sorted rows)."""
 
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        sid = (gaps > gap_seconds).cumsum()
+        # one vectorized pass over a whole USER-BUCKET: sort (user, ts), a
+        # user change or a gap > threshold starts a new session id
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gaps = g["ts"].diff().dt.total_seconds()
+        sid = (new_user | (gaps > gap_seconds)).cumsum()
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"), session_start=("ts", "min"),
             session_end=("ts", "max"), n_events=("ts", "size"),
             sum_value=("value", "sum"))
         return out.reset_index(drop=True)
 
-    return events_ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return events_ds.map_batches(_user_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: _sessions(g.drop(columns=["bucket"])),
+            batch_format="pandas")
