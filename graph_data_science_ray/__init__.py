@@ -24,6 +24,7 @@ from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.paths import dijkstra, shortest_paths
 from .pipelines.paths_local import astar, yens
 from .pipelines.scc import scc
+from .pipelines.spanning import bfs, dfs, spanning_tree
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import local_clustering_coefficient, triangle_count
@@ -40,7 +41,7 @@ __all__ = [
     "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
-    "random_walks", "conductance",
+    "random_walks", "conductance", "spanning_tree", "bfs", "dfs",
     "degree_distribution", "filter_subgraph",
 ]
 

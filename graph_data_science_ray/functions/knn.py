@@ -17,10 +17,14 @@ import numpy as np
 import pyarrow as pa
 
 
-def knn_graph(emb_ds, k: int = 10, *, batch_size: int = 1024) -> pa.Table:
-    """Exact kNN by cosine similarity: for every vector, its k most similar
-    others.  Returns (node1, node2, similarity) sorted by (node1, rank);
-    ties → smaller node2 (deterministic)."""
+def knn_graph(emb_ds, k: int = 10, *, batch_size: int = 1024,
+              metric: str = "cosine") -> pa.Table:
+    """Exact kNN: for every vector, its k most similar others.  Returns
+    (node1, node2, similarity) sorted by (node1, rank); ties → smaller node2
+    (deterministic).  Metrics (the alpha similarity family —
+    alpha/.../impl/similarity): "cosine" (default), "pearson" (cosine of
+    mean-centered vectors), "euclidean" (similarity = 1/(1+distance), ranking
+    identical to nearest-by-L2)."""
     import ray
 
     ids_l, vecs_l = [], []
@@ -32,15 +36,29 @@ def knn_graph(emb_ds, k: int = 10, *, batch_size: int = 1024) -> pa.Table:
     mat = np.concatenate(vecs_l)
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1e-30
-    matn = mat / norms[:, None]
-    mat_ref = ray.put((ids, matn))
+    if metric == "pearson":
+        mat = mat - mat.mean(axis=1, keepdims=True)
+    if metric in ("cosine", "pearson"):
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1e-30
+        matn = mat / norms[:, None]
+    elif metric == "euclidean":
+        matn = mat  # similarity computed from distances below
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    sq = (matn ** 2).sum(axis=1)
+    mat_ref = ray.put((ids, matn, sq, metric))
 
     @ray.remote
     def _topk(lo, hi):
-        all_ids, m = ray.get(mat_ref)  # zero-copy plasma view
-        sims = m[lo:hi] @ m.T
+        all_ids, m, sqn, met = ray.get(mat_ref)  # zero-copy plasma view
+        if met == "euclidean":
+            # similarity = 1/(1 + L2): same ranking as nearest-by-distance
+            d2 = np.maximum(sqn[lo:hi][:, None] + sqn[None, :]
+                            - 2.0 * (m[lo:hi] @ m.T), 0.0)
+            sims = 1.0 / (1.0 + np.sqrt(d2))
+        else:
+            sims = m[lo:hi] @ m.T
         np.put_along_axis(sims, np.arange(lo, hi)[:, None] , -np.inf, axis=1)
         kk = min(k, m.shape[0] - 1)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]

@@ -149,3 +149,67 @@ class TestRandomWalks:
         paths = {r["start_node"]: r["path"] for r in t.to_pylist()}
         assert paths[0] == [0, 1, 2]
         assert paths[2] == [2]
+
+
+class TestSpanningTree:
+    """PrimTest.java:95-148: 5-node fixture + isolated y,z; min/max trees from
+    every start node agree with a brute-force Kruskal oracle."""
+
+    EDGES = [("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 3.0),
+             ("b", "d", 4.0), ("c", "e", 5.0), ("d", "e", 6.0)]
+    NODES = list("abcde") + ["y", "z"]
+
+    def _graph(self):
+        return Graph.from_edge_list(self.EDGES, nodes=self.NODES)
+
+    def _kruskal_weight(self, maximum):
+        import itertools
+        edges = sorted(self.EDGES, key=lambda e: e[2], reverse=maximum)
+        parent = {n: n for n in self.NODES}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        total = 0.0
+        for a, b, w in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                total += w
+        return total
+
+    @pytest.mark.parametrize("start", range(5))
+    @pytest.mark.parametrize("maximum", [False, True])
+    def test_prim_all_starts(self, start, maximum):
+        from graph_data_science_ray.pipelines.spanning import spanning_tree
+        g = self._graph()
+        res = spanning_tree(g, start, maximum=maximum)
+        assert res["effective_node_count"] == 5
+        t = res["table"]
+        parent = t.column("parent").to_numpy(zero_copy_only=False)
+        assert parent[5] == -1 and parent[6] == -1  # y, z unreached
+        assert res["total_weight"] == pytest.approx(self._kruskal_weight(maximum))
+
+
+class TestTraversal:
+    def test_bfs_order(self):
+        from graph_data_science_ray.pipelines.spanning import bfs
+        g = Graph.from_edge_list([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                                  ("d", "e")], nodes=list("abcde"))
+        t = bfs(g, 0)
+        assert t.column("vid").to_pylist() == [0, 1, 2, 3, 4]
+
+    def test_bfs_max_depth(self):
+        from graph_data_science_ray.pipelines.spanning import bfs
+        g = Graph.from_edge_list([("a", "b"), ("b", "c")], nodes=list("abc"))
+        t = bfs(g, 0, max_depth=1)
+        assert t.column("vid").to_pylist() == [0, 1]
+
+    def test_dfs_preorder(self):
+        from graph_data_science_ray.pipelines.spanning import dfs
+        g = Graph.from_edge_list([("a", "b"), ("a", "c"), ("b", "d")],
+                                 nodes=list("abcd"))
+        t = dfs(g, 0)
+        assert t.column("vid").to_pylist() == [0, 1, 3, 2]  # smaller-vid first

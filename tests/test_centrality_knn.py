@@ -228,3 +228,35 @@ class TestConductance:
         got = dict(zip(res["table"].column("community").to_pylist(),
                        res["table"].column("conductance").to_pylist()))
         assert got[0] == pytest.approx(30.0 / 40.0)
+
+
+class TestKnnMetrics:
+    def test_euclidean_and_pearson_vs_bruteforce(self):
+        import ray.data
+
+        from graph_data_science_ray.functions.knn import knn_graph
+        rng = np.random.default_rng(34)
+        n, d, k = 40, 6, 4
+        vecs = rng.standard_normal((n, d))
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)])
+        # euclidean: nearest by L2
+        t = knn_graph(ds, k=k, batch_size=16, metric="euclidean")
+        for i in range(3):
+            got = [b for a, b in zip(t.column("node1").to_pylist(),
+                                     t.column("node2").to_pylist()) if a == i]
+            dist = np.linalg.norm(vecs - vecs[i], axis=1)
+            dist[i] = np.inf
+            exp = np.lexsort((np.arange(n), dist))[:k]
+            assert got == exp.tolist(), i
+        # pearson: cosine of centered vectors
+        t2 = knn_graph(ds, k=k, batch_size=16, metric="pearson")
+        c = vecs - vecs.mean(axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1)[:, None]
+        sims = cn @ cn.T
+        np.fill_diagonal(sims, -np.inf)
+        for i in range(3):
+            got = [b for a, b in zip(t2.column("node1").to_pylist(),
+                                     t2.column("node2").to_pylist()) if a == i]
+            exp = np.lexsort((np.arange(n), -sims[i]))[:k]
+            assert got == exp.tolist(), i
