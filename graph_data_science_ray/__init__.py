@@ -27,7 +27,8 @@ from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
-from .pipelines.triangles import local_clustering_coefficient, triangle_count
+from .pipelines.triangles import (local_clustering_coefficient, triangle_count,
+                                  triangle_count_streaming)
 from .pipelines.wcc import wcc
 from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
 from .state.graph import Graph, ParquetGraph
@@ -42,6 +43,7 @@ __all__ = [
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "conductance", "spanning_tree", "bfs", "dfs",
+    "triangle_count_streaming",
     "degree_distribution", "filter_subgraph",
 ]
 

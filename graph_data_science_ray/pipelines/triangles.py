@@ -340,6 +340,222 @@ def _count_ray_bucketed(n, keys_sorted, shard_refs, num_buckets):
     return counts, total
 
 
+# --------------------------------------------------------------------------------
+# streaming prep: triangle count over an edge Dataset / ParquetGraph without
+# driver |E| materialization (canonicalization, ranking and shard builds all
+# flow block-to-block; the driver holds only n-sized degree/rank arrays — the
+# same budget as any per-node result)
+# --------------------------------------------------------------------------------
+
+def triangle_count_streaming(source, *, n: Optional[int] = None,
+                             num_partitions: int = 8,
+                             num_buckets: int = 64,
+                             work_dir: Optional[str] = None) -> TriangleCountResult:
+    """Triangle count whose ENTIRE prep is streaming:
+
+    1. canonical pairs (min, max, a≠b) per batch → hash-bucketed distributed
+       dedup (one vectorized combine per bucket);
+    2. degrees accumulated as n-sized partials while the pair stream is
+       consumed once (driver never retains pairs);
+    3. rank relabel + orientation per batch against the broadcast rank array,
+       range-partitioned by WEDGE-balanced rank quantiles and written as a
+       canonical layout — each wedge worker then loads ITS OWN partition
+       (ShardSpec pattern), and the edge-key match runs in the hash-bucketed
+       mode (no full-|E| broadcast anywhere).
+
+    ``source``: a ParquetGraph (reads its edges_fwd layout) or a Ray Dataset
+    with (src, dst) columns (then ``n`` is required)."""
+    import os
+    import tempfile
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.graph import ParquetGraph, ShardSpec, load_shard_from_layout
+
+    if isinstance(source, ParquetGraph):
+        edges_ds = ray.data.read_parquet(
+            [os.path.join(source.path, "edges_fwd", f"part-{p:05d}.parquet")
+             for p in range(len(source.manifest["bounds"]["edges_fwd"]) - 1)
+             if os.path.exists(os.path.join(source.path, "edges_fwd",
+                                            f"part-{p:05d}.parquet"))],
+            columns=["src", "dst"])
+        n = source.n
+    else:
+        edges_ds = source
+        if n is None:
+            raise ValueError("n is required for a raw edge Dataset")
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": a[keep], "b": b[keep]})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column("bucket", pa.array(
+            ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
+            .astype(np.int64) % num_buckets))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        run = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table({"a": a[run], "b": b[run]})
+
+    pairs = edges_ds.map_batches(_canon, batch_format="pyarrow") \
+        .map_batches(_tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_dedup, batch_format="pyarrow") \
+        .materialize()  # object-store resident; reused by 3 passes below
+
+    # pass 1: degrees (driver holds one n-array; pairs stream through)
+    deg = np.zeros(n, dtype=np.int64)
+    for t in pairs.iter_batches(batch_format="pyarrow", batch_size=262144):
+        deg += np.bincount(t.column("a").to_numpy(zero_copy_only=False),
+                           minlength=n)
+        deg += np.bincount(t.column("b").to_numpy(zero_copy_only=False),
+                           minlength=n)
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    rank_ref = ray.put(rank)
+
+    # wedge-balanced bounds in RANK space: outdeg_ranked(r) = #pairs whose
+    # lower-ranked endpoint has rank r; derivable from deg (each pair
+    # contributes to its lower-ranked endpoint) — approximate with C(deg,2)
+    # quantiles over the rank order (exact balance isn't required, the
+    # straggler guard is)
+    degr = deg[order].astype(np.float64)
+    wedge_w = degr * np.maximum(degr - 1.0, 0.0) / 2.0
+    cum = np.cumsum(wedge_w)
+    total_w = cum[-1] if cum[-1] > 0 else 1.0
+    cuts = np.searchsorted(cum, total_w * np.arange(1, num_partitions)
+                           / num_partitions)
+    bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
+
+    class _Relabel:
+        def __init__(self):
+            self.rank = None
+            self.__name__ = "rank_relabel"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.rank is None:
+                self.rank = ray.get(rank_ref)
+            ra = self.rank[t.column("a").to_numpy(zero_copy_only=False)]
+            rb = self.rank[t.column("b").to_numpy(zero_copy_only=False)]
+            rs = np.minimum(ra, rb)
+            rd = np.maximum(ra, rb)
+            return pa.table({"src": rs, "dst": rd,
+                             "weight": np.ones(rs.shape[0])})
+
+    ranked = pairs.map_batches(_Relabel(), batch_format="pyarrow")
+    out_dir = work_dir or tempfile.mkdtemp(prefix="gds_tc_layout_")
+    from .graph_build import _write_layout
+    _write_layout(ranked, out_dir, "edges_fwd", "src", "dst", bounds)
+    layout_bounds = {"edges_fwd": [int(x) for x in bounds]}
+    specs = [ShardSpec(p=p, lo=int(bounds[p]), hi=int(bounds[p + 1]),
+                       orientation="natural", path=out_dir, n=n,
+                       weighted=True, layout_bounds=layout_bounds)
+             for p in range(len(bounds) - 1)]
+
+    # edge keys travel as ROWS to the same bucket groups as the wedges —
+    # keys and wedges meet inside groupby(bucket), no key array ever exists
+    # outside the group tasks (fully distributed match)
+    class _KeyRows:
+        def __init__(self):
+            self.rank = None
+            self.__name__ = "edge_key_rows"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.rank is None:
+                self.rank = ray.get(rank_ref)
+            ra = self.rank[t.column("a").to_numpy(zero_copy_only=False)]
+            rb = self.rank[t.column("b").to_numpy(zero_copy_only=False)]
+            key = np.minimum(ra, rb) * n + np.maximum(ra, rb)
+            z = np.zeros(key.shape[0], dtype=np.int64)
+            return pa.table({"bucket": _bucket_of(key, num_buckets),
+                             "key": key, "a": z, "b": z, "c": z,
+                             "side": np.zeros(key.shape[0], dtype=np.int8)})
+
+    key_rows = pairs.map_batches(_KeyRows(), batch_format="pyarrow")
+
+    def _match(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        kv = g.column("key").to_numpy(zero_copy_only=False)
+        keys = np.sort(kv[side == 0])
+        wmask = side == 1
+        wkey = kv[wmask]
+        if keys.shape[0] == 0 or wkey.shape[0] == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"vid": e, "cnt": e})
+        pos = np.searchsorted(keys, wkey)
+        pos[pos >= keys.shape[0]] = keys.shape[0] - 1
+        m = keys[pos] == wkey
+        if not m.any():
+            e = np.empty(0, np.int64)
+            return pa.table({"vid": e, "cnt": e})
+        vids = np.concatenate(
+            [g.column(c).to_numpy(zero_copy_only=False)[wmask][m]
+             for c in ("a", "b", "c")])
+        uq, inv = np.unique(vids, return_inverse=True)
+        return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
+
+    class _SpecWedges:
+        def __init__(self, specs, n, num_buckets):
+            self.specs = specs
+            self.n = n
+            self.num_buckets = num_buckets
+            self.__name__ = "wedge_emit_spec"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for p in batch.column("part").to_pylist():
+                sh = load_shard_from_layout(self.specs[p])
+                dg = np.diff(sh.indptr)
+                srcs = np.nonzero(dg >= 2)[0]
+                if srcs.shape[0] == 0:
+                    continue
+                wa, wb, wc = _wedges_from_segment(sh.indices.astype(np.int64),
+                                                  sh.indptr[srcs], dg[srcs],
+                                                  srcs + sh.lo)
+                key = wb * self.n + wc
+                outs.append(pa.table({"bucket": _bucket_of(key, self.num_buckets),
+                                      "key": key, "a": wa, "b": wb, "c": wc,
+                                      "side": np.ones(key.shape[0],
+                                                      dtype=np.int8)}))
+            if not outs:
+                e = np.empty(0, np.int64)
+                return pa.table({"bucket": e, "key": e, "a": e, "b": e, "c": e,
+                                 "side": np.empty(0, np.int8)})
+            return pa.concat_tables(outs)
+
+    parts_ds = ray.data.from_arrow(
+        pa.table({"part": np.arange(len(specs), dtype=np.int64)})) \
+        .repartition(len(specs))
+    wedges = parts_ds.map_batches(_SpecWedges(specs, n, num_buckets),
+                                  batch_format="pyarrow", batch_size=1)
+    partials = wedges.union(key_rows).groupby("bucket") \
+        .map_groups(_match, batch_format="pyarrow")
+    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="t"))
+    counts_ranked = np.zeros(n, dtype=np.int64)
+    for t in per_node.iter_batches(batch_format="pyarrow", batch_size=262144):
+        counts_ranked[t.column("vid").to_numpy(zero_copy_only=False)] = \
+            t.column("t").to_numpy(zero_copy_only=False)
+    counts = counts_ranked[rank]
+    total = int(counts.sum()) // 3
+    return TriangleCountResult(
+        pa.table({"vid": np.arange(n, dtype=np.int64),
+                  "triangles": counts.astype(np.int64)}), total)
+
+
 def local_clustering_coefficient(graph: Graph, *, max_degree: Optional[int] = None,
                                  execution: str = "auto",
                                  num_partitions: Optional[int] = None):

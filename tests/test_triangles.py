@@ -147,3 +147,49 @@ def test_bucketed_edge_key_mode_matches():
     assert np.array_equal(
         a.table.column("triangles").to_numpy(zero_copy_only=False),
         b.table.column("triangles").to_numpy(zero_copy_only=False))
+
+
+def test_streaming_triangle_count_matches():
+    """Fully streaming prep (Dataset → bucketed dedup → layout → spec-loading
+    wedge workers → union-grouped key match) equals the in-memory path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray import Graph, triangle_count
+    from graph_data_science_ray.pipelines.triangles import (
+        triangle_count_streaming)
+    rng = np.random.default_rng(62)
+    n, m = 500, 4000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = Graph.from_edges(src, dst, n=n, orientation="undirected",
+                         aggregation="single")
+    ref = triangle_count(g, execution="local")
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(8)
+    got = triangle_count_streaming(ds, n=n, num_partitions=4)
+    assert got.global_count == ref.global_count
+    assert np.array_equal(
+        got.table.column("triangles").to_numpy(zero_copy_only=False),
+        ref.table.column("triangles").to_numpy(zero_copy_only=False))
+
+
+def test_streaming_triangle_count_from_parquet_graph(tmp_path):
+    import numpy as np
+
+    from graph_data_science_ray import Graph, ParquetGraph, triangle_count
+    from graph_data_science_ray.pipelines.triangles import (
+        triangle_count_streaming)
+    rng = np.random.default_rng(63)
+    n, m = 300, 2000
+    g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                         aggregation="single")
+    g.save(str(tmp_path / "g"), num_partitions=3)
+    pg = ParquetGraph(str(tmp_path / "g"))
+    ref = triangle_count(g, execution="local")
+    got = triangle_count_streaming(pg, num_partitions=4,
+                                   work_dir=str(tmp_path / "tc"))
+    assert got.global_count == ref.global_count
+    assert np.array_equal(
+        got.table.column("triangles").to_numpy(zero_copy_only=False),
+        ref.table.column("triangles").to_numpy(zero_copy_only=False))
