@@ -48,7 +48,6 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
     (all qualifying pairs once, node1 < node2 — GDS computeAll)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     if weighted and not graph.is_weighted:
         raise ValueError("weighted=True on an unweighted graph")

@@ -31,7 +31,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from ..state.graph import Graph, build_csr_shard, degree_balanced_bounds
+from ..state.graph import Graph, build_csr_shard
 
 
 @dataclass
