@@ -22,6 +22,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from graph_data_science_ray.functions.compat import round_half_away as _round6
+
 
 def _ray_data():
     import ray.data
@@ -52,7 +54,7 @@ def _q_pagerank_hierarchy(sf_dir: str):
     g, _, present = hierarchy_vids(sf_dir)
     res = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray")
     scores = res.table.column("score").to_numpy(zero_copy_only=False)
-    return pa.table({"vid": present, "score": np.round(scores[present], 6)})
+    return pa.table({"vid": present, "score": _round6(scores[present])})
 
 
 def _q_wcc_hierarchy(sf_dir: str):
@@ -117,7 +119,7 @@ def _q_modularity_regions(sf_dir: str):
     res = wcc(g, execution="ray")
     comp = res.table.column("component").to_numpy(zero_copy_only=False)
     q = modularity_of(g, comp)
-    return pa.table({"modularity": pa.array([round(q, 6)], pa.float64())})
+    return pa.table({"modularity": pa.array(_round6([q]), pa.float64())})
 
 
 def _q_node_similarity_suppliers(sf_dir: str):
@@ -128,8 +130,7 @@ def _q_node_similarity_suppliers(sf_dir: str):
     g = supplier_part_graph(sf_dir)
     t = node_similarity(g, top_k=0)
     return pa.table({"node1": t.column("node1"), "node2": t.column("node2"),
-                     "similarity": np.round(
-                         t.column("similarity").to_numpy(zero_copy_only=False), 6)})
+                     "similarity": _round6(t.column("similarity").to_numpy(zero_copy_only=False))})
 
 
 def _q_betweenness_hierarchy(sf_dir: str):
@@ -151,10 +152,13 @@ def _q_knn_graph_embeddings(sf_dir: str):
     rd = _ray_data()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    t = knn_graph(emb, k=5)
+    t = knn_graph(emb, k=5, arithmetic="f32seq")
+    # DuckDB's round(FLOAT, 6) stays FLOAT: the oracle column is the float32
+    # nearest to the 6dp value — emit the identical float32.
+    sims = _round6(t.column("similarity").to_numpy(zero_copy_only=False))
     return pa.table({"node1": t.column("node1"), "node2": t.column("node2"),
-                     "similarity": np.round(
-                         t.column("similarity").to_numpy(zero_copy_only=False), 6)})
+                     "similarity": pa.array(sims.astype(np.float32),
+                                            pa.float32())})
 
 
 def _q_closeness_hierarchy(sf_dir: str):
@@ -166,7 +170,7 @@ def _q_closeness_hierarchy(sf_dir: str):
     g, _, present = hierarchy_vids(sf_dir)
     t = closeness_centrality(g, execution="ray")
     c = t.column("centrality").to_numpy(zero_copy_only=False)
-    return pa.table({"vid": present, "centrality": np.round(c[present], 6)})
+    return pa.table({"vid": present, "centrality": _round6(c[present])})
 
 
 def _q_conductance_nations(sf_dir: str):
@@ -195,8 +199,7 @@ def _q_conductance_nations(sf_dir: str):
     res = conductance(g, comm)
     t = res["table"]
     return pa.table({"community": t.column("community"),
-                     "conductance": np.round(
-                         t.column("conductance").to_numpy(zero_copy_only=False), 6)})
+                     "conductance": _round6(t.column("conductance").to_numpy(zero_copy_only=False))})
 
 
 def _q_degree_cosupply(sf_dir: str):
@@ -214,7 +217,7 @@ def _q_lcc_cosupply(sf_dir: str):
     t, _avg = local_clustering_coefficient(g, execution="ray")
     coeff = t.column("coefficient").to_numpy(zero_copy_only=False)
     present = np.unique(np.concatenate([g.src, g.dst]))
-    return pa.table({"vid": present, "lcc": np.round(coeff[present], 6)})
+    return pa.table({"vid": present, "lcc": _round6(coeff[present])})
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +271,7 @@ def _q_knn_cosine(sf_dir: str):
             break
     out = cosine_topk(emb, q, k=10, exclude_id=0)
     t = _to_table(out)
-    sims = np.round(t.column("cos_sim").to_numpy(zero_copy_only=False), 6)
+    sims = _round6(t.column("cos_sim").to_numpy(zero_copy_only=False))
     return pa.table({"vec_id": t.column("vec_id"), "cos_sim": sims})
 
 
@@ -284,8 +287,8 @@ def _q_knn_cosine_lsh(sf_dir: str):
     out = lsh_topk(emb, q, k=10)
     t = _to_table(out)
     return pa.table({"vec_id": t.column("vec_id"),
-                     "cos_sim": np.round(t.column("cos_sim").to_numpy(
-                         zero_copy_only=False), 6)})
+                     "cos_sim": _round6(t.column("cos_sim").to_numpy(
+                         zero_copy_only=False))})
 
 
 def _q_embedding_norms(sf_dir: str):
@@ -304,7 +307,7 @@ def _q_events_hourly(sf_dir: str):
     out = _to_table(tumbling_window(ev, "h"))
     df = out.to_pandas()
     df["window_us"] = df["window_start"].astype("datetime64[us]").astype("int64")
-    df["sum_value"] = df["sum_value"].round(6)
+    df["sum_value"] = _round6(df["sum_value"].to_numpy())
     return pa.Table.from_pandas(
         df[["user_id", "window_us", "n_events", "sum_value"]], preserve_index=False)
 
@@ -317,7 +320,7 @@ def _q_sessionize(sf_dir: str):
     df = _to_table(sessionize(ev, gap_seconds=1800.0)).to_pandas()
     df["session_start"] = df["session_start"].astype("datetime64[us]").astype("int64")
     df["session_end"] = df["session_end"].astype("datetime64[us]").astype("int64")
-    df["sum_value"] = df["sum_value"].round(6)
+    df["sum_value"] = _round6(df["sum_value"].to_numpy())
     df["n_events"] = df["n_events"].astype("int64")
     return pa.Table.from_pandas(
         df[["user_id", "session_start", "session_end", "n_events", "sum_value"]],
@@ -427,8 +430,7 @@ def _q_corpus_pagerank(sf_dir: str):
     res = pagerank(pg, tolerance=1e-7, max_iterations=20, weighted=True,
                    execution="ray")
     return pa.table({"repo": pa.array([str(k) for k in pg.keys]),
-                     "score": np.round(
-                         res.table.column("score").to_numpy(zero_copy_only=False), 6)})
+                     "score": _round6(res.table.column("score").to_numpy(zero_copy_only=False))})
 
 
 def entry() -> Any:
@@ -442,7 +444,7 @@ def entry() -> Any:
     scores = pr.table.column("score").to_numpy(zero_copy_only=False)
     comp = cc.table.column("component").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present,
-                     "score": np.round(scores[present], 6),
+                     "score": _round6(scores[present]),
                      "component": comp[present]}).to_pandas()
 
 
