@@ -618,7 +618,21 @@ def estimate_pregel_memory(graph, comp: Computation,
             "message_bytes": int(messages), "total_bytes": int(total)}
 
 
-def _available_memory_bytes() -> int:
+def _available_memory_bytes(execution: str = "local") -> int:
+    """Default memory budget.  Local runs are bounded by the driver node's
+    available physical RAM; distributed runs ('ray'/'ray-actors'/'ray-data')
+    spread state + shards across the cluster, so the budget is the CLUSTER's
+    logical memory from ray.cluster_resources() — a busy driver must not
+    spuriously abort a run that fits distributed (round-2 ADVICE)."""
+    if execution != "local":
+        try:
+            import ray
+            if ray.is_initialized():
+                mem = ray.cluster_resources().get("memory")
+                if mem:
+                    return int(mem)
+        except Exception:
+            pass
     try:
         return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
     except (ValueError, OSError, AttributeError):
@@ -626,13 +640,15 @@ def _available_memory_bytes() -> int:
 
 
 def validate_memory(graph, comp: Computation, num_partitions: int,
-                    memory_limit_bytes: Optional[int]) -> dict:
+                    memory_limit_bytes: Optional[int],
+                    execution: str = "local") -> dict:
     """Abort BEFORE execution when the estimate exceeds the budget
-    (``memory_limit_bytes``; defaults to currently-available physical RAM).
-    GDS's ``sudo`` escape = pass ``memory_limit_bytes=0`` to skip."""
+    (``memory_limit_bytes``; defaults to available physical RAM for local
+    runs, cluster memory for distributed).  GDS's ``sudo`` escape = pass
+    ``memory_limit_bytes=0`` to skip."""
     est = estimate_pregel_memory(graph, comp, num_partitions)
     limit = (memory_limit_bytes if memory_limit_bytes is not None
-             else _available_memory_bytes())
+             else _available_memory_bytes(execution))
     if limit and est["total_bytes"] > limit:
         raise MemoryEstimationExceeded(
             f"estimated {est['total_bytes']:,} bytes exceeds the budget "
@@ -666,7 +682,8 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
             import ray
             ncpu = int(ray.cluster_resources().get("CPU", 8))                 if ray.is_initialized() else 8
             num_partitions = max(1, min(ncpu, graph.num_edges // 250_000 + 1))
-    validate_memory(graph, comp, num_partitions, memory_limit_bytes)
+    validate_memory(graph, comp, num_partitions, memory_limit_bytes,
+                    execution=execution)
     if execution == "local":
         return _run_local(graph, comp, max_iterations, num_partitions,
                           checkpoint_dir, checkpoint_interval, resume)

@@ -34,6 +34,11 @@ class GraphStore:
     # -- relationship-type management (GraphStore.java:76-120) -------------------
 
     def add_relationship_type(self, rel_type: str, src, dst, weight=None) -> None:
+        # the name becomes a filename component in save() (rel_{t}.parquet) —
+        # reject path separators / dot-prefixes like GraphCatalog._dir does
+        if not rel_type or "/" in rel_type or "\\" in rel_type \
+                or rel_type.startswith("."):
+            raise ValueError(f"invalid relationship type name {rel_type!r}")
         if rel_type in self._rels:
             raise ValueError(f"relationship type {rel_type!r} already exists")
         src = np.asarray(src, dtype=np.int64)

@@ -193,3 +193,72 @@ def test_streaming_triangle_count_from_parquet_graph(tmp_path):
     assert np.array_equal(
         got.table.column("triangles").to_numpy(zero_copy_only=False),
         ref.table.column("triangles").to_numpy(zero_copy_only=False))
+
+
+def test_ray_default_is_streaming_and_matches_local():
+    """execution="ray" without edge_key_mode routes through the streaming
+    prep (no driver |E| arrays) and is bit-equal to the local kernel,
+    including maxDegree exclusion (-1 sentinels)."""
+    import numpy as np
+
+    from graph_data_science_ray import Graph, triangle_count
+    rng = np.random.default_rng(64)
+    n, m = 400, 5000
+    # power-law-ish: hub 0 attracts extra edges
+    src = np.concatenate([rng.integers(0, n, m), np.zeros(150, np.int64)])
+    dst = np.concatenate([rng.integers(0, n, m), rng.integers(1, n, 150)])
+    g = Graph.from_edges(src, dst, n=n, orientation="undirected",
+                         aggregation="single")
+    for md in (None, 8, 40):
+        ref = triangle_count(g, execution="local", max_degree=md)
+        got = triangle_count(g, execution="ray", num_partitions=4,
+                             max_degree=md)
+        assert got.global_count == ref.global_count, md
+        assert np.array_equal(
+            got.table.column("triangles").to_numpy(zero_copy_only=False),
+            ref.table.column("triangles").to_numpy(zero_copy_only=False)), md
+    # exclusion actually happened: the hub reports -1
+    res = triangle_count(g, execution="ray", max_degree=8, num_partitions=4)
+    tri = res.table.column("triangles").to_numpy(zero_copy_only=False)
+    assert (tri == -1).any()
+
+
+def test_streaming_reused_work_dir_drops_stale_partitions(tmp_path):
+    """Round-2 ADVICE: a reused work_dir must not leak a previous run's
+    partition files into a run whose bounds make that partition empty."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray import Graph, triangle_count
+    from graph_data_science_ray.pipelines.triangles import (
+        triangle_count_streaming)
+    wd = str(tmp_path / "tc_work")
+    rng = np.random.default_rng(65)
+    # run 1: large dense-ish graph -> many non-empty partitions
+    n1, m1 = 300, 4000
+    s1, d1 = rng.integers(0, n1, m1), rng.integers(0, n1, m1)
+    ds1 = ray.data.from_arrow(pa.table({"src": s1, "dst": d1})).repartition(4)
+    triangle_count_streaming(ds1, n=n1, num_partitions=6, work_dir=wd)
+    # run 2 in the SAME work_dir: tiny graph -> most partitions empty
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    s2 = np.array([e[0] for e in edges])
+    d2 = np.array([e[1] for e in edges])
+    ds2 = ray.data.from_arrow(pa.table({"src": s2, "dst": d2}))
+    got = triangle_count_streaming(ds2, n=4, num_partitions=6, work_dir=wd)
+    g = Graph.from_edges(s2, d2, n=4, orientation="undirected",
+                         aggregation="single")
+    ref = triangle_count(g, execution="local")
+    assert got.global_count == ref.global_count == 1
+    assert np.array_equal(
+        got.table.column("triangles").to_numpy(zero_copy_only=False),
+        ref.table.column("triangles").to_numpy(zero_copy_only=False))
+
+
+def test_packed_key_overflow_guard():
+    import pytest
+
+    from graph_data_science_ray.pipelines.triangles import _check_key_packable
+    _check_key_packable(3_000_000_000)  # fine
+    with pytest.raises(ValueError):
+        _check_key_packable(4_000_000_000)
