@@ -529,6 +529,42 @@ SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer
 """,
+        # LPA on the hierarchy forest converges to the same fixpoint as WCC:
+        # regions keep their own label (no out-neighbors), nations adopt the
+        # region label, members adopt their nation's converged label — every
+        # node has at most one out-neighbor, so there are no ties and the
+        # converged labeling is partition-schedule independent.
+        "lpa_hierarchy": """
+SELECT r_regionkey AS vid, r_regionkey::BIGINT AS label FROM region
+UNION ALL SELECT 5 + n_nationkey, n_regionkey FROM nation
+UNION ALL SELECT 30 + s_suppkey, n_regionkey
+          FROM supplier JOIN nation ON n_nationkey = s_nationkey
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regionkey
+          FROM customer JOIN nation ON n_nationkey = c_nationkey
+""",
+        # Louvain on the hierarchy forest: members merge into their nation's
+        # community (their only edge), nations keep their own community, and
+        # each region joins the nation-community with the SMALLEST total
+        # degree (= fewest members; ties to the smaller nationkey) — the
+        # modularity-gain argmax ΔQ = w/m − k·Σdeg/(2m²) at unit edge weight.
+        "louvain_hierarchy": """
+WITH members AS (
+  SELECT n_nationkey AS nk, n_regionkey AS reg,
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n_nationkey)
+       + (SELECT count(*) FROM customer c WHERE c.c_nationkey = n_nationkey)
+         AS m
+  FROM nation),
+joined AS (
+  SELECT reg, nk FROM (
+    SELECT reg, nk, row_number() OVER (PARTITION BY reg ORDER BY m, nk) rn
+    FROM members) WHERE rn = 1)
+SELECT r_regionkey AS vid, 5 + joined.nk AS community
+  FROM region JOIN joined ON joined.reg = r_regionkey
+UNION ALL SELECT 5 + n_nationkey, 5 + n_nationkey FROM nation
+UNION ALL SELECT 30 + s_suppkey, 5 + s_nationkey FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey,
+          5 + c_nationkey FROM customer
+""",
         "triangle_cosupply": """
 WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
 e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b
