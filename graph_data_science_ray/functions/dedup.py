@@ -149,8 +149,10 @@ def exact_dedup(docs_ds):
 
     # hash-bucket the fingerprint + vectorized per-bucket combine (Ray's
     # sort aggregate over a string key pays a comparison sort of the full
-    # corpus; the bucket key is 64-valued and the combine one lexsort)
-    num_buckets = 64
+    # corpus; the bucket key is small and the combine one lexsort); bucket
+    # count scales with the corpus row count (metadata, no execution)
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    num_buckets = adaptive_bucket_count(rows_if_cheap(docs_ds))
 
     def _tag(t: pa.Table) -> pa.Table:
         from zlib import crc32
@@ -199,8 +201,12 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     # hash-bucket the band key: one vectorized map_groups call per BUCKET
     # (segment pair-expansion over all the bucket's band groups at once) —
     # a per-band-group map_groups pays Ray's per-group overhead once per
-    # DISTINCT band hash, i.e. ~n_docs×bands times (measured 37s → <1s at 8k docs)
-    num_pair_buckets = 64
+    # DISTINCT band hash, i.e. ~n_docs×bands times (measured 37s → <1s at 8k
+    # docs); the band-row count is docs × num_bands, so scale buckets with it
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    _docs_rows = rows_if_cheap(docs_ds)
+    num_pair_buckets = adaptive_bucket_count(
+        _docs_rows and _docs_rows * num_bands)
 
     def _tag(t: pa.Table) -> pa.Table:
         h = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)

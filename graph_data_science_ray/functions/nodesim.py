@@ -67,8 +67,14 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
     # hash-bucket the NEIGHBOR key so each map_groups call covers ~|dst|/B
     # distinct neighbors and emits their pairs in ONE vectorized pass — a
     # per-distinct-neighbor map_groups pays Ray's per-group overhead thousands
-    # of times (measured 126s → ~2s at sf0.01)
-    num_buckets = 64
+    # of times (measured 126s → ~2s at sf0.01).  Bucket counts scale with the
+    # edge count (tag stage) and the exact co-occurrence pair count
+    # Σ C(deg_in(v), 2) (pair-combine stage) so group tasks stay bounded.
+    from ..stages.bucketing import adaptive_bucket_count
+    dst_deg = np.bincount(graph.dst, minlength=n).astype(np.int64)
+    est_pairs = int((dst_deg * (dst_deg - 1) // 2).sum())
+    num_buckets = adaptive_bucket_count(graph.num_edges)
+    num_pair_buckets = adaptive_bucket_count(est_pairs)
 
     def _tag(t: pa.Table) -> pa.Table:
         d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -113,7 +119,7 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
         key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
         return t.append_column("b2", pa.array(
             ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
-            .astype(np.int64) % num_buckets))
+            .astype(np.int64) % num_pair_buckets))
 
     def _combine(g: pa.Table) -> pa.Table:
         a = g.column("node1").to_numpy(zero_copy_only=False)

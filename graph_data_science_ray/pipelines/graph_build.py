@@ -216,10 +216,15 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         edges_ids = _resolve_ids_hash_join(edges_raw, vertices_ds, hash_join)
 
     # parallel-edge aggregation via hash-bucketed vectorized combine — Ray's
-    # sort aggregate on a two-column key costs ~9s per million rows; a 64-value
+    # sort aggregate on a two-column key costs ~9s per million rows; a small
     # bucket key sorts in seconds and the per-bucket combine is one
-    # lexsort+reduceat (same pattern as NodeSimilarity/minhash)
-    num_agg_buckets = 64
+    # lexsort+reduceat (same pattern as NodeSimilarity/minhash).  Bucket count
+    # scales with the corpus so one group task holds a bounded slice.
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    corpus_rows = rows_if_cheap(
+        ray.data.read_parquet(corpus_dir, columns=["repo"]))
+    num_agg_buckets = adaptive_bucket_count(
+        corpus_rows and corpus_rows * 4)  # ~edges per corpus file
 
     def _tag_edge(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -378,7 +378,7 @@ def _count_ray_bucketed(n, keys_sorted, shard_refs, num_buckets):
 
 def triangle_count_streaming(source, *, n: Optional[int] = None,
                              num_partitions: int = 8,
-                             num_buckets: int = 64,
+                             num_buckets: Optional[int] = None,
                              max_degree: Optional[int] = None,
                              work_dir: Optional[str] = None) -> TriangleCountResult:
     """Triangle count whose ENTIRE prep is streaming:
@@ -426,13 +426,15 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         keep = a != b
         return pa.table({"a": a[keep], "b": b[keep]})
 
-    def _tag(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
-        return t.append_column("bucket", pa.array(
-            ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
-            .astype(np.int64) % num_buckets))
+    def _tag_fn(nb: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+            return t.append_column("bucket", pa.array(
+                ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
+                .astype(np.int64) % nb))
+        return _tag
 
     def _dedup(g: pa.Table) -> pa.Table:
         a = g.column("a").to_numpy(zero_copy_only=False)
@@ -442,8 +444,12 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         run = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
         return pa.table({"a": a[run], "b": b[run]})
 
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    dedup_buckets = num_buckets or adaptive_bucket_count(
+        rows_if_cheap(edges_ds))
+
     pairs = edges_ds.map_batches(_canon, batch_format="pyarrow") \
-        .map_batches(_tag, batch_format="pyarrow") \
+        .map_batches(_tag_fn(dedup_buckets), batch_format="pyarrow") \
         .groupby("bucket").map_groups(_dedup, batch_format="pyarrow") \
         .materialize()  # object-store resident; reused by 3 passes below
 
@@ -500,6 +506,12 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
     cuts = np.searchsorted(cum, total_w * np.arange(1, num_partitions)
                            / num_partitions)
     bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
+
+    if num_buckets is None:
+        # match-stage groups hold wedges + edge keys: scale buckets with the
+        # EXACT wedge total (C(deg,2) sum, already computed for the balance
+        # cuts) plus the deduped pair count (materialized → metadata count)
+        num_buckets = adaptive_bucket_count(int(total_w) + int(pairs.count()))
 
     class _Relabel:
         def __init__(self):

@@ -23,14 +23,20 @@ def _tumble_partial(batch: pa.Table, window: str) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
-_NUM_BUCKETS = 64
+def _user_bucket_fn(num_buckets: int):
+    def _user_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
+            % np.uint64(num_buckets)
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+    return _user_bucket
 
 
-def _user_bucket(t: pa.Table) -> pa.Table:
-    u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
-        % np.uint64(_NUM_BUCKETS)
-    return t.append_column("bucket", pa.array(b.astype(np.int64)))
+def _event_buckets(events_ds) -> int:
+    """Bucket count scaled to the event-log size (metadata row count; each
+    user-bucket group task holds ~|events|/B rows — round-2 VERDICT #5)."""
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    return adaptive_bucket_count(rows_if_cheap(events_ds))
 
 
 def tumbling_window(events_ds, window: str = "h"):
@@ -39,6 +45,7 @@ def tumbling_window(events_ds, window: str = "h"):
     Final combine is hash-bucketed by user (all of a user's windows land in one
     group) with a vectorized in-group reduce — Ray's two-key sort aggregate on
     (user, window) pays a comparison sort of every partial row."""
+    nb = _event_buckets(events_ds)
     partial = events_ds.map_batches(lambda t: _tumble_partial(t, window),
                                     batch_format="pyarrow")
 
@@ -48,7 +55,7 @@ def tumbling_window(events_ds, window: str = "h"):
             sum_value=("sum_value", "sum")).reset_index()
         return out
 
-    return partial.map_batches(_user_bucket, batch_format="pyarrow") \
+    return partial.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
         .groupby("bucket").map_groups(
             lambda g: _combine(g.drop(columns=["bucket"])),
             batch_format="pandas")
@@ -72,7 +79,8 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
             sum_value=("value", "sum"))
         return out.reset_index(drop=True)
 
-    return events_ds.map_batches(_user_bucket, batch_format="pyarrow") \
+    nb = _event_buckets(events_ds)
+    return events_ds.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
         .groupby("bucket").map_groups(
             lambda g: _sessions(g.drop(columns=["bucket"])),
             batch_format="pandas")
