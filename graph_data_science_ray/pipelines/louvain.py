@@ -102,10 +102,15 @@ class ModularityOptimizationResult:
 def modularity_optimization(n, src, dst, weight=None, *, seeds=None,
                             max_iterations: int = 10,
                             tolerance: float = TOLERANCE_DEFAULT,
-                            k1_iterations: int = 5) -> ModularityOptimizationResult:
+                            k1_iterations: int = 5,
+                            colors: Optional[np.ndarray] = None
+                            ) -> ModularityOptimizationResult:
     """One level of parallel local moving over the STORED topology (run on an
     undirected-materialized graph for undirected semantics, like the reference's
-    doubled fixture graphs)."""
+    doubled fixture graphs).  ``colors`` injects a precomputed color schedule
+    (any batching is a valid greedy trajectory; the distributed path's
+    synchronous coloring is cross-checked against this kernel by injection —
+    tests/test_louvain_dist.py)."""
     w = (np.ones(src.shape[0]) if weight is None
          else np.asarray(weight, dtype=np.float64))
     indptr, indices, ew = _csr(n, np.asarray(src, dtype=np.int64),
@@ -126,7 +131,8 @@ def modularity_optimization(n, src, dst, weight=None, *, seeds=None,
         comm, rev_map = np.arange(n, dtype=np.int64), None
     comm_w = np.bincount(comm, weights=k, minlength=n)
 
-    colors = k1_coloring(n, indptr, indices, k1_iterations)
+    if colors is None:
+        colors = k1_coloring(n, indptr, indices, k1_iterations)
     color_values = np.unique(colors)
 
     e_src_all = np.repeat(np.arange(n, dtype=np.int64), deg)
@@ -254,11 +260,19 @@ def louvain(graph: Graph, *, max_levels: int = 10, max_iterations: int = 10,
             tolerance: float = TOLERANCE_DEFAULT,
             seed_property: Optional[str] = None,
             include_intermediate: bool = False,
-            weighted: Optional[bool] = None) -> LouvainResult:
+            weighted: Optional[bool] = None,
+            execution: str = "local",
+            num_partitions: int = 8) -> LouvainResult:
     """Multi-level Louvain over the stored topology (pass an
     undirected-materialized graph for undirected semantics — the reference
     fixtures store both directions).  Defaults per LouvainBaseConfig
-    (maxLevels=10, maxIterations=10, tolerance=1e-4)."""
+    (maxLevels=10, maxIterations=10, tolerance=1e-4).
+
+    ``execution="ray"`` runs LEVEL 0 — the level that sees the full graph —
+    distributed on CSR shard actors (pipelines/louvain_dist.py: edges stay
+    sharded, the driver holds only n-vectors, one RPC round per color batch
+    with O(#moves) deltas).  Levels ≥ 1 operate on the community-summarized
+    graph (≤ #communities nodes) and run the sequential kernel."""
     if weighted is None:
         weighted = graph.is_weighted
     root_n = graph.n
@@ -278,9 +292,16 @@ def louvain(graph: Graph, *, max_levels: int = 10, max_iterations: int = 10,
     old_node_count = root_n
     ran_levels = max_levels  # GDS ranLevels: loop index at break (Louvain.java:90-118)
     for level in range(max_levels):
-        res = modularity_optimization(work_n, src, dst, w, seeds=seeds,
-                                      max_iterations=max_iterations,
-                                      tolerance=tolerance)
+        if execution == "ray" and level == 0:
+            from .louvain_dist import modularity_optimization_distributed
+            res, _ = modularity_optimization_distributed(
+                graph, seeds=seeds, max_iterations=max_iterations,
+                tolerance=tolerance, num_partitions=num_partitions,
+                weighted=weighted)
+        else:
+            res = modularity_optimization(work_n, src, dst, w, seeds=seeds,
+                                          max_iterations=max_iterations,
+                                          tolerance=tolerance)
         modularities.append(res.modularity)
         # dendrogram in root-node space (Louvain.buildDendrogram:135-160)
         if level == 0:
