@@ -8,9 +8,13 @@ Reference:
   * harmonic — alpha/.../impl/harmonic/HarmonicCentrality.java:
     inverseFarness[v] = Σ_s 1/d(s→v); centrality = inverseFarness/(n-1) (:90).
 
-Execution shape identical to betweenness: per-source level-synchronous BFS
-(vectorized over the CSR), sources fanned out over Ray tasks with the CSR
-broadcast once; the only exchange is summing the per-node accumulators.
+Kernel: bit-parallel multi-source BFS (MSBFS — the shared kernel the
+reference keeps in alpha/alpha-algo/.../msbfs/MultiSourceBFS.java, after
+Then et al., "The More the Merrier: Efficient Multi-Source BFS Processing"):
+64 sources advance in ONE level-synchronous sweep, per-node state a uint64
+visit bitmask, so each edge is touched once per 64-source batch instead of
+64 times.  Sources are fanned out over Ray tasks in 64-wide batches with the
+CSR broadcast once; the only exchange is summing the per-node accumulators.
 """
 
 from __future__ import annotations
@@ -19,6 +23,88 @@ import numpy as np
 import pyarrow as pa
 
 from ..state.graph import Graph
+
+# byte-wise popcount table (numpy<2 lacks np.bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1).astype(np.int64)
+
+
+def _msbfs_accumulate(n, indptr, indices, sources, harmonic: bool):
+    """MSBFS: farness/inverse-farness + reach counts, 64 sources per sweep.
+    Bit s of ``frontier[v]``/``seen[v]`` ⇔ source ``batch[s]`` is at / has
+    visited v.  Equivalent to 64 independent BFS traversals (cross-checked
+    against _bfs_accumulate in tests).
+
+    Direction-optimizing (Beamer-style): a small frontier PUSHES along
+    out-edges (gather + sort + OR-reduceat); a large one switches to PULL
+    over a reverse CSR built once per call — one OR-reduceat pass over the
+    dst-sorted edge list, no per-level sort.  The reverse build is amortized
+    across all ceil(|sources|/64) batches."""
+    acc = np.zeros(n)
+    reach = np.zeros(n, dtype=np.int64)
+    sources = np.asarray(sources, dtype=np.int64)
+    m = indices.shape[0]
+    # reverse CSR (in-neighbors per dst), built once
+    e_src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    r_order = np.argsort(indices, kind="stable")
+    r_src = e_src[r_order]
+    r_dst_sorted = np.asarray(indices, dtype=np.int64)[r_order]
+    r_indptr = np.searchsorted(r_dst_sorted, np.arange(n + 1))
+    nz_dst = np.nonzero(np.diff(r_indptr) > 0)[0]
+    nz_starts = r_indptr[nz_dst]
+    push_threshold = max(1, m // 8)
+
+    for base in range(0, sources.shape[0], 64):
+        batch = sources[base:base + 64]
+        seen = np.zeros(n, dtype=np.uint64)
+        seen[batch] = np.uint64(1) << np.arange(batch.shape[0],
+                                                dtype=np.uint64)
+        frontier = np.zeros(n, dtype=np.uint64)
+        frontier[batch] = seen[batch]
+        frontier_ids = batch.copy()
+        d = 0
+        while frontier_ids.shape[0]:
+            out_edges = int((indptr[frontier_ids + 1]
+                             - indptr[frontier_ids]).sum())
+            if out_edges == 0:
+                break
+            if out_edges < push_threshold:
+                # PUSH: expand only the frontier's edges
+                starts = indptr[frontier_ids]
+                lens = indptr[frontier_ids + 1] - starts
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                gather = (np.arange(out_edges, dtype=np.int64)
+                          + np.repeat(starts - offs, lens))
+                tgt = indices[gather].astype(np.int64)
+                vals = np.repeat(frontier[frontier_ids], lens)
+                order = np.argsort(tgt, kind="stable")
+                t_s, v_s = tgt[order], vals[order]
+                rstarts = np.nonzero(
+                    np.concatenate(([True], t_s[1:] != t_s[:-1])))[0]
+                uniq_t = t_s[rstarts]
+                ored = np.bitwise_or.reduceat(v_s, rstarts)
+            else:
+                # PULL: one pass over the dst-sorted edge list
+                vals = frontier[r_src]
+                uniq_t = nz_dst
+                ored = np.bitwise_or.reduceat(vals, nz_starts)
+            new = ored & ~seen[uniq_t]
+            nzm = new != 0
+            if not nzm.any():
+                break
+            d += 1
+            uniq_t, new = uniq_t[nzm], new[nzm]
+            cnt = _popcount64(new)
+            acc[uniq_t] += cnt * ((1.0 / d) if harmonic else float(d))
+            reach[uniq_t] += cnt
+            seen[uniq_t] |= new
+            frontier[frontier_ids] = 0
+            frontier[uniq_t] = new
+            frontier_ids = uniq_t
+    return acc, reach
 
 
 def _bfs_accumulate(n, indptr, indices, sources, harmonic: bool):
@@ -60,17 +146,19 @@ def _run(graph: Graph, harmonic: bool, execution: str, local_threshold: int):
     if execution == "auto":
         execution = "local" if n <= local_threshold else "ray"
     if execution == "local":
-        return _bfs_accumulate(n, indptr, indices, sources, harmonic)
+        return _msbfs_accumulate(n, indptr, indices, sources, harmonic)
     import ray
     csr_ref = ray.put((indptr, indices))
 
     @ray.remote
     def _chunk(srcs):
         ip, ix = ray.get(csr_ref)
-        return _bfs_accumulate(n, ip, ix, srcs, harmonic)
+        return _msbfs_accumulate(n, ip, ix, srcs, harmonic)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    chunks = np.array_split(sources, max(1, min(ncpu * 2, n)))
+    # chunk on 64-source MSBFS batch boundaries
+    n_chunks = max(1, min(ncpu * 2, -(-n // 64)))
+    chunks = np.array_split(sources, n_chunks)
     acc = np.zeros(n)
     reach = np.zeros(n, dtype=np.int64)
     for a, r in ray.get([_chunk.remote(c) for c in chunks if c.shape[0]]):

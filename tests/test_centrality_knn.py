@@ -260,3 +260,43 @@ class TestKnnMetrics:
                                      t2.column("node2").to_pylist()) if a == i]
             exp = np.lexsort((np.arange(n), -sims[i]))[:k]
             assert got == exp.tolist(), i
+
+
+class TestMsbfs:
+    def test_matches_per_source_bfs(self):
+        from graph_data_science_ray.pipelines.centrality import (
+            _bfs_accumulate, _msbfs_accumulate)
+        rng = np.random.default_rng(71)
+        for trial, (n, m) in enumerate([(150, 600), (200, 300), (70, 2000)]):
+            g = Graph.from_edges(rng.integers(0, n, m),
+                                 rng.integers(0, n, m), n=n,
+                                 aggregation="single")
+            sh = g.shards(1, "natural")[0]
+            src = np.arange(n, dtype=np.int64)
+            for harmonic in (False, True):
+                a1, r1 = _bfs_accumulate(n, sh.indptr, sh.indices, src,
+                                         harmonic)
+                a2, r2 = _msbfs_accumulate(n, sh.indptr, sh.indices, src,
+                                           harmonic)
+                np.testing.assert_allclose(a1, a2, atol=1e-9), (trial, harmonic)
+                np.testing.assert_array_equal(r1, r2)
+
+    def test_batch_boundary(self):
+        """n just over a 64-batch boundary exercises the partial last batch."""
+        from graph_data_science_ray.pipelines.centrality import (
+            _bfs_accumulate, _msbfs_accumulate)
+        rng = np.random.default_rng(72)
+        n, m = 130, 500
+        g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m),
+                             n=n, aggregation="single")
+        sh = g.shards(1, "natural")[0]
+        src = np.arange(n, dtype=np.int64)
+        a1, r1 = _bfs_accumulate(n, sh.indptr, sh.indices, src, False)
+        a2, r2 = _msbfs_accumulate(n, sh.indptr, sh.indices, src, False)
+        np.testing.assert_allclose(a1, a2, atol=1e-9)
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_popcount(self):
+        from graph_data_science_ray.pipelines.centrality import _popcount64
+        x = np.array([0, 1, 3, (1 << 64) - 1, 1 << 63], dtype=np.uint64)
+        np.testing.assert_array_equal(_popcount64(x), [0, 1, 2, 64, 1])
