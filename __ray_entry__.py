@@ -381,6 +381,21 @@ def _q_dijkstra_path_hierarchy(sf_dir: str):
                      "agg_cost": np.asarray(costs, dtype=np.float64)})
 
 
+def _q_node2vec(sf_dir: str):
+    """Node2Vec skip-gram training over walk corpus on the co-supply graph —
+    model training is not SQL-expressible (rows-only check; invariants
+    pytest-verified in tests/test_node2vec.py)."""
+    from graph_data_science_ray import node2vec
+    from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
+    g = cosupply_graph(sf_dir)
+    t = node2vec(g, embedding_dimension=32, walks_per_node=5, walk_length=20,
+                 window_size=5, iterations=2, seed=7, execution="ray",
+                 num_partitions=4)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return pa.table({"vid": t.column("vid"),
+                     "l2_norm": np.linalg.norm(emb, axis=1)})
+
+
 def _q_corpus_sha(sf_dir: str):
     """Per-row sha256(content) invariant over the deterministic corpus — the
     north-rule row conformance surface (pytest cross-checks it against an
@@ -485,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
         "simhash_docs": _q_simhash,
         "image_features": _q_image_features,
+        "node2vec_embeddings": _q_node2vec,
     }
 
 

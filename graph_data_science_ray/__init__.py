@@ -25,6 +25,7 @@ from .pipelines.paths import dijkstra, shortest_paths
 from .pipelines.paths_local import astar, yens
 from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
+from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import (local_clustering_coefficient, triangle_count,
@@ -42,7 +43,7 @@ __all__ = [
     "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
-    "random_walks", "conductance", "spanning_tree", "bfs", "dfs",
+    "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
     "triangle_count_streaming",
     "degree_distribution", "filter_subgraph",
 ]

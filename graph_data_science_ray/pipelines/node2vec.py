@@ -1,0 +1,185 @@
+"""Node2Vec embedding training: skip-gram with negative sampling over the
+node2vec-biased walk corpus (pipelines/walks.py).
+
+Reference: algo/src/main/java/org/neo4j/gds/embeddings/node2vec/
+Node2Vec.java (~1126 LoC): generate walks → build a positive-sample corpus
+of (center, context) pairs within windowSize → train center/context vectors
+by SGNS with a unigram^0.75 negative table and a linearly decaying learning
+rate; conformance targets are the Node2VecTest invariants (determinism per
+seed, neighborhood-similarity structure), not bitwise values — the reference
+itself is thread-nondeterministic.
+
+Ray shape: pair generation is a vectorized map over the walk matrix;
+training is data-parallel synchronous model averaging (Zinkevich-style
+parallelized SGD) — each worker runs one epoch of vectorized minibatch SGNS
+over its pair shard from the same broadcast weights, the driver averages.
+Embedding matrices are n×d floats on each worker — the documented memory
+bound (n=10^8, d=128 ⇒ ~100 GB: past that, swap in a parameter-server
+sharding of the embedding table; the pair corpus itself stays sharded at
+any scale)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.graph import Graph
+from .walks import random_walks
+
+
+def _pairs_from_paths(paths: np.ndarray, lens: np.ndarray, window: int):
+    """(center, context) pairs within ±window on each walk, vectorized."""
+    nw, L = paths.shape
+    centers, contexts = [], []
+    for off in range(1, window + 1):
+        valid = lens >= off + 1  # walks long enough for this offset
+        if not valid.any():
+            break
+        p = paths[valid]
+        ln = lens[valid]
+        # positions i in [0, len-off): pairs (i, i+off) both directions
+        maxi = ln - off
+        total = int(maxi.sum())
+        if total == 0:
+            continue
+        offs = np.concatenate(([0], np.cumsum(maxi)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, maxi)
+        row = np.repeat(np.arange(p.shape[0], dtype=np.int64), maxi)
+        a = p[row, pos]
+        b = p[row, pos + off]
+        centers.append(np.concatenate([a, b]))
+        contexts.append(np.concatenate([b, a]))
+    if not centers:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(centers), np.concatenate(contexts)
+
+
+def _scatter_mean_update(emb, ids, grads, lr):
+    """emb[id] -= lr · mean(grads of id) — per-parameter MEAN, so a node that
+    appears many times in one vectorized batch takes one averaged step
+    instead of a divergent sum of stale gradients."""
+    uniq, inv = np.unique(ids, return_inverse=True)
+    acc = np.zeros((uniq.shape[0], emb.shape[1]))
+    np.add.at(acc, inv, grads)
+    cnt = np.bincount(inv).astype(np.float64)
+    emb[uniq] -= lr * acc / cnt[:, None]
+
+
+def _sgns_epoch(center_emb, context_emb, c, x, neg_table, lr, neg_k, rng):
+    """One vectorized SGNS epoch over pairs (c, x) — minibatched, with
+    per-parameter mean-gradient steps (deterministic; the sequential
+    reference's per-pair updates are approximated by smaller batches)."""
+    m = c.shape[0]
+    order = rng.permutation(m)
+    c, x = c[order], x[order]
+    B = 4096
+    for lo in range(0, m, B):
+        cc = c[lo:lo + B]
+        xx = x[lo:lo + B]
+        nb = cc.shape[0]
+        negs = neg_table[rng.integers(0, neg_table.shape[0],
+                                      size=(nb, neg_k))]
+        v = center_emb[cc]                       # (b, d)
+        u_pos = context_emb[xx]                  # (b, d)
+        u_neg = context_emb[negs]                # (b, k, d)
+        z_pos = np.clip(np.einsum("bd,bd->b", v, u_pos), -30, 30)
+        z_neg = np.clip(np.einsum("bkd,bd->bk", u_neg, v), -30, 30)
+        s_pos = 1.0 / (1.0 + np.exp(-z_pos))
+        s_neg = 1.0 / (1.0 + np.exp(-z_neg))
+        g_pos = (s_pos - 1.0)[:, None]           # label 1
+        grad_v = g_pos * u_pos + np.einsum("bk,bkd->bd", s_neg, u_neg)
+        _scatter_mean_update(center_emb, cc, grad_v, lr)
+        ctx_ids = np.concatenate([xx, negs.ravel()])
+        ctx_grads = np.concatenate(
+            [g_pos * v,
+             (s_neg[:, :, None] * v[:, None, :]).reshape(-1, v.shape[1])])
+        _scatter_mean_update(context_emb, ctx_ids, ctx_grads, lr)
+    return center_emb, context_emb
+
+
+def node2vec(graph: Graph, *, embedding_dimension: int = 128,
+             walks_per_node: int = 10, walk_length: int = 80,
+             window_size: int = 10, negative_samples: int = 5,
+             iterations: int = 1, initial_learning_rate: float = 0.025,
+             min_learning_rate: float = 0.0001,
+             return_factor: float = 1.0, in_out_factor: float = 1.0,
+             seed: int = 42, execution: str = "local",
+             num_partitions: int = 4) -> pa.Table:
+    """Returns (vid, embedding: list<float64>) — the trained center vectors.
+    Config names/defaults follow Node2VecBaseConfig (windowSize=10,
+    negativeSamplingRate=5, dim=128, walk 10×80)."""
+    n = graph.n
+    rng = np.random.default_rng(seed)
+    walks = random_walks(graph, walks_per_node=walks_per_node,
+                         walk_length=walk_length,
+                         return_factor=return_factor,
+                         in_out_factor=in_out_factor, seed=seed)
+    plist = walks.column("path").to_pylist()
+    lens = np.array([len(p) for p in plist], dtype=np.int64)
+    L = max(walk_length, 1)
+    paths = np.full((len(plist), L), -1, dtype=np.int64)
+    for i, p in enumerate(plist):
+        paths[i, :len(p)] = p
+    c, x = _pairs_from_paths(paths, lens, window_size)
+    if c.shape[0] == 0:
+        return pa.table({"vid": np.arange(n, dtype=np.int64),
+                         "embedding": pa.array([[0.0] * embedding_dimension] * n,
+                                               pa.list_(pa.float64()))})
+
+    # negative-sampling table: unigram^0.75 over corpus frequencies
+    freq = np.bincount(np.concatenate([paths[paths >= 0]]), minlength=n) \
+        .astype(np.float64)
+    p_neg = freq ** 0.75
+    p_neg /= p_neg.sum()
+    table_size = min(1 << 20, max(1 << 12, 16 * n))
+    neg_table = rng.choice(n, size=table_size, p=p_neg).astype(np.int64)
+
+    d = embedding_dimension
+    center_emb = (rng.random((n, d)) - 0.5) / d
+    context_emb = np.zeros((n, d))
+
+    epochs = max(1, iterations)
+    if execution == "ray":
+        import ray
+        # seeded global shuffle before sharding: each worker's shard must be
+        # an unbiased sample of the corpus or model averaging washes out
+        # locality (one-shard-per-community would cancel in the mean)
+        perm = rng.permutation(c.shape[0])
+        parts = np.array_split(perm, num_partitions)
+        shard_refs = [ray.put((c[idx], x[idx])) for idx in parts
+                      if idx.shape[0]]
+        neg_ref = ray.put(neg_table)
+        neg_k = negative_samples
+
+        @ray.remote
+        def _train_shard(ce, xe, pair_shard, negs, lr, ep_seed):
+            # top-level refs auto-resolve to zero-copy plasma views; copy the
+            # weights for in-place SGD
+            ce, xe = np.array(ce), np.array(xe)
+            cc, xx = pair_shard
+            return _sgns_epoch(ce, xe, cc, xx, negs, lr, neg_k,
+                               np.random.default_rng(ep_seed))
+
+        for ep in range(epochs):
+            lr = max(min_learning_rate,
+                     initial_learning_rate * (1.0 - ep / epochs))
+            ce_ref, xe_ref = ray.put(center_emb), ray.put(context_emb)
+            outs = ray.get([_train_shard.remote(ce_ref, xe_ref, sr, neg_ref,
+                                                lr, seed * 1000 + ep * 17 + i)
+                            for i, sr in enumerate(shard_refs)])
+            center_emb = np.mean([o[0] for o in outs], axis=0)
+            context_emb = np.mean([o[1] for o in outs], axis=0)
+    else:
+        for ep in range(epochs):
+            lr = max(min_learning_rate,
+                     initial_learning_rate * (1.0 - ep / epochs))
+            center_emb, context_emb = _sgns_epoch(
+                center_emb, context_emb, c, x, neg_table, lr,
+                negative_samples, np.random.default_rng(seed * 1000 + ep))
+
+    return pa.table({"vid": np.arange(n, dtype=np.int64),
+                     "embedding": pa.array(list(center_emb),
+                                           pa.list_(pa.float64()))})

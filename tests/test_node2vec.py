@@ -1,0 +1,100 @@
+"""Node2Vec training (pipelines/node2vec.py) — Node2VecTest-style invariants:
+determinism per seed, neighborhood-similarity structure, and the distributed
+model-averaging path producing the same structure."""
+
+import numpy as np
+import pytest
+
+from graph_data_science_ray import Graph, node2vec
+from graph_data_science_ray.pipelines.node2vec import _pairs_from_paths
+
+
+class TestPairGeneration:
+    def test_window_pairs(self):
+        paths = np.array([[0, 1, 2, 3, -1]])
+        lens = np.array([4])
+        c, x = _pairs_from_paths(paths, lens, window=2)
+        got = sorted(zip(c.tolist(), x.tolist()))
+        exp = sorted([(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2),
+                      (0, 2), (2, 0), (1, 3), (3, 1)])
+        assert got == exp
+
+    def test_short_walks(self):
+        paths = np.array([[5, -1, -1], [7, 8, -1]])
+        lens = np.array([1, 2])
+        c, x = _pairs_from_paths(paths, lens, window=3)
+        assert sorted(zip(c.tolist(), x.tolist())) == [(7, 8), (8, 7)]
+
+
+def _two_cliques(k=8):
+    """Two k-cliques joined by one bridge edge: within-clique pairs must
+    embed closer than cross-clique pairs."""
+    edges = []
+    for base in (0, k):
+        for i in range(k):
+            for j in range(i + 1, k):
+                edges.append((base + i, base + j))
+    edges.append((0, k))
+    return Graph.from_edges([e[0] for e in edges], [e[1] for e in edges],
+                            n=2 * k, orientation="undirected")
+
+
+def _cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+class TestNode2Vec:
+    def test_determinism(self):
+        g = _two_cliques()
+        t1 = node2vec(g, embedding_dimension=32, walks_per_node=4,
+                      walk_length=20, iterations=2, seed=5)
+        t2 = node2vec(g, embedding_dimension=32, walks_per_node=4,
+                      walk_length=20, iterations=2, seed=5)
+        e1 = np.asarray(t1.column("embedding").to_pylist())
+        e2 = np.asarray(t2.column("embedding").to_pylist())
+        np.testing.assert_array_equal(e1, e2)
+        t3 = node2vec(g, embedding_dimension=32, walks_per_node=4,
+                      walk_length=20, iterations=2, seed=6)
+        assert not np.array_equal(
+            e1, np.asarray(t3.column("embedding").to_pylist()))
+
+    def test_community_structure(self):
+        g = _two_cliques(8)
+        t = node2vec(g, embedding_dimension=32, walks_per_node=20,
+                     walk_length=30, window_size=5, iterations=20,
+                     initial_learning_rate=0.1, seed=3)
+        e = np.asarray(t.column("embedding").to_pylist())
+        within, across = [], []
+        for i in range(8):
+            for j in range(i + 1, 8):
+                within.append(_cos(e[i], e[j]))
+                within.append(_cos(e[8 + i], e[8 + j]))
+                across.append(_cos(e[i], e[8 + j]))
+        assert np.mean(within) > np.mean(across) + 0.1
+
+    def test_ray_execution_structure(self):
+        g = _two_cliques(8)
+        t = node2vec(g, embedding_dimension=32, walks_per_node=20,
+                     walk_length=30, window_size=5, iterations=40,
+                     initial_learning_rate=0.2, seed=3,
+                     execution="ray", num_partitions=2)
+        e = np.asarray(t.column("embedding").to_pylist())
+        assert e.shape == (16, 32)
+        within = [_cos(e[i], e[j]) for i in range(8) for j in range(i + 1, 8)]
+        across = [_cos(e[i], e[8 + j]) for i in range(8) for j in range(8)]
+        assert np.mean(within) > np.mean(across) + 0.1
+        # deterministic too
+        t2 = node2vec(g, embedding_dimension=32, walks_per_node=20,
+                      walk_length=30, window_size=5, iterations=40,
+                      initial_learning_rate=0.2, seed=3,
+                      execution="ray", num_partitions=2)
+        np.testing.assert_array_equal(
+            e, np.asarray(t2.column("embedding").to_pylist()))
+
+    def test_isolated_nodes(self):
+        g = Graph.from_edges([0, 1], [1, 0], n=4)
+        t = node2vec(g, embedding_dimension=8, walks_per_node=2,
+                     walk_length=5, iterations=1, seed=1)
+        assert t.num_rows == 4
+        e = np.asarray(t.column("embedding").to_pylist())
+        assert np.isfinite(e).all()
