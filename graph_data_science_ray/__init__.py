@@ -25,6 +25,8 @@ from .pipelines.paths import dijkstra, shortest_paths
 from .pipelines.paths_local import astar, yens
 from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
+from .pipelines.alpha_extras import (approx_max_k_cut, collapse_path,
+                                     influence_maximization)
 from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
@@ -46,6 +48,7 @@ __all__ = [
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
     "triangle_count_streaming",
     "degree_distribution", "filter_subgraph",
+    "approx_max_k_cut", "influence_maximization", "collapse_path",
 ]
 
 __version__ = "0.1.0"
