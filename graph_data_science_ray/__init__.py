@@ -27,6 +27,8 @@ from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
 from .pipelines.alpha_extras import (approx_max_k_cut, collapse_path,
                                      influence_maximization)
+from .pipelines.graphsage import (GraphSageModel, graphsage_embeddings,
+                                  graphsage_train)
 from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
@@ -49,6 +51,7 @@ __all__ = [
     "triangle_count_streaming",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",
+    "graphsage_train", "graphsage_embeddings", "GraphSageModel",
 ]
 
 __version__ = "0.1.0"
