@@ -155,6 +155,30 @@ def run_bench() -> dict:
     }
 
 
+WCC_N = int(os.environ.get("GRAFT_WCC_NODES", "4000000"))
+WCC_DEG = int(os.environ.get("GRAFT_WCC_DEGREE", "16"))
+
+
+def _wcc_layout_dir() -> str:
+    return f"/tmp/gds_ray_wcc_layout_{WCC_N}_{WCC_DEG}"
+
+
+def _ensure_wcc_layout() -> str:
+    """Disk-cached canonical layout for the WCC scaling workload (built once,
+    shared across the fresh-process CPU levels).  Sized so that the parallel
+    per-actor work — each shard actor reading its own layout partition, building
+    its CSR and running the local min-label closure — dominates fixed driver
+    costs; that per-partition load IS the work that added cluster nodes
+    parallelize, so it belongs in the timed region."""
+    d = _wcc_layout_dir()
+    if not os.path.exists(os.path.join(d, "_done")):
+        from graph_data_science_ray.sources.generator import random_graph
+        g = random_graph(WCC_N, WCC_DEG, weighted=False, seed=3)
+        g.save(d, num_partitions=32)
+        open(os.path.join(d, "_done"), "w").write("1")
+    return d
+
+
 def _synthetic_docs(n_docs: int, seed: int = 9):
     import numpy as np
     import pyarrow as pa
@@ -209,23 +233,28 @@ def run_scaling_suite() -> dict:
     extra["pagerank_edges"] = g.num_edges
     extra["pagerank_iterations"] = pr.ran_iterations
     extra["pagerank_edges_per_sec"] =         pr.ran_iterations * g.num_edges / timings["pagerank_1m"]
-    # bandwidth-controlled experiment (BASELINE.md §c): the SAME job with a
-    # FIXED 8-actor pool at both CPU counts.  If the per-edge cost at
-    # num_cpus=32/P=8 matches num_cpus=8/P=8, the efficiency loss of the
-    # 32-actor run is DRAM saturation (adding actors on one box multiplies
-    # cores, not memory controllers), which real added NODES would restore.
-    # diagnostic, NOT part of the timed suite (it deliberately under-uses the
-    # larger CPU count, so including it would misstate suite efficiency)
-    g.shard_refs(8)
-    t0 = time.perf_counter()
-    pr8 = pagerank(g, tolerance=1e-6, max_iterations=60, execution="ray",
-                   num_partitions=8)
-    dt8 = time.perf_counter() - t0
-    extra["fixed_p8_sec"] = round(dt8, 3)
-    extra["fixed_p8_ns_per_edge"] = round(
-        dt8 / (pr8.ran_iterations * g.num_edges) * 1e9, 2)
-    g.shard_refs(min(NUM_CPUS, 32), "undirected")
-    best_of("wcc_1m", lambda: wcc(g, execution="ray"))
+
+    # WCC over a disk-cached canonical layout (the real scale path: the driver
+    # holds only the manifest; each shard actor reads its own layout partition,
+    # builds its CSR, runs the local closure, exchanges labels for the few
+    # global rounds and writes its own result partition — nothing n-sized
+    # touches the driver).  Replaces round-2's wcc_1m, which was fixed-cost
+    # bound (actor spawn + driver gather ≈ the 3 rounds of compute).
+    import shutil
+
+    from graph_data_science_ray.state.graph import ParquetGraph
+    wl = _ensure_wcc_layout()
+    pgw = ParquetGraph(wl)
+    extra["wcc_nodes"], extra["wcc_edges"] = pgw.n, pgw.num_edges
+    wcc_out = f"/tmp/gds_wcc_scaling_out_{NUM_CPUS}"
+
+    def _wcc_layout_job():
+        if os.path.exists(wcc_out):
+            shutil.rmtree(wcc_out)
+        return wcc(pgw, execution="ray", num_partitions=min(NUM_CPUS, 16),
+                   result_dir=wcc_out)
+
+    best_of("wcc_4m_layout", _wcc_layout_job, reps=2)
 
     gt = random_graph(300_000, 16, weighted=False, seed=4)
     best_of("triangles_300k", lambda: triangle_count(
@@ -260,6 +289,46 @@ def run_scaling_suite() -> dict:
                for k, v in extra.items()}}
 
 
+def run_saturation_suite() -> dict:
+    """ns/edge-vs-P saturation curve (BASELINE.md §c): the IDENTICAL PageRank
+    job with a FIXED P-actor pool, for P in {4, 8, 16, 32}, at the current
+    num_cpus.  If the per-edge cost at a given P matches across num_cpus=8 and
+    num_cpus=32 processes, per-actor efficiency is set by memory bandwidth, not
+    engine overhead — adding actors on one box multiplies cores, not memory
+    controllers, which real added NODES would restore.  Diagnostic: never part
+    of the timed suite (small P deliberately under-uses the larger CPU count).
+    """
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from graph_data_science_ray import pagerank
+    from graph_data_science_ray.sources.generator import random_graph
+
+    g = random_graph(1_000_000, 32, weighted=False, seed=3)
+    curve = {}
+    for P in (4, 8, 16, 32):
+        if P > NUM_CPUS:  # a P-actor BSP pool needs P concurrent 1-CPU actors
+            continue
+        g.shard_refs(P)  # publish the P-way sharding untimed
+        best = None
+        for _ in range(3):  # best-of-3: this VM shows bursty contention
+            pr = pagerank(g, tolerance=0.0, max_iterations=15,
+                          execution="ray", num_partitions=P)
+            # steps_sec excludes actor spawn/shard init: the curve is about the
+            # steady-state per-iteration kernel rate, not startup costs
+            best = pr.steps_sec if best is None else min(best, pr.steps_sec)
+        curve[str(P)] = round(best / (pr.ran_iterations * g.num_edges) * 1e9, 2)
+    ray.shutdown()
+    return {"metric": "pagerank ns/edge vs fixed actor-pool size",
+            "num_cpus": NUM_CPUS, "edges": g.num_edges,
+            "ns_per_edge_by_p": curve}
+
+
 def run_scaling() -> dict:
     """Same suite at num_cpus=8 and 32 in fresh processes (the two-cluster-size
     proxy).  efficiency = (T_8 / T_32) / (32/8); 1.0 = linear scaling.
@@ -283,6 +352,15 @@ def run_scaling() -> dict:
                     if v < out[ncpu]["queries"].get(k, 1e18):
                         out[ncpu]["queries"][k] = v
                 out[ncpu]["value"] = round(sum(out[ncpu]["queries"].values()), 3)
+    # bandwidth-control diagnostic (untimed): ns/edge-vs-P saturation curve at
+    # both CPU counts — identical fixed-pool PageRank jobs, P = 4/8/16/32
+    sat = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--saturation-suite"], env=env,
+                           capture_output=True, text=True, check=True)
+        sat[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
     t8, t32 = out[8]["value"], out[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     q8, q32 = out[8]["queries"], out[32]["queries"]
@@ -296,17 +374,21 @@ def run_scaling() -> dict:
         "queries_8": q8, "queries_32": q32,
         "pagerank_edges_per_sec_8": out[8].get("pagerank_edges_per_sec"),
         "pagerank_edges_per_sec_32": out[32].get("pagerank_edges_per_sec"),
-        # bandwidth-control diagnostic: identical job, fixed 8-actor pool
-        "fixed_p8_sec_8": out[8].get("fixed_p8_sec"),
-        "fixed_p8_sec_32": out[32].get("fixed_p8_sec"),
-        "fixed_p8_ns_per_edge_8": out[8].get("fixed_p8_ns_per_edge"),
-        "fixed_p8_ns_per_edge_32": out[32].get("fixed_p8_ns_per_edge"),
+        # identical fixed-pool PageRank at P=4/8/16/32 under each CPU count:
+        # matching ns/edge at equal P across CPU counts = the efficiency gap is
+        # DRAM saturation on this one box, which added cluster NODES restore
+        "saturation_ns_per_edge_8": sat[8]["ns_per_edge_by_p"],
+        "saturation_ns_per_edge_32": sat[32]["ns_per_edge_by_p"],
+        "fixed_p8_ns_per_edge_8": sat[8]["ns_per_edge_by_p"].get("8"),
+        "fixed_p8_ns_per_edge_32": sat[32]["ns_per_edge_by_p"].get("8"),
     }
 
 
 if __name__ == "__main__":
     if "--scaling-suite" in sys.argv:
         print(json.dumps(run_scaling_suite()))
+    elif "--saturation-suite" in sys.argv:
+        print(json.dumps(run_saturation_suite()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

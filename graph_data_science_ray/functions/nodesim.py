@@ -39,13 +39,32 @@ import pyarrow as pa
 from ..state.graph import Graph
 
 
+def _topk_per_node(src_all, oth_all, sim_all, top_k):
+    """Exact per-node top-k: sim desc, tie → smaller partner id (the bounded
+    queue's insertion order, TopKMap.java:38-80).  Pure-numpy kernel shared by
+    the driver (fixture-scale) and per-bucket distributed paths."""
+    order = np.lexsort((oth_all, -sim_all, src_all))
+    src_s, oth_s, sim_s = src_all[order], oth_all[order], sim_all[order]
+    first = np.concatenate(([True], src_s[1:] != src_s[:-1]))
+    pos_in_seg = np.arange(src_s.shape[0]) - np.maximum.accumulate(
+        np.where(first, np.arange(src_s.shape[0]), 0))
+    keep = pos_in_seg < top_k
+    return src_s[keep], oth_s[keep], sim_s[keep]
+
+
 def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
                     similarity_cutoff: float = 1e-42, degree_cutoff: int = 1,
-                    weighted: bool = False,
+                    weighted: bool = False, max_neighbor_degree: Optional[int] = None,
                     num_blocks: Optional[int] = None) -> pa.Table:
     """Returns (node1, node2, similarity) — topK per node (both directions),
     optionally capped by global topN.  ``top_k=0`` disables the per-node cap
-    (all qualifying pairs once, node1 < node2 — GDS computeAll)."""
+    (all qualifying pairs once, node1 < node2 — GDS computeAll).
+
+    ``max_neighbor_degree`` is the power-law escape hatch: a shared neighbor
+    with in-degree d emits C(d, 2) co-occurrence pairs, so hub neighbors above
+    the cap are skipped entirely (the same hub-exclusion semantics as
+    TriangleCount's maxDegree, IntersectingTriangleCount.java:162-166 — an
+    approximation, documented as such; None = exact)."""
     import ray
     import ray.data
 
@@ -98,6 +117,11 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
         srcs, dsts, ws = srcs[order], dsts[order], ws[order]
         seg_starts = np.nonzero(np.concatenate(([True], dsts[1:] != dsts[:-1])))[0]
         seg_lens = np.diff(np.append(seg_starts, dsts.shape[0]))
+        if max_neighbor_degree is not None:
+            ok_seg = seg_lens <= max_neighbor_degree  # hub-neighbor exclusion
+            seg_starts, seg_lens = seg_starts[ok_seg], seg_lens[ok_seg]
+            if seg_starts.shape[0] == 0:
+                return empty
         from ..pipelines.triangles import _wedges_from_segment
         # index-pair trick: wedge over row indices so weights gather in one shot
         _, ii, jj = _wedges_from_segment(
@@ -149,6 +173,52 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
                          "similarity": sim[keep]})
 
     sims = inter.map_batches(_jaccard, batch_format="pyarrow")
+
+    if top_k and top_k > 0 and similarity_cutoff > 0:
+        # distributed per-node topK: expand both directions (each pair feeds
+        # both endpoints' queues), hash-bucket on the OWNING node so a node's
+        # candidates land in exactly one group, run the exact kernel per
+        # bucket — only the bounded n×topK result ever reaches the driver.
+        nb = adaptive_bucket_count(2 * est_pairs)
+
+        def _expand(t: pa.Table) -> pa.Table:
+            a = t.column("node1").to_numpy(zero_copy_only=False)
+            b = t.column("node2").to_numpy(zero_copy_only=False)
+            s = t.column("similarity").to_numpy(zero_copy_only=False)
+            src = np.concatenate([a, b])
+            oth = np.concatenate([b, a])
+            sim = np.concatenate([s, s])
+            kb = ((src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(38)).astype(np.int64) % nb
+            return pa.table({"src": src, "oth": oth, "sim": sim, "kb": kb})
+
+        def _bucket_topk(g: pa.Table) -> pa.Table:
+            s1, o1, v1 = _topk_per_node(
+                g.column("src").to_numpy(zero_copy_only=False),
+                g.column("oth").to_numpy(zero_copy_only=False),
+                g.column("sim").to_numpy(zero_copy_only=False), top_k)
+            return pa.table({"node1": s1, "node2": o1, "similarity": v1})
+
+        topk_ds = sims.map_batches(_expand, batch_format="pyarrow") \
+            .groupby("kb").map_groups(_bucket_topk, batch_format="pyarrow")
+        raw = [ray.get(r) for r in topk_ds.to_arrow_refs()]
+        raw = [pa.Table.from_pandas(t, preserve_index=False)
+               if isinstance(t, pd.DataFrame) else t for t in raw]
+        refs = [t for t in raw if t.num_rows and t.num_columns]
+        topk = (pa.concat_tables(refs) if refs else
+                pa.table({"node1": pa.array([], pa.int64()),
+                          "node2": pa.array([], pa.int64()),
+                          "similarity": pa.array([], pa.float64())}))
+        n1 = topk.column("node1").to_numpy(zero_copy_only=False)
+        n2 = topk.column("node2").to_numpy(zero_copy_only=False)
+        sv = topk.column("similarity").to_numpy(zero_copy_only=False)
+        if top_n and top_n > 0:
+            order = np.lexsort((n2, n1, -sv))[:top_n]
+            n1, n2, sv = n1[order], n2[order], sv[order]
+        order = np.lexsort((n2, n1))
+        return pa.table({"node1": n1[order], "node2": n2[order],
+                         "similarity": sv[order]})
+
     raw = [ray.get(r) for r in sims.to_arrow_refs()]
     # blocks may come back as pandas when upstream stages were pandas-typed
     raw = [pa.Table.from_pandas(t, preserve_index=False)
@@ -184,19 +254,9 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
     sv = pairs.column("similarity").to_numpy(zero_copy_only=False)
     if top_k and top_k > 0:
         # both directions feed the per-node queues (NodeSimilarity.java:233-243)
-        src_all = np.concatenate([n1, n2])
-        oth_all = np.concatenate([n2, n1])
-        sim_all = np.concatenate([sv, sv])
-        # per node: sim desc, tie → smaller partner id (queue insertion order)
-        order = np.lexsort((oth_all, -sim_all, src_all))
-        src_s, oth_s, sim_s = src_all[order], oth_all[order], sim_all[order]
-        first = np.concatenate(([True], src_s[1:] != src_s[:-1]))
-        seg = np.cumsum(first) - 1
-        pos_in_seg = np.arange(src_s.shape[0]) - np.maximum.accumulate(
-            np.where(first, np.arange(src_s.shape[0]), 0))
-        keep = pos_in_seg < top_k
-        _ = seg
-        n1, n2, sv = src_s[keep], oth_s[keep], sim_s[keep]
+        n1, n2, sv = _topk_per_node(np.concatenate([n1, n2]),
+                                    np.concatenate([n2, n1]),
+                                    np.concatenate([sv, sv]), top_k)
     if top_n and top_n > 0:
         order = np.lexsort((n2, n1, -sv))[:top_n]
         n1, n2, sv = n1[order], n2[order], sv[order]

@@ -42,6 +42,7 @@ Three execution modes (``run_pregel(execution=...)``):
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -133,6 +134,11 @@ class PregelResult:
     ran_iterations: int
     did_converge: bool
     metrics: list = field(default_factory=list)
+    # wall-clock phase split (actor path): setup = spawn + shard load + init,
+    # steps = superstep loop to convergence.  Lets benchmarks separate the
+    # per-iteration kernel rate from fixed/startup costs.
+    setup_sec: float = 0.0
+    steps_sec: float = 0.0
 
     def to_pandas(self):
         return self.table.to_pandas()
@@ -952,8 +958,22 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
     from ..state.checkpoint import CheckpointManager
     _ensure_comp_picklable(comp)
 
+    timing = os.environ.get("GDS_RAY_TIMING") == "1"
+    tmark = time.perf_counter()
+    phase_sec: dict = {}
+
+    def _phase(name):
+        nonlocal tmark
+        now = time.perf_counter()
+        phase_sec[name] = phase_sec.get(name, 0.0) + (now - tmark)
+        if timing:
+            print(f"[pregel-timing] {name}: {now - tmark:.2f}s",
+                  file=sys.stderr, flush=True)
+        tmark = now
+
     bounds = graph.bounds(P, comp.orientation)
     shard_refs = _shard_handles(graph, P, comp.orientation)
+    _phase("shard_handles")
     nparts = len(bounds) - 1
     ckpt = CheckpointManager(ckpt_dir, comp) if ckpt_dir else None
 
@@ -971,6 +991,7 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
         ray.get([w.init.remote() for w in workers])
         if ckpt:
             _ckpt_actors(ckpt, workers, 0, {})
+    _phase("spawn+load+init")
     metrics = []
     converged = False
     converged_at = None
@@ -1027,20 +1048,25 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
             converged_at = s0
     superstep = converged_at if converged_at is not None else it_limit
     ran = _ran_iterations(comp, superstep, converged, max_iterations)
+    _phase("supersteps")
     if result_dir is not None:
         # actors write their own result partitions — nothing flows to the driver
-        import os
         os.makedirs(result_dir, exist_ok=True)
         ray.get([w.write_result.remote(result_dir) for w in workers])
         for w in workers:
             ray.kill(w)
-        return PregelResult(None, ran, converged, metrics)
+        _phase("write_result")
+        return PregelResult(None, ran, converged, metrics,
+                            setup_sec=phase_sec.get("spawn+load+init", 0.0),
+                            steps_sec=phase_sec.get("supersteps", 0.0))
     tbl = pa.concat_tables(ray.get([w.result_table.remote() for w in workers]))
     order = np.argsort(tbl.column("vid").to_numpy(zero_copy_only=False), kind="stable")
     tbl = tbl.take(pa.array(order))
     for w in workers:
         ray.kill(w)
-    return PregelResult(tbl, ran, converged, metrics)
+    return PregelResult(tbl, ran, converged, metrics,
+                        setup_sec=phase_sec.get("spawn+load+init", 0.0),
+                        steps_sec=phase_sec.get("supersteps", 0.0))
 
 
 def _ckpt_actors(ckpt, workers, iteration, metrics):

@@ -102,3 +102,37 @@ def test_matches_bruteforce_random():
             if s >= 1e-42:
                 exp.add((a, b, round(s, 6)))
     assert got == exp
+
+
+def test_distributed_topk_matches_driver_kernel():
+    """cutoff>0 + top_k>0 takes the bucketed distributed top-k; it must equal
+    the driver-side kernel path (cutoff=0 then re-filter) exactly."""
+    rng = np.random.default_rng(11)
+    n_people, n_items, m = 40, 30, 400
+    src = rng.integers(0, n_people, m)
+    dst = n_people + rng.integers(0, n_items, m)
+    g = Graph.from_edges(src, dst, n=n_people + n_items, aggregation="single")
+    dist = node_similarity(g, top_k=3, similarity_cutoff=1e-42)
+    # driver path: cutoff=0 runs the old in-driver top-k; drop the zero rows it
+    # additionally owes and any consequent top-k slot differences are real bugs
+    drv = node_similarity(g, top_k=3, similarity_cutoff=0.0)
+    drv_rows = {r for r in _rows(drv) if r[2] > 0}
+    # the zero-cutoff run may fill trailing top-k slots with zero-sim pairs;
+    # restricting both sides to positive similarities makes the sets comparable
+    assert {r for r in _rows(dist) if r[2] > 0} == drv_rows
+
+
+def test_max_neighbor_degree_drops_hub_pairs():
+    """A hub item liked by everyone is excluded; pairs that only co-occur via
+    the hub disappear, pairs sharing non-hub items survive."""
+    nodes = ["a", "b", "c", "hub", "i1"]
+    edges = [("a", "hub", 1.0), ("b", "hub", 1.0), ("c", "hub", 1.0),
+             ("a", "i1", 1.0), ("b", "i1", 1.0)]
+    g = Graph.from_edge_list(edges, nodes=nodes)
+    full = node_similarity(g, top_k=10)
+    capped = node_similarity(g, top_k=10, max_neighbor_degree=2)
+    full_pairs = {(a, b) for a, b, _ in _rows(full)}
+    capped_pairs = {(a, b) for a, b, _ in _rows(capped)}
+    assert (0, 2) in full_pairs and (2, 0) in full_pairs      # a-c via hub only
+    assert (0, 2) not in capped_pairs and (2, 0) not in capped_pairs
+    assert (0, 1) in capped_pairs and (1, 0) in capped_pairs  # a-b via i1
