@@ -330,7 +330,7 @@ def _q_sessionize(sf_dir: str):
 def _q_quality_scores(sf_dir: str):
     from graph_data_science_ray.functions.text import QualityScorer
     return _to_table(_docs(sf_dir, ["doc_id", "text"])
-                     .map_batches(QualityScorer(), batch_format="pandas"))
+                     .map_batches(QualityScorer(), batch_format="pyarrow"))
 
 
 def _q_lang_id(sf_dir: str):
@@ -348,6 +348,14 @@ def _q_near_dup_minhash(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from graph_data_science_ray.functions.dedup import simhash_table
     return _to_table(simhash_table(_docs(sf_dir, ["doc_id", "text"])))
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    """Banded-hamming-join near-dup pairs (exact dups land at distance 0, so
+    this is non-empty on the documents table, which plants exact dups)."""
+    from graph_data_science_ray.functions.dedup import simhash_near_dups
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    return _to_table(simhash_near_dups(docs, max_hamming=3, num_bands=4))
 
 
 def _q_sssp_hierarchy(sf_dir: str):
@@ -499,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hierarchy": _q_sssp_hierarchy,
         "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
         "simhash_docs": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
     }

@@ -284,3 +284,118 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
 
 def simhash_table(docs_ds):
     return docs_ds.map_batches(SimHasher(), batch_format="pyarrow")
+
+
+def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
+    """SimHash near-duplicate pairs via the banded Hamming join.
+
+    Pigeonhole: two 64-bit fingerprints within Hamming distance d share at
+    least one of ``num_bands`` contiguous chunks exactly whenever
+    d ≤ num_bands − 1, so bucketing on (band, chunk) finds every qualifying
+    pair without an all-pairs scan (Manku et al., "Detecting Near-Duplicates
+    for Web Crawling", WWW'07 — the public simhash-dedup recipe).  Requires
+    ``max_hamming < num_bands``; candidates are verified with an exact
+    vectorized XOR-popcount against the signature table (8-byte payloads —
+    the verify join ships fingerprints, never texts).
+
+    Returns a Dataset of (doc_a, doc_b, hamming), doc_a < doc_b,
+    hamming ≤ max_hamming.  Identical texts pair at distance 0."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    from .joins import hash_join
+
+    if max_hamming >= num_bands:
+        raise ValueError(f"banded hamming join needs max_hamming < num_bands "
+                         f"(got d={max_hamming}, bands={num_bands})")
+    sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow",
+                               batch_size=256).materialize()
+    chunk_bits = 64 // num_bands
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands, chunks, docs = [], [], []
+        for b in range(num_bands):
+            bands.append(np.full(ids.shape[0], b, dtype=np.int32))
+            chunks.append(((h >> np.uint64(b * chunk_bits))
+                           & np.uint64((1 << chunk_bits) - 1)).astype(np.int64))
+            docs.append(ids)
+        return pa.table({"band": np.concatenate(bands),
+                         "band_hash": np.concatenate(chunks),
+                         "doc_id": np.concatenate(docs)})
+
+    rows = rows_if_cheap(docs_ds)
+    nb = adaptive_bucket_count(rows and rows * num_bands)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = h ^ (b * np.uint64(0x9E3779B97F4A7C15))
+        return t.append_column("bucket", pa.array(
+            ((mix * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
+            .astype(np.int64) % nb))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        from ..pipelines.triangles import _wedges_from_segment
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        seg = np.concatenate(([True], (band[1:] != band[:-1])
+                              | (bh[1:] != bh[:-1])))
+        seg_starts = np.nonzero(seg)[0]
+        seg_lens = np.diff(np.append(seg_starts, band.shape[0]))
+        _, ii, jj = _wedges_from_segment(
+            np.arange(doc.shape[0], dtype=np.int64), seg_starts, seg_lens,
+            np.zeros(seg_starts.shape[0], dtype=np.int64))
+        if ii.shape[0] == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a, b = doc[ii], doc[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ok = lo != hi
+        return pa.table({"doc_a": lo[ok], "doc_b": hi[ok]})
+
+    cand = sigs.map_batches(_explode, batch_format="pyarrow") \
+        .map_batches(_tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb")) \
+        .drop_columns(["_nb"]).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                             "doc_b": pa.array([], pa.int64()),
+                                             "hamming": pa.array([], pa.int64())}))
+
+    def _rename(col_from, col_to):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col_to if c == col_from else c
+                                     for c in t.column_names])
+        return f
+
+    sig_a = sigs.map_batches(_rename("doc_id", "doc_a"), batch_format="pyarrow") \
+        .map_batches(_rename("simhash", "sig_a"), batch_format="pyarrow")
+    sig_b = sigs.map_batches(_rename("doc_id", "doc_b"), batch_format="pyarrow") \
+        .map_batches(_rename("simhash", "sig_b"), batch_format="pyarrow")
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    sa_schema = pa.schema([("doc_a", pa.int64()), ("sig_a", pa.int64())])
+    sb_schema = pa.schema([("doc_b", pa.int64()), ("sig_b", pa.int64())])
+    j1_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("sig_a", pa.int64())])
+    joined = hash_join(cand, sig_a, "doc_a", num_buckets=16,
+                       left_schema=pair_schema, right_schema=sa_schema)
+    joined = hash_join(joined, sig_b, "doc_b", num_buckets=16,
+                       left_schema=j1_schema, right_schema=sb_schema)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        d = hamming64(t.column("sig_a").to_numpy(zero_copy_only=False),
+                      t.column("sig_b").to_numpy(zero_copy_only=False))
+        keep = d <= max_hamming
+        return pa.table({
+            "doc_a": t.column("doc_a").to_numpy(zero_copy_only=False)[keep],
+            "doc_b": t.column("doc_b").to_numpy(zero_copy_only=False)[keep],
+            "hamming": d[keep]})
+
+    return joined.map_batches(_verify, batch_format="pyarrow")

@@ -13,7 +13,6 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 # tiny per-language stopword tables for the n-gram/stopword language heuristic
@@ -69,16 +68,24 @@ class QualityScorer:
         self.stop = _STOPWORDS["en"]
         self.__name__ = "quality_score"
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(self.word)
-        n = toks.map(len).clip(lower=1)
-        stop_ratio = toks.map(lambda ws: sum(w in self.stop for w in ws)) / n
-        mean_len = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        alpha = batch["text"].str.count(r"[A-Za-z]") / batch["text"].str.len().clip(lower=1)
-        score = (0.4 * alpha + 0.3 * (1 - (mean_len - 5).abs() / 10).clip(0, 1)
-                 + 0.3 * (stop_ratio * 4).clip(0, 1))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "quality_score": score.round(6)})
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nrows = len(texts)
+        stop_ratio = np.zeros(nrows)
+        mean_len = np.zeros(nrows)
+        alpha = np.zeros(nrows)
+        for i, t in enumerate(texts):
+            ws = self.word.findall(t.lower())
+            if ws:
+                stop_ratio[i] = sum(w in self.stop for w in ws) / len(ws)
+                lens = np.fromiter(map(len, ws), dtype=np.int64, count=len(ws))
+                mean_len[i] = lens.mean()
+                alpha[i] = lens.sum() / max(len(t), 1)
+        score = (0.4 * alpha
+                 + 0.3 * np.clip(1 - np.abs(mean_len - 5) / 10, 0, 1)
+                 + 0.3 * np.clip(stop_ratio * 4, 0, 1))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "quality_score": np.round(score, 6)})
 
 
 class LanguageId:

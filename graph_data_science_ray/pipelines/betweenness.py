@@ -13,6 +13,15 @@ Execution shape: each source's two sweeps are level-synchronous and fully
 vectorized over the CSR; sources are embarrassingly parallel — the distributed
 path fans sources out over Ray tasks, each holding the (broadcast) CSR
 zero-copy.  Per-task work is O(E); the only exchange is the final per-node sum.
+
+Scale bound (documented): the CSR is `ray.put` ONCE and mapped zero-copy from
+each node's plasma store — per-NODE memory is one CSR regardless of task
+count, the same whole-graph-in-memory bound as the reference's shared heap
+(BetweennessCentrality runs on one JVM's Graph).  Graphs beyond a node's RAM
+need `sampling_size` (the reference's own hatch) on a machine that fits the
+topology; a partition-exchange Brandes (per-level distributed frontier) is a
+different algorithm with per-level all-to-all cost and is intentionally not
+emulated here.
 """
 
 from __future__ import annotations

@@ -15,6 +15,11 @@ Then et al., "The More the Merrier: Efficient Multi-Source BFS Processing"):
 visit bitmask, so each edge is touched once per 64-source batch instead of
 64 times.  Sources are fanned out over Ray tasks in 64-wide batches with the
 CSR broadcast once; the only exchange is summing the per-node accumulators.
+
+Scale bound (documented): the broadcast CSR is mapped zero-copy from each
+node's plasma store — one copy per NODE regardless of task count, the same
+whole-graph bound as the reference's shared heap.  Beyond that bound the
+all-sources sweep itself (n BFS traversals) is the binding cost, not memory.
 """
 
 from __future__ import annotations

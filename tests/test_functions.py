@@ -62,6 +62,38 @@ class TestSimHash:
         assert hamming64(ha, hb)[0] < hamming64(ha, hc)[0]
         assert hamming64(ha, hb)[0] <= 12
 
+    def test_banded_hamming_join_matches_bruteforce(self):
+        """simhash_near_dups must find EXACTLY the pairs brute-force all-pairs
+        hamming ≤ d finds (pigeonhole guarantee: d < num_bands)."""
+        from graph_data_science_ray.functions.dedup import (SimHasher,
+                                                            hamming64,
+                                                            simhash_near_dups)
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(300)]
+        texts = [" ".join(rng.choice(vocab, 60)) for _ in range(25)]
+        texts.append(texts[0])                       # exact dup → distance 0
+        texts.append(texts[1] + " extra1")           # near dup
+        texts.append(texts[2] + " extra1 extra2")    # near dup
+        ds = _docs_ds(texts)
+        out = simhash_near_dups(ds, max_hamming=3, num_bands=4).to_pandas()
+        got = {(a, b): h for a, b, h in
+               zip(out["doc_a"], out["doc_b"], out["hamming"])}
+        sh = SimHasher()
+        sig = np.asarray([sh.simhash(t) >> 1 for t in texts], dtype=np.uint64)
+        exp = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                d = int(hamming64(sig[i:i + 1], sig[j:j + 1])[0])
+                if d <= 3:
+                    exp[(i, j)] = d
+        assert got == exp
+        assert got[(0, 25)] == 0  # the planted exact dup
+
+    def test_banded_hamming_join_rejects_bad_band_count(self):
+        from graph_data_science_ray.functions.dedup import simhash_near_dups
+        with pytest.raises(ValueError):
+            simhash_near_dups(_docs_ds(["x"]), max_hamming=4, num_bands=4)
+
 
 class TestSimilarity:
     def _emb_ds(self, n=200, d=16, seed=8):
