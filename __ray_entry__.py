@@ -173,6 +173,39 @@ def _q_closeness_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "centrality": _round6(c[present])})
 
 
+def _q_harmonic_hierarchy(sf_dir: str):
+    """Harmonic centrality on the hierarchy forest: inv_farness(nation) = m
+    members at distance 1, inv_farness(region) = nn nations at 1 + mm members
+    at 2 (counted 1/2 each); leaves unreached (0).  All divided by n-1."""
+    from graph_data_science_ray import harmonic_centrality
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = harmonic_centrality(g, execution="ray")
+    c = t.column("centrality").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "centrality": _round6(c[present])})
+
+
+def _q_graphsage_embeddings(sf_dir: str):
+    """GraphSage over the hierarchy forest: degree/level features, tiny
+    mean-aggregator model, distributed inference.  Iterative SGD training —
+    not SQL-expressible (rows-only check); embeddings are row-normalized so
+    every norm is 1, asserted by the norm column."""
+    from graph_data_science_ray import graphsage_embeddings, graphsage_train
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    deg = np.bincount(g.src, minlength=g.n).astype(np.float64)
+    feats = np.stack([deg, np.ones(g.n)], axis=1)
+    model = graphsage_train(g, feats, embedding_dimension=8,
+                            sample_sizes=(5, 3), epochs=1, batch_size=256,
+                            seed=7)
+    t = graphsage_embeddings(g, feats, model, execution="ray")
+    emb = np.stack([np.asarray(e) for e in
+                    t.column("embedding").to_pylist()])
+    norms = np.linalg.norm(emb, axis=1)
+    return pa.table({"vid": present,
+                     "norm": _round6(norms[present])})
+
+
 def _q_conductance_nations(sf_dir: str):
     """Conductance of the nation partition on the hierarchy graph: each
     nation-community's only external edge is nation→region, so
@@ -483,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_similarity_suppliers": _q_node_similarity_suppliers,
         "betweenness_hierarchy": _q_betweenness_hierarchy,
         "closeness_hierarchy": _q_closeness_hierarchy,
+        "harmonic_hierarchy": _q_harmonic_hierarchy,
+        "graphsage_norms": _q_graphsage_embeddings,
         "conductance_nations": _q_conductance_nations,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         "modularity_regions": _q_modularity_regions,
@@ -663,6 +698,36 @@ FROM region JOIN regc ON regc.reg = r_regionkey
 UNION ALL SELECT 5 + nk, CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END FROM members
 UNION ALL SELECT 30 + s_suppkey, 0.0 FROM supplier
 UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.0
+          FROM customer
+""",
+        "harmonic_hierarchy": """
+WITH members AS (
+  SELECT n_nationkey AS nk, n_regionkey AS reg,
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n_nationkey)
+       + (SELECT count(*) FROM customer c WHERE c.c_nationkey = n_nationkey)
+         AS m
+  FROM nation),
+regc AS (
+  SELECT reg, count(*) AS nn, SUM(m) AS mm FROM members GROUP BY reg),
+nsz AS (
+  SELECT 32 + (SELECT max(s_suppkey) FROM supplier)
+            + (SELECT max(c_custkey) FROM customer) AS n)
+SELECT r_regionkey AS vid,
+       round((nn + mm / 2.0) / (n - 1), 6) AS centrality
+FROM region JOIN regc ON regc.reg = r_regionkey CROSS JOIN nsz
+UNION ALL SELECT 5 + nk, round(m * 1.0 / (n - 1), 6)
+          FROM members CROSS JOIN nsz
+UNION ALL SELECT 30 + s_suppkey, 0.0 FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.0
+          FROM customer
+""",
+        "graphsage_norms": """
+-- GraphSage embeddings are row-normalized (sigmoid outputs are strictly
+-- positive, so no zero rows): the norm invariant IS the SQL-checkable part
+SELECT r_regionkey AS vid, 1.0::DOUBLE AS norm FROM region
+UNION ALL SELECT 5 + n_nationkey, 1.0 FROM nation
+UNION ALL SELECT 30 + s_suppkey, 1.0 FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 1.0
           FROM customer
 """,
         "betweenness_hierarchy": """
