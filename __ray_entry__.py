@@ -75,6 +75,19 @@ def _q_wcc_chain(sf_dir: str):
     return pa.table({"vid": custkeys, "component": comp[custkeys]})
 
 
+def _q_dag_longest_chain(sf_dir: str):
+    """DAG longest path over the per-nation customer chains: the longest path
+    ending at a customer is its 0-based rank within its nation's custkey
+    order — SQL-expressible as row_number()-1, exercising multi-round MAX
+    relaxation on paths hundreds of hops long."""
+    from graph_data_science_ray import dag_longest_path
+    from graph_data_science_ray.pipelines.tpch_graph import chain_graph
+    g, custkeys = chain_graph(sf_dir)
+    res = dag_longest_path(g, weighted=False, execution="ray")
+    dist = res.table.column("distance").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": custkeys, "distance": dist[custkeys]})
+
+
 def _q_lpa_hierarchy(sf_dir: str):
     from graph_data_science_ray import label_propagation
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
@@ -183,6 +196,18 @@ def _q_harmonic_hierarchy(sf_dir: str):
     t = harmonic_centrality(g, execution="ray")
     c = t.column("centrality").to_numpy(zero_copy_only=False)
     return pa.table({"vid": present, "centrality": _round6(c[present])})
+
+
+def _q_scc_hierarchy(sf_dir: str):
+    """SCC on the hierarchy forest: the graph is a DAG (edges only point up
+    member → nation → region), so every vertex is its own strongly connected
+    component (component = min vid of the SCC = the vid itself)."""
+    from graph_data_science_ray import scc
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = scc(g, execution="fb")
+    comp = t.column("component").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "component": comp[present]})
 
 
 def _q_graphsage_embeddings(sf_dir: str):
@@ -510,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hierarchy": _q_pagerank_hierarchy,
         "wcc_hierarchy": _q_wcc_hierarchy,
         "wcc_chain": _q_wcc_chain,
+        "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
         "triangle_cosupply": _q_triangle_cosupply,
         "louvain_hierarchy": _q_louvain_hierarchy,
@@ -518,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_hierarchy": _q_closeness_hierarchy,
         "harmonic_hierarchy": _q_harmonic_hierarchy,
         "graphsage_norms": _q_graphsage_embeddings,
+        "scc_hierarchy": _q_scc_hierarchy,
         "conductance_nations": _q_conductance_nations,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         "modularity_regions": _q_modularity_regions,
@@ -587,6 +614,14 @@ UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regio
         "wcc_chain": """
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+FROM customer
+""",
+        "dag_longest_chain": """
+-- longest path ending at a customer in the per-nation consecutive-custkey
+-- chain = its 0-based rank within the nation's custkey order
+SELECT c_custkey AS vid,
+       CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1
+            AS DOUBLE) AS distance
 FROM customer
 """,
         # LPA on the hierarchy forest converges to the same fixpoint as WCC:
@@ -719,6 +754,15 @@ UNION ALL SELECT 5 + nk, round(m * 1.0 / (n - 1), 6)
           FROM members CROSS JOIN nsz
 UNION ALL SELECT 30 + s_suppkey, 0.0 FROM supplier
 UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.0
+          FROM customer
+""",
+        "scc_hierarchy": """
+-- the hierarchy forest is a DAG: every vertex is its own SCC
+SELECT r_regionkey AS vid, r_regionkey AS component FROM region
+UNION ALL SELECT 5 + n_nationkey, 5 + n_nationkey FROM nation
+UNION ALL SELECT 30 + s_suppkey, 30 + s_suppkey FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey,
+                 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey
           FROM customer
 """,
         "graphsage_norms": """

@@ -21,7 +21,7 @@ from .pipelines.fastrp import fastrp
 from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
-from .pipelines.paths import dijkstra, shortest_paths
+from .pipelines.paths import dag_longest_path, dijkstra, shortest_paths
 from .pipelines.paths_local import astar, yens
 from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
@@ -44,7 +44,8 @@ __all__ = [
     "pagerank", "article_rank", "eigenvector", "degree_centrality",
     "wcc", "label_propagation", "triangle_count", "local_clustering_coefficient",
     "shortest_paths", "louvain", "modularity_of", "ParquetGraph",
-    "node_similarity", "dijkstra", "TypedGraphStore", "betweenness_centrality",
+    "node_similarity", "dijkstra", "dag_longest_path", "TypedGraphStore",
+    "betweenness_centrality",
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",

@@ -189,3 +189,67 @@ def shortest_paths(graph: Graph, source, *, weighted: Optional[bool] = None,
     comp = SsspComputation(source, weighted)
     return run_pregel(graph, comp, max_iterations=max_iterations,
                       execution=execution, num_partitions=num_partitions)
+
+
+class LongestPathComputation(Computation):
+    """DAG longest path as a BSP max-relaxation.
+
+    The reference groups this under the alpha 'walking' family (SURVEY §2.6
+    "DAG longest path / walking"; ref alpha/alpha-algo/.../impl/walking/).
+    A topological-order DP does not distribute directly, but on a DAG the
+    label-correcting MAX relaxation reaches the same fixpoint: every vertex
+    starts as a potential path source with dist 0 and re-broadcasts only on
+    improvement, so the run converges in (longest path hop count) supersteps
+    — each superstep is one vectorized scatter over the CSR shards, not a
+    sequential topological sweep.  Cyclic inputs would relax forever; the
+    max_iterations guard turns that into a hard error instead of a silently
+    wrong answer."""
+
+    reducer = "max"
+    edge_combine = "add"
+    idempotent_on_empty = True  # max-relaxation: no messages => distances final
+    state_spec = [("dist", np.float64)]
+    output_cols = {"distance": "dist"}
+
+    def __init__(self, weighted: bool):
+        self.weighted = weighted
+
+    def init_part(self, vids, shard, st):
+        st["dist"][:] = 0.0
+        st["sending"][:] = 1   # every vertex is a potential path start
+        st["send"][:] = 0.0
+
+    def apply_part(self, vids, st, msg, superstep, shard):
+        cand = np.where(msg.has, msg.vals if self.weighted else msg.vals + 1.0,
+                        -np.inf)
+        better = cand > st["dist"]
+        st["dist"][:] = np.where(better, cand, st["dist"])
+        st["sending"][:] = better.astype(np.uint8)
+        st["send"][:] = np.where(better, st["dist"], 0.0)
+        st["changed"][:] = better.astype(np.uint8)
+
+
+def dag_longest_path(graph: Graph, *, weighted: Optional[bool] = None,
+                     max_iterations: int = 1000, execution: str = "auto",
+                     num_partitions: Optional[int] = None) -> PregelResult:
+    """Longest path ending at each vertex of a DAG (hop count when unweighted;
+    sum of weights when weighted — weights must be non-negative).
+
+    Raises if the relaxation has not converged after ``max_iterations``
+    supersteps, which on a finite-weight graph means the input has a cycle."""
+    if weighted is None:
+        weighted = graph.is_weighted
+    if weighted:
+        if not graph.is_weighted:
+            raise ValueError("weighted longest path requires edge weights")
+        w = getattr(graph, "weight", None)
+        if w is not None and np.any(w < 0):
+            raise ValueError("negative edge weights are not supported")
+    res = run_pregel(graph, LongestPathComputation(weighted),
+                     max_iterations=max_iterations, execution=execution,
+                     num_partitions=num_partitions)
+    if not res.did_converge:
+        raise ValueError(
+            f"longest-path relaxation did not converge in {max_iterations} "
+            "supersteps — the input graph is not a DAG")
+    return res

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from graph_data_science_ray import Graph
-from graph_data_science_ray.pipelines.paths import shortest_paths
+from graph_data_science_ray.pipelines.paths import (dag_longest_path,
+                                                    shortest_paths)
 
 
 def bellman_ford(n, src, dst, w, source):
@@ -193,3 +194,79 @@ class TestYens:
                for c, p in zip(res.column("total_cost").to_pylist(),
                                res.column("node_ids").to_pylist())]
         assert got == [e for e in self.EXPECTED[:k]]
+
+
+def dag_longest_oracle(n, src, dst, w):
+    """Topological DP oracle (Kahn order)."""
+    indeg = np.bincount(dst, minlength=n)
+    dist = np.zeros(n)
+    from collections import deque
+    adj = [[] for _ in range(n)]
+    for s, d, wt in zip(src, dst, w):
+        adj[int(s)].append((int(d), float(wt)))
+    q = deque(np.nonzero(indeg == 0)[0].tolist())
+    while q:
+        u = q.popleft()
+        for v, wt in adj[u]:
+            dist[v] = max(dist[v], dist[u] + wt)
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                q.append(v)
+    return dist
+
+
+class TestDagLongestPath:
+    def test_small_diamond(self):
+        # a->b->d (2 hops) beats a->d (1 hop); c isolated source
+        g = Graph.from_edges([0, 1, 0], [1, 3, 3], n=5)
+        res = dag_longest_path(g, execution="local")
+        assert res.table.column("distance").to_pylist() == \
+            [0.0, 1.0, 0.0, 2.0, 0.0]
+
+    def test_randomized_vs_topological_dp(self):
+        rng = np.random.default_rng(41)
+        for trial in range(4):
+            n = int(rng.integers(30, 80))
+            m = int(rng.integers(40, 200))
+            # layered construction guarantees a DAG: edges go low vid -> high
+            src = rng.integers(0, n - 1, m)
+            span = rng.integers(1, 10, m)
+            dst = np.minimum(src + span, n - 1)
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+            w = rng.random(src.shape[0]) * 4
+            g = Graph.from_edges(src, dst, w, n=n, aggregation="max")
+            res = dag_longest_path(g, execution="local",
+                                   num_partitions=int(rng.integers(1, 4)))
+            exp = dag_longest_oracle(n, g.src, g.dst, g.weight)
+            np.testing.assert_allclose(
+                res.table.column("distance").to_numpy(zero_copy_only=False),
+                exp, atol=1e-9)
+
+    def test_unweighted_chain_depth(self):
+        n = 50
+        g = Graph.from_edges(np.arange(n - 1), np.arange(1, n), n=n)
+        res = dag_longest_path(g, weighted=False, execution="local")
+        np.testing.assert_array_equal(
+            res.table.column("distance").to_numpy(zero_copy_only=False),
+            np.arange(n, dtype=float))
+
+    def test_actor_mode_agrees(self):
+        rng = np.random.default_rng(43)
+        n, m = 400, 1600
+        src = rng.integers(0, n - 1, m)
+        dst = np.minimum(src + rng.integers(1, 20, m), n - 1)
+        keep = src != dst
+        w = rng.random(int(keep.sum())) * 3
+        g = Graph.from_edges(src[keep], dst[keep], w, n=n, aggregation="max")
+        loc = dag_longest_path(g, execution="local")
+        act = dag_longest_path(g, execution="ray", num_partitions=4)
+        np.testing.assert_allclose(
+            act.table.column("distance").to_numpy(zero_copy_only=False),
+            loc.table.column("distance").to_numpy(zero_copy_only=False),
+            atol=1e-9)
+
+    def test_cycle_rejected(self):
+        g = Graph.from_edges([0, 1, 2], [1, 2, 0], n=3)
+        with pytest.raises(ValueError, match="not a DAG"):
+            dag_longest_path(g, execution="local", max_iterations=50)
