@@ -416,6 +416,32 @@ def _q_simhash_near_dups(sf_dir: str):
     return _to_table(simhash_near_dups(docs, max_hamming=3, num_bands=4))
 
 
+def _q_embedding_dup_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (id1 < id2, cosine >= 0.3) —
+    distributed block-nested-loop, float32-sequential arithmetic matching
+    DuckDB's list_cosine_similarity."""
+    from graph_data_science_ray.functions.dedup import embedding_dup_pairs
+    rd = _ray_data()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    t = embedding_dup_pairs(emb, threshold=0.3, arithmetic="f32seq")
+    sims = _round6(t.column("similarity").to_numpy(zero_copy_only=False))
+    return pa.table({"id1": t.column("id1"), "id2": t.column("id2"),
+                     "similarity": pa.array(sims.astype(np.float32),
+                                            pa.float32())})
+
+
+def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    """LSH-bucketed (banded random-hyperplane) embedding near-dup — the 100-TB
+    scale path; recall-tested against the exact operator in pytest."""
+    from graph_data_science_ray.functions.dedup import embedding_dup_pairs_lsh
+    rd = _ray_data()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return _to_table(embedding_dup_pairs_lsh(emb, threshold=0.3,
+                                             num_bands=24, planes_per_band=3))
+
+
 def _q_sssp_hierarchy(sf_dir: str):
     """Hop distances from the lowest-vid customer (reachable rows only: the
     customer, its nation, its region — depth-2 DAG)."""
@@ -565,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "near_dup_minhash": _q_near_dup_minhash,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "corpus_sha256": _q_corpus_sha,
         "sssp_hierarchy": _q_sssp_hierarchy,
         "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
@@ -794,6 +822,12 @@ WITH p AS (SELECT a.vec_id AS i, b.vec_id AS j,
 r AS (SELECT i, j, s, row_number() OVER (PARTITION BY i ORDER BY s DESC, j) rn
       FROM p)
 SELECT i AS node1, j AS node2, round(s, 6) AS similarity FROM r WHERE rn <= 5
+""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 """,
         "node_similarity_suppliers": """
 WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),

@@ -399,3 +399,217 @@ def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
             "hamming": d[keep]})
 
     return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.9, *,
+                        batch_size: int = 2048,
+                        arithmetic: str = "f32seq") -> "pa.Table":
+    """Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair of
+    the embedding table with cosine similarity >= ``threshold``.
+
+    Same rationale as the reference's NodeSimilarity all-qualifying-pairs
+    surface (algo/.../similarity/nodesim/NodeSimilarity.java:66 similarityCutoff)
+    but over dense vectors: the exact path is the conformance baseline the
+    LSH-bucketed variant (:func:`embedding_dup_pairs_lsh`) is verified against.
+
+    Distributed block-nested-loop, zero driver materialization: the Dataset's
+    Arrow blocks stay in plasma; one Ray task per block streams over every
+    block (ref-at-a-time fetch, bounded memory) and emits only its qualifying
+    pairs with ``my_id < other_id`` — each unordered pair is scored exactly
+    once across the job.  O(n²/P) compute per task; driver holds O(#blocks)
+    refs plus the (small, threshold-pruned) pair table.  ``f32seq`` replays
+    SQL engines' float32 sequential list-cosine accumulation (compat.py) so
+    the threshold cut is bit-identical to the DuckDB oracle; "float64" keeps
+    full precision for library use.
+    """
+    import ray
+    from .compat import cosine_f32_sequential
+    from .knn import _unpack
+
+    if arithmetic not in ("float64", "f32seq"):
+        raise ValueError(f"unknown arithmetic {arithmetic!r}")
+    dtype = np.float32 if arithmetic == "f32seq" else np.float64
+    refs = list(emb_ds.to_arrow_refs())
+
+    @ray.remote
+    def _block_pairs(my_block, all_refs):
+        my_ids, my_mat = _unpack(my_block, dtype)
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "similarity": pa.array([], pa.float64())})
+        if my_ids.shape[0] == 0:
+            return empty
+        if arithmetic == "float64":
+            nrm = np.linalg.norm(my_mat, axis=1)
+            nrm[nrm == 0] = 1e-30
+            my_n = my_mat / nrm[:, None]
+        out_a, out_b, out_s = [], [], []
+        for ref in all_refs:
+            o_ids, o_mat = _unpack(ray.get(ref), dtype)
+            if o_ids.shape[0] == 0:
+                continue
+            if arithmetic == "float64":
+                onrm = np.linalg.norm(o_mat, axis=1)
+                onrm[onrm == 0] = 1e-30
+                o_mat = o_mat / onrm[:, None]
+            for lo in range(0, o_ids.shape[0], batch_size):
+                hi = min(lo + batch_size, o_ids.shape[0])
+                if arithmetic == "f32seq":
+                    sims = cosine_f32_sequential(my_mat, o_mat[lo:hi])
+                else:
+                    sims = my_n @ o_mat[lo:hi].T
+                mask = (sims >= threshold) & \
+                    (my_ids[:, None] < o_ids[None, lo:hi])
+                r, c = np.nonzero(mask)
+                if r.size:
+                    out_a.append(my_ids[r])
+                    out_b.append(o_ids[lo:hi][c])
+                    out_s.append(sims[r, c].astype(np.float64))
+        if not out_a:
+            return empty
+        return pa.table({"id1": np.concatenate(out_a),
+                         "id2": np.concatenate(out_b),
+                         "similarity": np.concatenate(out_s)})
+
+    return pa.concat_tables(ray.get(
+        [_block_pairs.remote(r, refs) for r in refs]))
+
+
+def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
+                            num_bands: int = 16, planes_per_band: int = 4,
+                            seed: int = 37, batch_format_dim=None):
+    """Scale path for embedding-cosine near-dup: banded random-hyperplane LSH.
+
+    Signature stage (stateful actor pool — plane matrix drawn once per actor
+    in ``__init__``) computes ``num_bands × planes_per_band`` sign bits per
+    vector; a pair is a candidate iff it agrees on every bit of some band
+    (P[band match] = (1 - θ/π)^r for angle θ — the cosine analogue of the
+    MinHash banding curve used by :func:`minhash_near_dups`).  Candidates are
+    found by a ``groupby(band, bucket)`` — never an all-pairs pass — then the
+    distinct pair set is verified with exact float32-sequential cosine via two
+    partitioned hash joins back to the embedding table.  Returns a Dataset of
+    (id1, id2, similarity) with similarity >= threshold; recall < 1 by design
+    (tunable via num_bands), precision exact.
+    """
+    import ray
+    from ray.data.aggregate import Count
+    from .compat import cosine_f32_sequential
+    from .joins import hash_join
+    from ..stages.bucketing import adaptive_bucket_count
+
+    class _Signer:
+        def __init__(self):
+            rng = np.random.default_rng(seed)
+            self._planes = None
+            self._rng = rng
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding").combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            n = len(ids)
+            mat = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+            if self._planes is None:
+                dim = mat.shape[1] if n else (batch_format_dim or 0)
+                self._planes = self._rng.standard_normal(
+                    (dim, num_bands * planes_per_band))
+            bits = (mat @ self._planes) >= 0.0          # (n, B*r) bools
+            bits = bits.reshape(n, num_bands, planes_per_band)
+            # pack each band's r bits + band index into one int64 bucket key
+            weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+            buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, B)
+            band_idx = np.broadcast_to(
+                np.arange(num_bands, dtype=np.int64), (n, num_bands))
+            return pa.table({
+                "vec_id": np.repeat(ids.astype(np.int64), num_bands),
+                "bucket": (band_idx * (1 << planes_per_band)
+                           + buckets).ravel()})
+
+    sigs = emb_ds.map_batches(_Signer, batch_format="pyarrow",
+                              concurrency=(1, 8))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(np.unique(g.column("vec_id").to_numpy(
+            zero_copy_only=False)))
+        if ids.size < 2:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64())})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pa.table({"id1": ids[a], "id2": ids[b]})
+
+    cand = sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    cand = cand.groupby(["id1", "id2"]).aggregate(Count(alias_name="_nb")) \
+        .drop_columns(["_nb"]).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64()),
+            "similarity": pa.array([], pa.float64())}))
+
+    def _rename(col_from, col_to):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col_to if c == col_from else c
+                                     for c in t.column_names])
+        return f
+
+    # Acero hash joins reject list-typed payload columns — carry the vector
+    # as raw float32 bytes (plain binary), unpack after the join.
+    def _pack(id_to, emb_to):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            col = t.column("embedding").combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float32)
+            n = len(ids)
+            mat = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+            return pa.table({
+                id_to: ids.astype(np.int64),
+                emb_to: pa.array([r.tobytes() for r in mat], pa.binary())})
+        return f
+
+    emb_t = pa.binary()
+    emb_a = emb_ds.map_batches(_pack("id1", "emb_a"), batch_format="pyarrow")
+    emb_b = emb_ds.map_batches(_pack("id2", "emb_b"), batch_format="pyarrow")
+    nb = adaptive_bucket_count(cand.count(), min_buckets=16)
+    pair_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
+    ea_schema = pa.schema([("id1", pa.int64()), ("emb_a", emb_t)])
+    eb_schema = pa.schema([("id2", pa.int64()), ("emb_b", emb_t)])
+    j1_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                           ("emb_a", emb_t)])
+    joined = hash_join(cand, emb_a, "id1", num_buckets=nb,
+                       left_schema=pair_schema, right_schema=ea_schema)
+    joined = hash_join(joined, emb_b, "id2", num_buckets=nb,
+                       left_schema=j1_schema, right_schema=eb_schema)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        a32 = np.frombuffer(
+            b"".join(t.column("emb_a").to_pylist()), dtype=np.float32) \
+            .reshape(n, -1)
+        b32 = np.frombuffer(
+            b"".join(t.column("emb_b").to_pylist()), dtype=np.float32) \
+            .reshape(n, -1)
+        # pairwise (diagonal) float32-sequential cosine, vectorized over rows
+        num = np.zeros(n, dtype=np.float32)
+        na = np.zeros(n, dtype=np.float32)
+        nbb = np.zeros(n, dtype=np.float32)
+        for d in range(a32.shape[1]):
+            x, y = a32[:, d], b32[:, d]
+            num += x * y
+            na += x * x
+            nbb += y * y
+        sims = num / (np.sqrt(na) * np.sqrt(nbb))
+        keep = sims >= threshold
+        return pa.table({
+            "id1": t.column("id1").to_numpy(zero_copy_only=False)[keep],
+            "id2": t.column("id2").to_numpy(zero_copy_only=False)[keep],
+            "similarity": sims[keep].astype(np.float64)})
+
+    return joined.map_batches(_verify, batch_format="pyarrow")

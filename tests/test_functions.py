@@ -236,3 +236,53 @@ def test_semi_join_empty_key_set():
     ds = ray.data.from_items([{"k": 1}, {"k": 2}])
     assert semi_join_filter(ds, "k", []).count() == 0
     assert semi_join_filter(ds, "k", [], anti=True).count() == 2
+
+
+class TestEmbeddingDup:
+    def _planted_ds(self, n=300, d=16, seed=12, dups=20):
+        """Random unit vectors plus `dups` planted near-duplicates (tiny
+        perturbations of existing rows — cosine >> 0.9)."""
+        import ray.data
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal((n, d))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        src = rng.choice(n, size=dups, replace=False)
+        pert = v[src] + 0.02 * rng.standard_normal((dups, d))
+        pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+        allv = np.vstack([v, pert]).astype(np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": np.arange(n + dups, dtype=np.int64),
+            "embedding": pa.array(list(allv), pa.list_(pa.float32())),
+        })).repartition(8)
+        return ds, allv, {(int(min(s, n + i)), int(max(s, n + i)))
+                          for i, s in enumerate(src)}
+
+    def test_exact_pairs_match_bruteforce(self):
+        from graph_data_science_ray.functions.dedup import embedding_dup_pairs
+        ds, allv, planted = self._planted_ds()
+        t = embedding_dup_pairs(ds, threshold=0.9, arithmetic="float64")
+        got = {(int(a), int(b)) for a, b in zip(t.column("id1").to_pylist(),
+                                                t.column("id2").to_pylist())}
+        m = allv.astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu = np.triu_indices(len(m), k=1)
+        exp = {(int(a), int(b)) for a, b in
+               zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])}
+        assert got == exp
+        assert planted <= got  # every planted dup recovered
+
+    def test_lsh_pairs_high_recall_exact_precision(self):
+        from graph_data_science_ray.functions.dedup import (
+            embedding_dup_pairs, embedding_dup_pairs_lsh)
+        ds, _, _ = self._planted_ds()
+        exact = embedding_dup_pairs(ds, threshold=0.9, arithmetic="f32seq")
+        exact_pairs = {(int(a), int(b)) for a, b in
+                       zip(exact.column("id1").to_pylist(),
+                           exact.column("id2").to_pylist())}
+        lsh = embedding_dup_pairs_lsh(ds, threshold=0.9,
+                                      num_bands=24, planes_per_band=3)
+        lt = lsh.to_pandas() if hasattr(lsh, "to_pandas") else lsh
+        got = {(int(a), int(b)) for a, b in zip(lt["id1"], lt["id2"])}
+        assert got <= exact_pairs          # precision exact (verified pairs)
+        assert len(got) >= 0.9 * len(exact_pairs)  # high-cosine pairs: high recall
