@@ -823,6 +823,53 @@ r AS (SELECT i, j, s, row_number() OVER (PARTITION BY i ORDER BY s DESC, j) rn
       FROM p)
 SELECT i AS node1, j AS node2, round(s, 6) AS similarity FROM r WHERE rn <= 5
 """,
+        "quality_scores": """
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) > 0 THEN
+      len(list_filter(ws, x -> list_contains(
+        ['the','and','of','a','to','in','is','it','that','for'], x)))::DOUBLE
+      / len(ws) ELSE 0 END AS stop_ratio,
+    CASE WHEN len(ws) > 0 THEN
+      list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+      ELSE 0 END AS mean_len,
+    CASE WHEN len(ws) > 0 THEN
+      list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+      / greatest(length(text), 1) ELSE 0 END AS alpha
+  FROM w
+)
+SELECT doc_id,
+       round(0.4 * alpha
+             + 0.3 * least(greatest(1 - abs(mean_len - 5) / 10, 0), 1)
+             + 0.3 * least(stop_ratio * 4, 1.0), 6) AS quality_score
+FROM m
+""",
+        "lang_id": """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+), langs(lang, stops, ofirst, pos) AS (VALUES
+  ('en', ['the','and','of','a','to','in','is','it','that','for'], 101, 0),
+  ('de', ['der','die','das','und','ist','ein','zu','mit','von','nicht'], 100, 1),
+  ('fr', ['le','la','les','et','est','un','une','de','pour','dans'], 102, 2),
+  ('es', ['el','la','los','y','es','un','una','de','por','para'], 101, 3)
+), votes AS (
+  SELECT doc_id, lang,
+         len(list_filter(ws, x -> list_contains(stops, x))) AS v,
+         ofirst, pos
+  FROM w CROSS JOIN langs
+), ranked AS (
+  SELECT doc_id, lang, v,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY v DESC, ofirst ASC, pos ASC) AS rn
+  FROM votes
+)
+SELECT doc_id, CASE WHEN v > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1
+""",
         "embedding_dup_pairs": """
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS similarity

@@ -61,7 +61,9 @@ class TextStats:
 
 class QualityScorer:
     """Heuristic quality score: mean token length, stopword ratio, alpha ratio.
-    Composite score in [0,1] — heuristic, no SQL oracle (rows-only check)."""
+    Composite score in [0,1].  Every arithmetic step is IEEE-deterministic and
+    left-associated, and the 6dp rounding is SQL half-away (compat.py), so the
+    score is bit-equal to the ANSI-SQL formulation in the oracle query."""
 
     def __init__(self):
         self.word = re.compile(r"[A-Za-z]+")
@@ -84,8 +86,9 @@ class QualityScorer:
         score = (0.4 * alpha
                  + 0.3 * np.clip(1 - np.abs(mean_len - 5) / 10, 0, 1)
                  + 0.3 * np.clip(stop_ratio * 4, 0, 1))
+        from .compat import round_half_away
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "quality_score": np.round(score, 6)})
+                         "quality_score": round_half_away(score, 6)})
 
 
 class LanguageId:
