@@ -423,7 +423,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
     from graph_data_science_ray.functions.dedup import embedding_dup_pairs
     rd = _ray_data()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+                          columns=["vec_id", "embedding"]).repartition(16)
     t = embedding_dup_pairs(emb, threshold=0.3, arithmetic="f32seq")
     sims = _round6(t.column("similarity").to_numpy(zero_copy_only=False))
     return pa.table({"id1": t.column("id1"), "id2": t.column("id2"),

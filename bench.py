@@ -135,7 +135,7 @@ def run_bench() -> dict:
     import __ray_entry__ as em
     for name in ["pagerank_hierarchy", "wcc_chain", "dedup_exact_documents",
                  "near_dup_minhash", "knn_cosine", "events_hourly",
-                 "node_similarity_suppliers"]:
+                 "node_similarity_suppliers", "embedding_dup_pairs"]:
         q = em.queries()[name]
         t0 = time.perf_counter()
         q(SF_DIR)
