@@ -146,6 +146,17 @@ def _q_node_similarity_suppliers(sf_dir: str):
                      "similarity": _round6(t.column("similarity").to_numpy(zero_copy_only=False))})
 
 
+def _q_node_similarity_overlap(sf_dir: str):
+    """NodeSimilarity with the Overlap metric (|∩| / min(|A|,|B|)) over the
+    supplier→part bipartite graph."""
+    from graph_data_science_ray.functions.nodesim import node_similarity
+    from graph_data_science_ray.pipelines.tpch_graph import supplier_part_graph
+    g = supplier_part_graph(sf_dir)
+    t = node_similarity(g, top_k=0, metric="overlap")
+    return pa.table({"node1": t.column("node1"), "node2": t.column("node2"),
+                     "similarity": _round6(t.column("similarity").to_numpy(zero_copy_only=False))})
+
+
 def _q_betweenness_hierarchy(sf_dir: str):
     """Brandes betweenness on the hierarchy forest: the only interior vertices
     are nations — each customer/supplier contributes exactly one path to its
@@ -566,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_cosupply": _q_triangle_cosupply,
         "louvain_hierarchy": _q_louvain_hierarchy,
         "node_similarity_suppliers": _q_node_similarity_suppliers,
+        "node_similarity_overlap": _q_node_similarity_overlap,
         "betweenness_hierarchy": _q_betweenness_hierarchy,
         "closeness_hierarchy": _q_closeness_hierarchy,
         "harmonic_hierarchy": _q_harmonic_hierarchy,
@@ -885,6 +897,16 @@ SELECT n1 AS node1, n2 AS node2,
        round(i * 1.0 / (da.d + db.d - i), 6) AS similarity
 FROM inter JOIN deg da ON da.s = n1 JOIN deg db ON db.s = n2
 WHERE i * 1.0 / (da.d + db.d - i) >= 1e-42
+""",
+        "node_similarity_overlap": """
+WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+deg AS (SELECT s, count(*) AS d FROM ps GROUP BY s),
+inter AS (SELECT a.s AS n1, b.s AS n2, count(*) AS i
+          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2)
+SELECT n1 AS node1, n2 AS node2,
+       round(i * 1.0 / least(da.d, db.d), 6) AS similarity
+FROM inter JOIN deg da ON da.s = n1 JOIN deg db ON db.s = n2
+WHERE i * 1.0 / least(da.d, db.d) >= 1e-42
 """,
         "modularity_regions": """
 WITH k AS (

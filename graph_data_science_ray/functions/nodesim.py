@@ -54,7 +54,8 @@ def _topk_per_node(src_all, oth_all, sim_all, top_k):
 
 def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
                     similarity_cutoff: float = 1e-42, degree_cutoff: int = 1,
-                    weighted: bool = False, max_neighbor_degree: Optional[int] = None,
+                    weighted: bool = False, metric: str = "jaccard",
+                    max_neighbor_degree: Optional[int] = None,
                     num_blocks: Optional[int] = None) -> pa.Table:
     """Returns (node1, node2, similarity) — topK per node (both directions),
     optionally capped by global topN.  ``top_k=0`` disables the per-node cap
@@ -68,6 +69,8 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
     import ray
     import ray.data
 
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"unknown metric {metric!r}")
     if weighted and not graph.is_weighted:
         raise ValueError("weighted=True on an unweighted graph")
     n = graph.n
@@ -161,18 +164,24 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
         .map_batches(_tag2, batch_format="pyarrow") \
         .groupby("b2").map_groups(_combine, batch_format="pyarrow")
 
-    def _jaccard(t: pa.Table) -> pa.Table:
+    def _similarity(t: pa.Table) -> pa.Table:
+        # jaccard: |∩| / (|A| + |B| − |∩|)   (NodeSimilarity.java:315-376)
+        # overlap: |∩| / min(|A|, |B|)       (OverlapSimilarityComputer —
+        #   similarity/nodesim metric family; weighted uses Σmin / min(ΣA, ΣB))
         ks = ray.get(ksum_ref)
         a = t.column("node1").to_numpy(zero_copy_only=False)
         b = t.column("node2").to_numpy(zero_copy_only=False)
         i = t.column("inter").to_numpy(zero_copy_only=False)
-        union = ks[a] + ks[b] - i
-        sim = np.where(union > 0, i / np.where(union > 0, union, 1.0), 0.0)
+        if metric == "overlap":
+            denom = np.minimum(ks[a], ks[b])
+        else:
+            denom = ks[a] + ks[b] - i
+        sim = np.where(denom > 0, i / np.where(denom > 0, denom, 1.0), 0.0)
         keep = sim >= similarity_cutoff
         return pa.table({"node1": a[keep], "node2": b[keep],
                          "similarity": sim[keep]})
 
-    sims = inter.map_batches(_jaccard, batch_format="pyarrow")
+    sims = inter.map_batches(_similarity, batch_format="pyarrow")
 
     if top_k and top_k > 0 and similarity_cutoff > 0:
         # distributed per-node topK: expand both directions (each pair feeds

@@ -136,3 +136,41 @@ def test_max_neighbor_degree_drops_hub_pairs():
     assert (0, 2) in full_pairs and (2, 0) in full_pairs      # a-c via hub only
     assert (0, 2) not in capped_pairs and (2, 0) not in capped_pairs
     assert (0, 1) in capped_pairs and (1, 0) in capped_pairs  # a-b via i1
+
+
+def test_overlap_matches_bruteforce():
+    rng = np.random.default_rng(9)
+    n_people, n_items, m = 20, 15, 120
+    src = rng.integers(0, n_people, m)
+    dst = n_people + rng.integers(0, n_items, m)
+    g = Graph.from_edges(src, dst, n=n_people + n_items, aggregation="single")
+    t = node_similarity(g, top_k=0, similarity_cutoff=1e-42, metric="overlap")
+    got = _rows(t)
+    sets = [set(g.dst[g.src == i].tolist()) for i in range(n_people + n_items)]
+    exp = set()
+    for a in range(n_people + n_items):
+        if not sets[a]:
+            continue
+        for b in range(a + 1, n_people + n_items):
+            if not sets[b]:
+                continue
+            i = len(sets[a] & sets[b])
+            d = min(len(sets[a]), len(sets[b]))
+            s = i / d if d else 0.0
+            if s >= 1e-42:
+                exp.add((a, b, round(s, 6)))
+    assert got == exp
+
+
+def test_overlap_weighted(likes_graph):
+    # weighted overlap = Σmin over intersection / min(ΣA, ΣB)
+    t = node_similarity(likes_graph, top_k=0, similarity_cutoff=1e-42,
+                        weighted=True, metric="overlap")
+    got = _rows(t)
+    # a:{i1:1,i2:1,i3:2} b:{i1:1,i2:1} → Σmin=2, min(4,2)=2 → 1.0
+    assert (0, 1, 1.0) in got
+
+
+def test_unknown_metric_rejected(likes_graph):
+    with pytest.raises(ValueError):
+        node_similarity(likes_graph, metric="dice")
