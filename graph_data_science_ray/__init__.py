@@ -33,7 +33,7 @@ from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
 from .pipelines.triangles import (local_clustering_coefficient, triangle_count,
-                                  triangle_count_streaming)
+                                  triangle_count_streaming, triangle_stream)
 from .pipelines.wcc import wcc
 from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
 from .state.graph import Graph, ParquetGraph
@@ -49,7 +49,7 @@ __all__ = [
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
-    "triangle_count_streaming",
+    "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",
     "graphsage_train", "graphsage_embeddings", "GraphSageModel",

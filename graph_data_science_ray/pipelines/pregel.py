@@ -222,9 +222,10 @@ def scatter_global(comp: Computation, shard: CsrShard, n_total: int,
     Receivers slice their own [lo, hi) out of it — on a single node every
     receiver maps the same plasma object zero-copy, so the exchange creates P
     objects per superstep (not P²).  On a multi-node cluster, where network
-    bytes matter more than object count, the same payloads would be cut into
-    per-destination slices before shipping (``num_returns=P``); the merge logic
-    below is identical either way.
+    bytes matter more than object count, the same payloads are cut into
+    per-destination slices before shipping (``payload_mode="sliced"``:
+    ``slice_payload`` + ``_ShardActor.step_sliced`` with ``num_returns=1+P``);
+    the merge logic below is identical either way.
 
     Dense payloads (one full-range ``bincount``) are used in heavy supersteps —
     no routing or sort at all; sparse (dst, val) pairs in the late supersteps."""
@@ -254,6 +255,45 @@ def scatter_global(comp: Computation, shard: CsrShard, n_total: int,
         np.minimum.at(acc, dst, vals)
         return ("Fm", acc)
     return ("s", dst, vals)
+
+
+def slice_payload(comp: Computation, pl, bounds: np.ndarray) -> list:
+    """Cut one global payload into P per-receiver payloads (multi-node shape:
+    each receiver is shipped ONLY its own vid range — O(n) total network bytes
+    per superstep instead of O(P·n) for dense payloads).  Sparse slices keep
+    their global tags (merge_payloads' [lo, hi) filter is a no-op on them);
+    dense slices get exactly-my-range tags ("Fs"/"FMs"/"Fms") because the
+    receiver cannot re-slice an array that no longer spans the full range."""
+    P = len(bounds) - 1
+    if pl is None:
+        return [None] * P
+    tag = pl[0]
+    if tag in ("F", "FM", "Fm"):
+        out = []
+        for q in range(P):
+            lo, hi = int(bounds[q]), int(bounds[q + 1])
+            if tag == "F":
+                out.append(("Fs", pl[1][lo:hi], pl[2][lo:hi]))
+            elif tag == "FM":
+                out.append(("FMs", pl[1][lo:hi]))
+            else:
+                out.append(("Fms", pl[1][lo:hi]))
+        return out
+    dst = pl[1]
+    if tag == "s":  # raw expanded pairs: sort once, then slice by bounds
+        order = np.argsort(dst, kind="stable")
+        dst = dst[order]
+        vals = pl[2][order]
+        cuts = np.searchsorted(dst, bounds)
+        return [("s", dst[cuts[q]:cuts[q + 1]], vals[cuts[q]:cuts[q + 1]])
+                if cuts[q + 1] > cuts[q] else None for q in range(P)]
+    cuts = np.searchsorted(dst, bounds)  # "k"/"q": already dst-sorted
+    if tag == "q":
+        return [("q", dst[cuts[q]:cuts[q + 1]], pl[2][cuts[q]:cuts[q + 1]])
+                if cuts[q + 1] > cuts[q] else None for q in range(P)]
+    return [("k", dst[cuts[q]:cuts[q + 1]], pl[2][cuts[q]:cuts[q + 1]],
+             pl[3][cuts[q]:cuts[q + 1]])
+            if cuts[q + 1] > cuts[q] else None for q in range(P)]
 
 
 def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
@@ -303,6 +343,9 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
             if p[0] == "F":
                 vals += p[1][lo:hi]
                 has |= p[2][lo:hi]
+            elif p[0] == "Fs":  # sliced dense: already exactly [lo, hi)
+                vals += p[1]
+                has |= p[2]
             else:  # "s" — count payloads already carry per-message ones
                 m = (p[1] >= lo) & (p[1] < hi)
                 sparse_ids.append(p[1][m] - lo)
@@ -321,6 +364,8 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
                 continue
             if p[0] == "FM":
                 np.maximum(vals, p[1][lo:hi], out=vals)
+            elif p[0] == "FMs":
+                np.maximum(vals, p[1], out=vals)
             else:  # "s"
                 m = (p[1] >= lo) & (p[1] < hi)
                 if m.any():
@@ -332,6 +377,8 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
             continue
         if p[0] == "Fm":
             np.minimum(vals, p[1][lo:hi], out=vals)
+        elif p[0] == "Fms":
+            np.minimum(vals, p[1], out=vals)
         else:  # "s"
             m = (p[1] >= lo) & (p[1] < hi)
             if m.any():
@@ -375,9 +422,9 @@ def _payload_count(p) -> int:
         return 0
     if p[0] in ("s", "k", "q"):
         return int(p[1].shape[0])
-    if p[0] == "F":
+    if p[0] in ("F", "Fs"):
         return int(p[2].sum())
-    if p[0] == "FM":
+    if p[0] in ("FM", "FMs"):
         return int((p[1] > -np.inf).sum())
     return int((p[1] < np.inf).sum())
 
@@ -669,14 +716,24 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
                checkpoint_dir: Optional[str] = None, checkpoint_interval: int = 1,
                resume: bool = False, local_threshold: int = 200_000,
                result_dir: Optional[str] = None,
-               memory_limit_bytes: Optional[int] = None) -> PregelResult:
+               memory_limit_bytes: Optional[int] = None,
+               payload_mode: Optional[str] = None) -> PregelResult:
     """Run a vertex computation to convergence (BSP driver loop —
     ref Pregel.run, pregel/.../Pregel.java:158-199).  See the module docstring
     for the three execution modes.
 
     ``result_dir``: when set (actor mode), each shard actor writes its own
     result partition parquet and the driver never materializes the result
-    table (PregelResult.table is None) — the write-mode scale path."""
+    table (PregelResult.table is None) — the write-mode scale path.
+
+    ``payload_mode``: "shared" (single-node default: one whole-range payload
+    per producer, mapped zero-copy by every receiver) or "sliced" (per-receiver
+    payload slices, the multi-node network shape).  Defaults to the
+    ``GDS_PAYLOAD_MODE`` env var, else "shared"."""
+    if payload_mode is None:
+        payload_mode = os.environ.get("GDS_PAYLOAD_MODE", "shared")
+    if payload_mode not in ("shared", "sliced"):
+        raise ValueError(f"unknown payload_mode {payload_mode!r}")
     if execution == "auto":
         execution = "local" if graph.n <= local_threshold else "ray"
     if num_partitions is None:
@@ -696,7 +753,7 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
     if execution in ("ray", "ray-actors"):
         return _run_ray_actors(graph, comp, max_iterations, num_partitions,
                                checkpoint_dir, checkpoint_interval, resume,
-                               result_dir=result_dir)
+                               result_dir=result_dir, payload_mode=payload_mode)
     if execution == "ray-data":
         return _run_ray(graph, comp, max_iterations, num_partitions,
                         checkpoint_dir, checkpoint_interval, resume)
@@ -920,6 +977,18 @@ class _ShardActor:
         stats = self.apply(superstep, *payloads)
         return stats, self.scatter()
 
+    def scatter_sliced(self):
+        """Initial scatter, cut into P per-receiver slices (num_returns=P)."""
+        return tuple(slice_payload(self.comp, self.scatter(), self.bounds))
+
+    def step_sliced(self, superstep, *payloads):
+        """Fused superstep in sliced-payload mode: each of the P return slots
+        carries ONLY receiver q's vid range (``num_returns=1+P``), so on a
+        multi-node cluster total network bytes per superstep are O(n + m_sparse)
+        instead of O(P·n) — the shape the scatter_global docstring promises."""
+        stats = self.apply(superstep, *payloads)
+        return (stats, *slice_payload(self.comp, self.scatter(), self.bounds))
+
     def master(self, scalars, superstep):
         self.comp.master_part(self.vids, self.st, scalars, superstep)
         return {"sending": int(self.st["sending"].sum()),
@@ -952,7 +1021,13 @@ class _ShardActor:
 
 
 def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
-                    resume, result_dir=None):
+                    resume, result_dir=None, payload_mode: str = "shared"):
+    """``payload_mode``: "shared" (default) publishes ONE whole-range payload
+    per producer per superstep — P objects, each mapped zero-copy by every
+    receiver on the same node; "sliced" cuts each payload into P per-receiver
+    slices (``num_returns=1+P``) so a receiver is shipped only its own vid
+    range — the multi-node network shape (O(n) bytes/superstep, not O(P·n)).
+    Results are bit-identical; see test_payload_modes."""
     import ray
 
     from ..state.checkpoint import CheckpointManager
@@ -1008,8 +1083,20 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
     lag = 2 if (comp.idempotent_on_empty and not ckpt and not has_master
                 and not comp.always_active) else 0
 
+    sliced = payload_mode == "sliced" and nparts > 1
+
     def _submit(step_s):
         nonlocal outbox
+        if sliced:
+            if outbox is None:  # outbox[p][q] = producer p's slice for receiver q
+                outbox = [w.scatter_sliced.options(num_returns=nparts).remote()
+                          for w in workers]
+            stepped = [
+                workers[q].step_sliced.options(num_returns=1 + nparts).remote(
+                    step_s, *[outbox[p][q] for p in range(nparts)])
+                for q in range(nparts)]
+            outbox = [r[1:] for r in stepped]
+            return [r[0] for r in stepped]
         if outbox is None:  # first superstep after init/resume: initial scatter
             outbox = [w.scatter.remote() for w in workers]
         stepped = [workers[q].step.options(num_returns=2).remote(step_s, *outbox)

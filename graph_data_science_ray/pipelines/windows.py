@@ -49,11 +49,14 @@ def tumbling_window(events_ds, window: str = "h"):
     partial = events_ds.map_batches(lambda t: _tumble_partial(t, window),
                                     batch_format="pyarrow")
 
-    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+    def _combine(g: pd.DataFrame) -> pa.Table:
         out = g.groupby(["user_id", "window_start"], sort=False).agg(
             n_events=("n_events", "sum"),
             sum_value=("sum_value", "sum")).reset_index()
-        return out
+        # emit Arrow with metadata stripped — per-group pandas metadata defeats
+        # Ray's schema-dedup cache ("Failed to hash the schemas" spam)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return partial.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
         .groupby("bucket").map_groups(
@@ -66,7 +69,7 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
     starts a new session.  Ordering assumption: per-user event streams fit a group
     (groupby(user).map_groups over ts-sorted rows)."""
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def _sessions(g: pd.DataFrame) -> pa.Table:
         # one vectorized pass over a whole USER-BUCKET: sort (user, ts), a
         # user change or a gap > threshold starts a new session id
         g = g.sort_values(["user_id", "ts"])
@@ -77,7 +80,9 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
             user_id=("user_id", "first"), session_start=("ts", "min"),
             session_end=("ts", "max"), n_events=("ts", "size"),
             sum_value=("value", "sum"))
-        return out.reset_index(drop=True)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     nb = _event_buckets(events_ds)
     return events_ds.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \

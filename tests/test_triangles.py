@@ -212,15 +212,20 @@ def test_ray_default_is_streaming_and_matches_local():
     for md in (None, 8, 40):
         ref = triangle_count(g, execution="local", max_degree=md)
         got = triangle_count(g, execution="ray", num_partitions=4,
-                             max_degree=md)
+                             max_degree=md, streaming_threshold=0)
         assert got.global_count == ref.global_count, md
         assert np.array_equal(
             got.table.column("triangles").to_numpy(zero_copy_only=False),
             ref.table.column("triangles").to_numpy(zero_copy_only=False)), md
     # exclusion actually happened: the hub reports -1
-    res = triangle_count(g, execution="ray", max_degree=8, num_partitions=4)
+    res = triangle_count(g, execution="ray", max_degree=8, num_partitions=4,
+                         streaming_threshold=0)
     tri = res.table.column("triangles").to_numpy(zero_copy_only=False)
     assert (tri == -1).any()
+    # default routing: small |E| under execution="ray" takes the bit-equal
+    # local kernel (no streaming shuffles) — results unchanged
+    small = triangle_count(g, execution="ray", num_partitions=4)
+    assert small.global_count == triangle_count(g, execution="local").global_count
 
 
 def test_streaming_reused_work_dir_drops_stale_partitions(tmp_path):
@@ -262,3 +267,50 @@ def test_packed_key_overflow_guard():
     _check_key_packable(3_000_000_000)  # fine
     with pytest.raises(ValueError):
         _check_key_packable(4_000_000_000)
+
+
+def test_triangle_stream_matches_brute_force():
+    """triangle_stream emits exactly the (a, b, c) triples (ref
+    alpha/.../impl/triangle/TriangleStream.java), rows sorted, a < b < c."""
+    import numpy as np
+
+    from graph_data_science_ray import Graph, triangle_stream
+    rng = np.random.default_rng(91)
+    n, m = 60, 400
+    g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m), n=n,
+                         orientation="undirected", aggregation="single")
+    adj = np.zeros((n, n), dtype=bool)
+    for s, d in zip(g.src, g.dst):
+        if s != d:
+            adj[s, d] = adj[d, s] = True
+    expect = sorted((a, b, c)
+                    for a in range(n) for b in range(a + 1, n)
+                    for c in range(b + 1, n)
+                    if adj[a, b] and adj[b, c] and adj[a, c])
+    loc = triangle_stream(g, execution="local")
+    got_loc = list(zip(loc.column("node_a").to_pylist(),
+                       loc.column("node_b").to_pylist(),
+                       loc.column("node_c").to_pylist()))
+    assert got_loc == expect
+    ray_t = triangle_stream(g, execution="ray", num_partitions=3)
+    got_ray = list(zip(ray_t.column("node_a").to_pylist(),
+                       ray_t.column("node_b").to_pylist(),
+                       ray_t.column("node_c").to_pylist()))
+    assert got_ray == expect
+    # dataset mode: same triples, unsorted, never concatenated on the driver
+    ds = triangle_stream(g, execution="ray", num_partitions=3,
+                         as_dataset=True)
+    got_ds = sorted((r["node_a"], r["node_b"], r["node_c"])
+                    for r in ds.take_all())
+    assert got_ds == expect
+
+
+def test_triangle_stream_empty_and_triangle_free():
+    import numpy as np
+
+    from graph_data_science_ray import Graph, triangle_stream
+    g = Graph.from_edges(np.array([0, 1]), np.array([1, 2]), n=4,
+                         orientation="undirected", aggregation="single")
+    assert triangle_stream(g, execution="local").num_rows == 0
+    g2 = Graph.from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=3)
+    assert triangle_stream(g2).num_rows == 0
