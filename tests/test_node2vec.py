@@ -73,9 +73,12 @@ class TestNode2Vec:
         assert np.mean(within) > np.mean(across) + 0.1
 
     def test_ray_execution_structure(self):
+        """The sharded-actor path (node2vec_sharded.train_sharded): same
+        structure + determinism invariants as local; no n×d driver arrays
+        (embeddings live in vid-range shard actors)."""
         g = _two_cliques(8)
         t = node2vec(g, embedding_dimension=32, walks_per_node=20,
-                     walk_length=30, window_size=5, iterations=40,
+                     walk_length=30, window_size=5, iterations=16,
                      initial_learning_rate=0.2, seed=3,
                      execution="ray", num_partitions=2)
         e = np.asarray(t.column("embedding").to_pylist())
@@ -85,11 +88,24 @@ class TestNode2Vec:
         assert np.mean(within) > np.mean(across) + 0.1
         # deterministic too
         t2 = node2vec(g, embedding_dimension=32, walks_per_node=20,
-                      walk_length=30, window_size=5, iterations=40,
+                      walk_length=30, window_size=5, iterations=16,
                       initial_learning_rate=0.2, seed=3,
                       execution="ray", num_partitions=2)
         np.testing.assert_array_equal(
             e, np.asarray(t2.column("embedding").to_pylist()))
+
+    def test_ray_as_dataset(self):
+        """as_dataset=True returns the embeddings as a Dataset built from the
+        per-shard refs — the n×d table never concatenated on the driver."""
+        g = _two_cliques(4)
+        ds = node2vec(g, embedding_dimension=8, walks_per_node=4,
+                      walk_length=10, iterations=2, seed=5,
+                      execution="ray", num_partitions=2, as_dataset=True)
+        rows = ds.take_all()
+        assert sorted(r["vid"] for r in rows) == list(range(8))
+        assert all(len(r["embedding"]) == 8 for r in rows)
+        with pytest.raises(ValueError):
+            node2vec(g, execution="local", as_dataset=True)
 
     def test_isolated_nodes(self):
         g = Graph.from_edges([0, 1], [1, 0], n=4)
