@@ -33,8 +33,17 @@ def _ray_data():
     return ray.data
 
 
+def _rpc(path, **kw):
+    """read_parquet with file-embedded pandas schema metadata stripped —
+    pyarrow>=16 schemas with metadata are unhashable and defeat Ray's
+    block-schema dedup cache (sources/io.py)."""
+    _ray_data()
+    from graph_data_science_ray.sources.io import read_parquet_clean
+    return read_parquet_clean(path, **kw)
+
+
 def _docs(sf_dir, columns=None):
-    return _ray_data().read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _rpc(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _to_table(ds) -> pa.Table:
@@ -174,7 +183,7 @@ def _q_knn_graph_embeddings(sf_dir: str):
     cosine, ties to the smaller id."""
     from graph_data_science_ray.functions.knn import knn_graph
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     t = knn_graph(emb, k=5, arithmetic="f32seq")
     # DuckDB's round(FLOAT, 6) stays FLOAT: the oracle column is the float32
@@ -252,11 +261,11 @@ def _q_conductance_nations(sf_dir: str):
                                                              hierarchy_graph)
     import ray.data
     g, cust_off = hierarchy_graph(sf_dir)
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+    nation = _rpc(f"{sf_dir}/nation.parquet",
                                    columns=["n_nationkey"]).to_pandas()
-    supplier = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+    supplier = _rpc(f"{sf_dir}/supplier.parquet",
                                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    customer = _rpc(f"{sf_dir}/customer.parquet",
                                      columns=["c_custkey", "c_nationkey"]).to_pandas()
     comm = np.full(g.n, -1, dtype=np.int64)
     comm[NATION_OFF + nation["n_nationkey"].to_numpy()] = \
@@ -328,7 +337,7 @@ def _q_lang_distribution(sf_dir: str):
 def _q_knn_cosine(sf_dir: str):
     from graph_data_science_ray.functions.similarity import cosine_topk
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     q = None
     for b in emb.iter_batches(batch_format="pyarrow", batch_size=1024):
@@ -347,7 +356,7 @@ def _q_knn_cosine(sf_dir: str):
 def _q_knn_cosine_lsh(sf_dir: str):
     from graph_data_science_ray.functions.similarity import lsh_topk
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     first = next(iter(emb.iter_batches(batch_format="pyarrow", batch_size=1024)))
     ids = first.column("vec_id").to_numpy(zero_copy_only=False)
@@ -363,7 +372,7 @@ def _q_knn_cosine_lsh(sf_dir: str):
 def _q_embedding_norms(sf_dir: str):
     from graph_data_science_ray.functions.similarity import L2Norm
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return _to_table(emb.map_batches(L2Norm(), batch_format="pyarrow"))
 
@@ -371,7 +380,7 @@ def _q_embedding_norms(sf_dir: str):
 def _q_events_hourly(sf_dir: str):
     from graph_data_science_ray.pipelines.windows import tumbling_window
     rd = _ray_data()
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = _to_table(tumbling_window(ev, "h"))
     df = out.to_pandas()
@@ -384,7 +393,7 @@ def _q_events_hourly(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     from graph_data_science_ray.pipelines.windows import sessionize
     rd = _ray_data()
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _rpc(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     df = _to_table(sessionize(ev, gap_seconds=1800.0)).to_pandas()
     df["session_start"] = df["session_start"].astype("datetime64[us]").astype("int64")
@@ -433,7 +442,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
     DuckDB's list_cosine_similarity."""
     from graph_data_science_ray.functions.dedup import embedding_dup_pairs
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"]).repartition(16)
     t = embedding_dup_pairs(emb, threshold=0.3, arithmetic="f32seq")
     sims = _round6(t.column("similarity").to_numpy(zero_copy_only=False))
@@ -447,7 +456,7 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     scale path; recall-tested against the exact operator in pytest."""
     from graph_data_science_ray.functions.dedup import embedding_dup_pairs_lsh
     rd = _ray_data()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return _to_table(embedding_dup_pairs_lsh(emb, threshold=0.3,
                                              num_bands=24, planes_per_band=3))

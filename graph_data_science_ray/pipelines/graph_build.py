@@ -37,6 +37,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from ..sources.io import read_parquet_clean as _read_pq
 from ..state.graph import Graph
 
 
@@ -84,7 +85,7 @@ def compute_sha_table(corpus_dir: str):
         return pa.table({"repo": batch.column("repo"), "path": batch.column("path"),
                          "sha256": pa.array(shas)})
 
-    return ray.data.read_parquet(corpus_dir, columns=["repo", "path", "content"]) \
+    return _read_pq(corpus_dir, columns=["repo", "path", "content"]) \
         .map_batches(_sha, batch_format="pyarrow")
 
 
@@ -194,10 +195,10 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     pool = max(1, min(8, ncpu // 2))
-    edges_raw = (ray.data.read_parquet(corpus_dir, columns=["repo", "content"])
+    edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
                               batch_size=2048, concurrency=pool))
-    repo_keys = (ray.data.read_parquet(corpus_dir, columns=["repo"])
+    repo_keys = (_read_pq(corpus_dir, columns=["repo"])
                  .map_batches(lambda t: pa.table({"key": t.column("repo")}),
                               batch_format="pyarrow"))
     dep_keys = edges_raw.map_batches(
@@ -222,7 +223,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     # scales with the corpus so one group task holds a bounded slice.
     from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
     corpus_rows = rows_if_cheap(
-        ray.data.read_parquet(corpus_dir, columns=["repo"]))
+        _read_pq(corpus_dir, columns=["repo"]))
     num_agg_buckets = adaptive_bucket_count(
         corpus_rows and corpus_rows * 4)  # ~edges per corpus file
 
@@ -341,12 +342,12 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
     # reserves every CPU starves the other operators and the pipeline serializes)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     pool = max(1, min(8, ncpu // 2))
-    edges_raw = (ray.data.read_parquet(corpus_dir, columns=["repo", "content"])
+    edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
                               batch_size=2048, concurrency=pool))
 
     # vertex set = every repo appearing as a file owner or a dependency target
-    repo_keys = (ray.data.read_parquet(corpus_dir, columns=["repo"])
+    repo_keys = (_read_pq(corpus_dir, columns=["repo"])
                  .map_batches(lambda t: pa.table({"key": t.column("repo")}),
                               batch_format="pyarrow"))
     dep_keys = edges_raw.map_batches(

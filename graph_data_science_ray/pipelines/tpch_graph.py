@@ -29,8 +29,8 @@ SUPP_OFF = 30
 
 
 def _read(sf_dir: str, table: str, columns):
-    import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.io import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _to_table(ds) -> pa.Table:

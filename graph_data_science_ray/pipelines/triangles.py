@@ -414,7 +414,8 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
     from ..state.graph import ParquetGraph, ShardSpec, load_shard_from_layout
 
     if isinstance(source, ParquetGraph):
-        edges_ds = ray.data.read_parquet(
+        from ..sources.io import read_parquet_clean
+        edges_ds = read_parquet_clean(
             [os.path.join(source.path, "edges_fwd", f"part-{p:05d}.parquet")
              for p in range(len(source.manifest["bounds"]["edges_fwd"]) - 1)
              if os.path.exists(os.path.join(source.path, "edges_fwd",

@@ -579,8 +579,8 @@ class ParquetGraph:
                 if "key" in vt.column_names else None)
 
     def vertices_ds(self):
-        import ray.data
+        from ..sources.io import read_parquet_clean
         single = os.path.join(self.path, "vertices.parquet")
         if os.path.exists(single):
-            return ray.data.read_parquet(single)
-        return ray.data.read_parquet(os.path.join(self.path, "vertices"))
+            return read_parquet_clean(single)
+        return read_parquet_clean(os.path.join(self.path, "vertices"))
