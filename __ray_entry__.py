@@ -116,6 +116,15 @@ def _q_triangle_cosupply(sf_dir: str):
     return pa.table({"vid": present, "triangles": tri[present]})
 
 
+def _q_triangle_rows(sf_dir: str):
+    """TriangleStream (ref alpha/.../impl/triangle/TriangleStream.java): one
+    row per triangle of the co-supply graph, node_a < node_b < node_c."""
+    from graph_data_science_ray import triangle_stream
+    from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
+    g = cosupply_graph(sf_dir)
+    return triangle_stream(g, execution="ray")
+
+
 def _q_louvain_hierarchy(sf_dir: str):
     """Louvain communities on the undirected-materialized hierarchy graph
     (trajectory-deterministic sequential schedule; converged structure
@@ -584,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
         "triangle_cosupply": _q_triangle_cosupply,
+        "triangle_rows": _q_triangle_rows,
         "louvain_hierarchy": _q_louvain_hierarchy,
         "node_similarity_suppliers": _q_node_similarity_suppliers,
         "node_similarity_overlap": _q_node_similarity_overlap,
@@ -722,6 +732,15 @@ pern AS (SELECT vid, count(*) AS cnt FROM (
            UNION ALL SELECT c FROM tri) GROUP BY vid)
 SELECT alln.vid, COALESCE(pern.cnt, 0)::BIGINT AS triangles
 FROM alln LEFT JOIN pern ON alln.vid = pern.vid
+""",
+        "triangle_rows": """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b
+      ON a.p = b.p AND a.s < b.s),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT a AS node_a, b AS node_b, c AS node_c FROM tri ORDER BY 1, 2, 3
 """,
         "lcc_cosupply": """
 WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
