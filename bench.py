@@ -358,22 +358,40 @@ def run_scaling() -> dict:
     run-to-run variance (CPU steal), and min-of-N isolates engine behavior."""
     # interleave the two levels and keep the per-level minimum: this VM shows
     # large bursts of background contention, and interleaving prevents one level
-    # from absorbing a whole burst
+    # from absorbing a whole burst.  Each sub-run carries the first-touch vm
+    # canary (see _vm_canary); a rep whose canaries exceed 0.5s ran inside a
+    # memory-provisioning burst and is retried (bounded), because burst runs
+    # are 10-50x off and poison even a min-of-N.
     out = {}
-    for _rep in range(2):
+    canaries = {8: [], 32: []}
+    clean = {8: False, 32: False}
+    reps = 0
+    while reps < 2 or (reps < 5 and not (clean[8] and clean[32])):
+        reps += 1
         for ncpu in (8, 32):
+            if reps > 2 and clean[ncpu]:
+                continue
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--scaling-suite"], env=env,
                                capture_output=True, text=True, check=True)
             j = json.loads(r.stdout.strip().splitlines()[-1])
+            cb, ca = j.get("vm_canary_sec_before"), j.get("vm_canary_sec_after")
+            canaries[ncpu].append([cb, ca])
+            if cb is not None and max(cb, ca) < 0.5:
+                clean[ncpu] = True
             if ncpu not in out or j["value"] < out[ncpu]["value"]:
+                extras = {k: v for k, v in out.get(ncpu, {}).items()
+                          if k == "queries"}
                 out[ncpu] = j
+                for k, v in extras.get("queries", {}).items():
+                    if v < out[ncpu]["queries"].get(k, 1e18):
+                        out[ncpu]["queries"][k] = v
             else:  # keep best per query too
                 for k, v in j["queries"].items():
                     if v < out[ncpu]["queries"].get(k, 1e18):
                         out[ncpu]["queries"][k] = v
-                out[ncpu]["value"] = round(sum(out[ncpu]["queries"].values()), 3)
+            out[ncpu]["value"] = round(sum(out[ncpu]["queries"].values()), 3)
     # bandwidth-control diagnostic (untimed): ns/edge-vs-P saturation curve at
     # both CPU counts — identical fixed-pool PageRank jobs, P = 4/8/16/32
     sat = {}
@@ -394,6 +412,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "per_query_efficiency": per_query_eff,
         "queries_8": q8, "queries_32": q32,
+        # first-touch canaries ([before, after] per rep, per level): reps with
+        # values >0.5s ran inside a VM memory-provisioning burst (10-50x slow)
+        "vm_canaries_8": canaries[8], "vm_canaries_32": canaries[32],
+        "clean_rep_8": clean[8], "clean_rep_32": clean[32],
         "pagerank_edges_per_sec_8": out[8].get("pagerank_edges_per_sec"),
         "pagerank_edges_per_sec_32": out[32].get("pagerank_edges_per_sec"),
         # identical fixed-pool PageRank at P=4/8/16/32 under each CPU count:
