@@ -27,6 +27,10 @@ from .compat import cosine_f32_sequential
 
 def _unpack(block: pa.Table, dtype):
     """(ids, matrix) from an Arrow block with vec_id + embedding list column."""
+    if block.num_columns == 0 or block.num_rows == 0:
+        # schema-less empty blocks (empty groupby/filter partitions) carry no
+        # columns at all — treat as zero vectors, never .column() into them
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=dtype)
     ids = block.column("vec_id").to_numpy(zero_copy_only=False)
     col = block.column("embedding").combine_chunks()
     if isinstance(col, pa.ChunkedArray):  # zero chunks edge

@@ -1,0 +1,79 @@
+"""Block hygiene for ``Dataset.to_arrow_refs()`` consumers.
+
+When a ``groupby`` has more reduce partitions than distinct keys, Ray Data
+emits the empty reduce partitions as ZERO-COLUMN (schema-less) blocks
+("Operator produced a RefBundle with a different schema ... new schema: .").
+Whether one of those blocks lands first in ``to_arrow_refs()`` is a
+scheduling roll of the dice, so any consumer that maps ``t.column(...)``
+over every ref crashes nondeterministically — the exact failure that took
+down the round-4 driver bench (``KeyError: 'Field "key" does not exist in
+schema'`` at graph_build._assign_dense_ids).
+
+These helpers drop empty/zero-column blocks with metadata-only remote
+probes: the driver holds two ints per block, never block data, so they are
+safe at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+_SHAPE_FN = None
+
+
+def _shape_fn():
+    global _SHAPE_FN
+    if _SHAPE_FN is None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        def _shape(t) -> Tuple[int, int]:
+            if isinstance(t, pa.Table):
+                return (t.num_rows, t.num_columns)
+            # pandas block (upstream pandas-typed stage)
+            return (len(t), len(t.columns))
+
+        _SHAPE_FN = _shape
+    return _SHAPE_FN
+
+
+def nonempty_arrow_refs(ds) -> Tuple[List, List[int]]:
+    """``(refs, row_counts)`` for the dataset's blocks, with zero-row and
+    zero-column (schema-less empty groupby partition) blocks dropped.
+    Metadata-only: the driver sees two ints per block."""
+    import ray
+
+    refs = list(ds.to_arrow_refs())
+    shape = _shape_fn()
+    shapes = ray.get([shape.remote(r) for r in refs])
+    keep: List = []
+    counts: List[int] = []
+    for r, (nr, nc) in zip(refs, shapes):
+        if nr > 0 and nc > 0:
+            keep.append(r)
+            counts.append(int(nr))
+    return keep, counts
+
+
+def concat_nonempty(ds, empty_schema: Optional[pa.Schema] = None) -> pa.Table:
+    """Concatenate a SMALL dataset's blocks into one driver-side table,
+    skipping schema-less empties.  Only for results known to be small
+    (vertex maps, aggregates) — never a data-scale table.  ``empty_schema``
+    is returned as an empty table when every block is empty."""
+    import ray
+
+    refs, _ = nonempty_arrow_refs(ds)
+    tabs = []
+    for r in refs:
+        t = ray.get(r)
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tabs.append(t)
+    if not tabs:
+        if empty_schema is None:
+            raise ValueError("dataset produced no non-empty blocks and no "
+                             "empty_schema fallback was given")
+        return empty_schema.empty_table()
+    return pa.concat_tables(tabs)
