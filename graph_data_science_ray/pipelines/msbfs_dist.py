@@ -219,6 +219,14 @@ def msbfs_accumulate_sharded(graph, sources, harmonic: bool,
     bounds = graph.bounds(P, "natural")
     handles = _shard_handles(graph, P, "natural")
     nparts = len(bounds) - 1
+    sources = np.asarray(sources, dtype=np.int64)
+    if nparts < 2:
+        # bounds collapsed (tiny/degenerate graph): num_returns=1 would make
+        # expand/step return a bare ObjectRef and outbox[p][q] indexing would
+        # TypeError — run the bit-equal local kernel on the single shard
+        from .centrality import _msbfs_accumulate
+        sh = _resolve_shard(handles[0])
+        return _msbfs_accumulate(n, sh.indptr, sh.indices, sources, harmonic)
     Worker = ray.remote(num_cpus=1)(_MsbfsShardActor)
     workers = [Worker.remote(handles[p], bounds, harmonic)
                for p in range(nparts)]
@@ -227,27 +235,28 @@ def msbfs_accumulate_sharded(graph, sources, harmonic: bool,
         # [nloc, G] uint64 seen + frontier ≈ 16·nloc·G bytes ≤ ~64 MB/actor
         group_batches = int(max(1, min(32, (64 << 20) // (16 * max_nloc))))
     gsz = group_batches * 64
-    sources = np.asarray(sources, dtype=np.int64)
-    for base in range(0, sources.shape[0], gsz):
-        grp = sources[base:base + gsz]
-        G = -(-grp.shape[0] // 64)
-        ray.get([w.start_group.remote(grp, G) for w in workers])
-        outbox = [w.expand.options(num_returns=nparts).remote()
-                  for w in workers]
-        while True:
-            res = [workers[q].step.options(num_returns=1 + nparts).remote(
-                *[outbox[p][q] for p in range(nparts)])
-                for q in range(nparts)]
-            outbox = [r[1:] for r in res]
-            if sum(ray.get([r[0] for r in res])) == 0:
-                break
-    acc = np.zeros(n)
-    reach = np.zeros(n, dtype=np.int64)
-    for lo, a, r in ray.get([w.finish.remote() for w in workers]):
-        acc[lo:lo + a.shape[0]] = a
-        reach[lo:lo + r.shape[0]] = r
-    for w in workers:
-        ray.kill(w)
+    try:
+        for base in range(0, sources.shape[0], gsz):
+            grp = sources[base:base + gsz]
+            G = -(-grp.shape[0] // 64)
+            ray.get([w.start_group.remote(grp, G) for w in workers])
+            outbox = [w.expand.options(num_returns=nparts).remote()
+                      for w in workers]
+            while True:
+                res = [workers[q].step.options(num_returns=1 + nparts).remote(
+                    *[outbox[p][q] for p in range(nparts)])
+                    for q in range(nparts)]
+                outbox = [r[1:] for r in res]
+                if sum(ray.get([r[0] for r in res])) == 0:
+                    break
+        acc = np.zeros(n)
+        reach = np.zeros(n, dtype=np.int64)
+        for lo, a, r in ray.get([w.finish.remote() for w in workers]):
+            acc[lo:lo + a.shape[0]] = a
+            reach[lo:lo + r.shape[0]] = r
+    finally:
+        for w in workers:  # also on exception: don't leak CSR-pinning actors
+            ray.kill(w)
     return acc, reach
 
 
@@ -367,6 +376,15 @@ def brandes_accumulate_sharded(graph, sources,
     P = max(2, num_partitions)
     bounds = graph.bounds(P, "natural")
     nparts = len(bounds) - 1
+    sources = np.asarray(sources, dtype=np.int64)
+    if nparts < 2:
+        # collapsed bounds: same num_returns=1 hazard as msbfs — local Brandes
+        from .betweenness import _brandes_source
+        sh = _resolve_shard(_shard_handles(graph, 1, "natural")[0])
+        bc = np.zeros(n)
+        for s in sources:
+            bc += _brandes_source(n, sh.indptr, sh.indices, int(s))
+        return bc
     fwd_handles = _shard_handles(graph, P, "natural")
     # reverse CSR over the SAME bounds (graph.shards would re-balance them)
     s, d, _ = graph._oriented_sorted(REVERSE)
@@ -383,31 +401,33 @@ def brandes_accumulate_sharded(graph, sources,
     if group_size is None:
         # dist+sigma+delta ≈ 20·nloc·S bytes ≤ ~64 MB/actor
         group_size = int(max(8, min(128, (64 << 20) // (20 * max_nloc))))
-    sources = np.asarray(sources, dtype=np.int64)
-    for base in range(0, sources.shape[0], group_size):
-        grp = sources[base:base + group_size]
-        ray.get([w.start_group.remote(grp) for w in workers])
-        outbox = [w.fwd_expand.options(num_returns=nparts).remote()
-                  for w in workers]
-        depth = 0
-        while True:
-            res = [workers[q].fwd_step.options(num_returns=1 + nparts).remote(
-                *[outbox[p][q] for p in range(nparts)])
-                for q in range(nparts)]
-            outbox = [r[1:] for r in res]
-            if sum(ray.get([r[0] for r in res])) == 0:
-                break
-            depth += 1
-        for lvl in range(depth - 1, -1, -1):
-            outs = [w.bwd_expand.options(num_returns=nparts).remote(lvl)
-                    for w in workers]
-            ray.get([workers[q].bwd_absorb.remote(
-                lvl, *[outs[p][q] for p in range(nparts)])
-                for q in range(nparts)])
-        ray.get([w.end_group.remote() for w in workers])
-    bc = np.zeros(n)
-    for lo, part in ray.get([w.finish.remote() for w in workers]):
-        bc[lo:lo + part.shape[0]] = part
-    for w in workers:
-        ray.kill(w)
+    try:
+        for base in range(0, sources.shape[0], group_size):
+            grp = sources[base:base + group_size]
+            ray.get([w.start_group.remote(grp) for w in workers])
+            outbox = [w.fwd_expand.options(num_returns=nparts).remote()
+                      for w in workers]
+            depth = 0
+            while True:
+                res = [workers[q].fwd_step.options(
+                    num_returns=1 + nparts).remote(
+                    *[outbox[p][q] for p in range(nparts)])
+                    for q in range(nparts)]
+                outbox = [r[1:] for r in res]
+                if sum(ray.get([r[0] for r in res])) == 0:
+                    break
+                depth += 1
+            for lvl in range(depth - 1, -1, -1):
+                outs = [w.bwd_expand.options(num_returns=nparts).remote(lvl)
+                        for w in workers]
+                ray.get([workers[q].bwd_absorb.remote(
+                    lvl, *[outs[p][q] for p in range(nparts)])
+                    for q in range(nparts)])
+            ray.get([w.end_group.remote() for w in workers])
+        bc = np.zeros(n)
+        for lo, part in ray.get([w.finish.remote() for w in workers]):
+            bc[lo:lo + part.shape[0]] = part
+    finally:
+        for w in workers:  # also on exception: don't leak CSR-pinning actors
+            ray.kill(w)
     return bc

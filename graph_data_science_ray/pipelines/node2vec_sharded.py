@@ -189,6 +189,18 @@ def train_sharded(n: int, c: np.ndarray, x: np.ndarray,
         workers.append(Actor.remote(q, bounds, d, c[m], x[m], neg_ref,
                                     neg_k, batch, seed))
     rounds = max(1, -(-max_pairs // batch))
+    try:
+        return _drive_rounds(workers, P, epochs, rounds, sync_every,
+                             initial_learning_rate, min_learning_rate,
+                             as_dataset)
+    finally:
+        for w in workers:  # also on exception: don't leak embedding shards
+            ray.kill(w)
+
+
+def _drive_rounds(workers, P, epochs, rounds, sync_every,
+                  initial_learning_rate, min_learning_rate, as_dataset):
+    import ray
     barrier, tick = [], 0
     for ep in range(epochs):
         lr = max(min_learning_rate,
@@ -217,8 +229,9 @@ def train_sharded(n: int, c: np.ndarray, x: np.ndarray,
     shard_tabs = [w.result.remote() for w in workers]
     if as_dataset:
         import ray.data
+        # wait until every shard table exists in plasma so the caller's
+        # try/finally may kill the producer actors without losing blocks
+        # (the data stays distributed — the driver only waits, never gets)
+        ray.wait(shard_tabs, num_returns=len(shard_tabs))
         return ray.data.from_arrow_refs(shard_tabs)
-    out = pa.concat_tables(ray.get(shard_tabs))
-    for w in workers:
-        ray.kill(w)
-    return out
+    return pa.concat_tables(ray.get(shard_tabs))
