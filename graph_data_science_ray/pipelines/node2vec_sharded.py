@@ -33,9 +33,18 @@ tested in tests/test_node2vec.py.  Ref: algo/src/main/java/org/neo4j/gds/
 embeddings/node2vec/Node2VecModel.java (per-batch positive/negative task
 training over shared arrays — here the shared arrays become owned shards).
 
-Documented remaining driver bound: the walk corpus and the pair arrays are
-generated driver-side (pipelines/walks.py returns a materialized table)
-before being routed to their owners — O(#pairs) ints, not O(n·d) floats.
+Walk generation is ALSO sharded (round-4 VERDICT next #3): each actor holds
+the CSR shard of its vid range, walks resident at their CURRENT node's owner
+advance one step per round (counter-based splitmix64 randomness over (seed,
+walker, step, try) — the corpus is identical at any shard count), biased
+steps resolve the prop∈adj(prev) membership test with one extra per-round
+exchange to prev's owner, and (center, context) pairs are routed straight to
+their center-vid owner.  Nothing O(#walks) or O(#pairs) transits the driver
+— it holds only per-shard counts and the O(n) frequency vector for the
+negative table.  The driver-side reference kernel ``walk_pairs_reference``
+(same hash randomness, whole CSR) is the conformance oracle
+(tests/test_node2vec.py asserts pair-multiset + frequency equality across
+shard counts).
 """
 
 from __future__ import annotations
@@ -43,13 +52,55 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+_T_TRIES = 16  # bounded rejection-sampling tries per biased step, then uniform
+
+
+def _u01(seed: int, wid, step: int, t):
+    """Deterministic counter-based uniform draws in [0,1): splitmix64
+    finalizer over a linear combination of the walk coordinates.  Being a
+    pure function of (seed, walker, step, try), the walk corpus is identical
+    at ANY shard count — the sharded phase equals the driver-side reference
+    kernel bit-for-bit.  Ref semantics: RandomWalk.java's per-walk random
+    streams; the counter construction itself follows the splitmix64 public
+    algorithm (Steele et al., 'Fast Splittable Pseudorandom Number
+    Generators')."""
+    with np.errstate(over="ignore"):
+        x = (np.asarray(wid, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+             + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & (2**64 - 1))
+             + np.uint64(step) * np.uint64(0x94D049BB133111EB)
+             + np.asarray(t, dtype=np.uint64) * np.uint64(0xD6E8FEB86659FD93))
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x / np.float64(2.0 ** 64)
+
+
+def _member_sorted(keys: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """query ∈ keys (keys sorted ascending), vectorized."""
+    if keys.shape[0] == 0:
+        return np.zeros(query.shape, dtype=bool)
+    pos = np.searchsorted(keys, query)
+    out = np.zeros(query.shape, dtype=bool)
+    hit = pos < keys.shape[0]
+    out[hit] = keys[pos[hit]] == query[hit]
+    return out
+
+
+def _owner_bundles(owner: np.ndarray, P: int):
+    """(sort order, per-owner slice cuts) for routing rows to P owners."""
+    order = np.argsort(owner, kind="stable")
+    cuts = np.searchsorted(owner[order], np.arange(P + 1))
+    return order, cuts
+
 
 class _N2VShard:
-    """One vid-range shard of both embedding matrices + its pair shard."""
+    """One vid-range shard: both embedding matrices, the CSR slice for the
+    walk phase, the resident walkers, and the pair shard they produce."""
 
     def __init__(self, q: int, bounds: np.ndarray, d: int,
-                 pairs_c: np.ndarray, pairs_x: np.ndarray,
-                 neg_table: np.ndarray, neg_k: int, batch: int, seed: int):
+                 neg_k: int, batch: int, seed: int):
         self.q = q
         self.bounds = np.asarray(bounds)
         self.lo, self.hi = int(bounds[q]), int(bounds[q + 1])
@@ -57,9 +108,9 @@ class _N2VShard:
         rng = np.random.default_rng((seed, 7, q))
         self.center = (rng.random((nloc, d)) - 0.5) / d
         self.context = np.zeros((nloc, d))
-        self.c = np.asarray(pairs_c)
-        self.x = np.asarray(pairs_x)
-        self.neg_table = np.asarray(neg_table)
+        self.c = None
+        self.x = None
+        self.neg_table = None
         self.neg_k = neg_k
         self.B = batch
         self.seed = seed
@@ -68,6 +119,219 @@ class _N2VShard:
         self._pending = None
         self._order = None
         self._ep = -1
+
+    def _ret(self, out):
+        """num_returns=P return: Ray only splits tuples when P > 1 — with
+        P == 1 the caller receives the value itself, so return it bare."""
+        return out[0] if self.P == 1 else tuple(out)
+
+    def load_pairs(self, pairs_c, pairs_x, neg_table) -> bool:
+        """Direct pair injection (train_sharded API, pairs precomputed)."""
+        self.c = np.asarray(pairs_c)
+        self.x = np.asarray(pairs_x)
+        self.neg_table = np.asarray(neg_table)
+        return True
+
+    # ---- sharded walk phase -------------------------------------------------
+
+    def init_walks(self, shard_ref, walks_per_node: int, window: int,
+                   return_factor: float, in_out_factor: float) -> int:
+        """Create the resident walkers for my vid range; returns #active."""
+        from .pregel import _resolve_shard
+        sh = _resolve_shard(shard_ref)
+        self.indptr = sh.indptr
+        self.indices = sh.indices.astype(np.int64)
+        self.deg = np.diff(self.indptr)
+        n = int(self.bounds[-1])
+        self.nmul = n  # adjacency membership key: src·n + dst (sorted CSR)
+        srcs = np.repeat(np.arange(self.lo, self.hi, dtype=np.int64), self.deg)
+        self.K = srcs * self.nmul + self.indices
+        self.window = window
+        self.tailw = max(window, 2)  # tail[-1] = cur, tail[-2] = prev
+        self.p_inv = 1.0 / return_factor
+        self.q_inv = 1.0 / in_out_factor
+        self.max_prob = max(self.p_inv, 1.0, self.q_inv)
+        self.first_order = (return_factor == 1.0 and in_out_factor == 1.0)
+        starts = np.repeat(np.arange(self.lo, self.hi, dtype=np.int64),
+                           walks_per_node)
+        # global walker id (P-independent): start·walks_per_node + replica
+        self.w_id = (self.lo * walks_per_node
+                     + np.arange(starts.shape[0], dtype=np.int64))
+        self.w_tail = np.full((starts.shape[0], self.tailw), -1, dtype=np.int64)
+        self.w_tail[:, -1] = starts
+        nloc = self.hi - self.lo
+        # every local node appears walks_per_node times at path position 0
+        self.freq = np.full(nloc, walks_per_node, dtype=np.int64)
+        alive = self.deg[starts - self.lo] > 0
+        self.w_id = self.w_id[alive]
+        self.w_tail = self.w_tail[alive]
+        self.pairs_c: list = []
+        self.pairs_x: list = []
+        self._props = None
+        self._qorder = None
+        return int(self.w_id.shape[0])
+
+    def walk_queries(self, step: int):
+        """Biased steps only: draw the _T_TRIES candidate proposals for every
+        resident walker and return the (prev, proposals) membership queries
+        grouped by prev's owner (num_returns=P)."""
+        P = self.P
+        w = self.w_id.shape[0]
+        if self.first_order or step == 1 or w == 0:
+            self._props = None
+            self._qorder = None
+            return self._ret([None] * P)
+        T = _T_TRIES
+        cur = self.w_tail[:, -1]
+        prev = self.w_tail[:, -2]
+        loc = cur - self.lo
+        dl = self.deg[loc]
+        u1 = _u01(self.seed, self.w_id[:, None], step,
+                  3 * np.arange(T, dtype=np.int64)[None, :])
+        props = self.indices[self.indptr[loc][:, None]
+                             + (u1 * dl[:, None]).astype(np.int64)]
+        self._props = props
+        ownr = np.searchsorted(self.bounds, prev, side="right") - 1
+        order, cuts = _owner_bundles(ownr, P)
+        self._qorder = order
+        out = []
+        for p in range(P):
+            rows = order[cuts[p]:cuts[p + 1]]
+            out.append((prev[rows], props[rows]) if rows.shape[0] else None)
+        return self._ret(out)
+
+    def walk_answers(self, *bundles):
+        """prop ∈ adj(prev) bits for each requester's bundle
+        (num_returns=P; prev rows are all in MY vid range)."""
+        out = []
+        for b in bundles:
+            if b is None:
+                out.append(None)
+                continue
+            prev, props = np.asarray(b[0]), np.asarray(b[1])
+            key = prev[:, None] * self.nmul + props
+            out.append(_member_sorted(self.K, key.ravel()).reshape(props.shape))
+        return self._ret(out)
+
+    def walk_advance(self, step: int, *answer_bundles):
+        """Advance every resident walker one step; emit (center, context)
+        pairs for the new position; route walkers + pairs to their owners
+        (num_returns=P; element p = (walker_bundle, pair_bundle) or None)."""
+        P = self.P
+        w = self.w_id.shape[0]
+        if w == 0:
+            return self._ret([None] * P)
+        cur = self.w_tail[:, -1]
+        loc = cur - self.lo
+        dl = self.deg[loc]
+        if self.first_order or step == 1:
+            u = _u01(self.seed, self.w_id, step, 0)
+            new = self.indices[self.indptr[loc] + (u * dl).astype(np.int64)]
+        else:
+            T = _T_TRIES
+            props = self._props
+            prev = self.w_tail[:, -2]
+            bits = np.zeros((w, T), dtype=bool)
+            parts = [np.asarray(b) for b in answer_bundles if b is not None]
+            if parts:
+                bits[self._qorder] = np.concatenate(parts, axis=0)
+            prob = np.where(bits, 1.0, self.q_inv)
+            back = props == prev[:, None]
+            prob[back] = self.p_inv
+            u2 = _u01(self.seed, self.w_id[:, None], step,
+                      3 * np.arange(T, dtype=np.int64)[None, :] + 1)
+            ok = u2 * self.max_prob <= prob
+            anyok = ok.any(axis=1)
+            new = props[np.arange(w), np.argmax(ok, axis=1)]
+            if (~anyok).any():  # bounded retries exhausted: uniform fallback
+                idx = np.nonzero(~anyok)[0]
+                uf = _u01(self.seed, self.w_id[idx], step, 3 * T)
+                new[idx] = self.indices[self.indptr[loc[idx]]
+                                        + (uf * dl[idx]).astype(np.int64)]
+            self._props = None
+            self._qorder = None
+        # pairs (position step-off, step), both directions, off = 1..window
+        pcs, pxs = [], []
+        for off in range(1, self.window + 1):
+            partner = self.w_tail[:, self.tailw - off]
+            m = partner >= 0
+            if m.any():
+                pcs.extend((partner[m], new[m]))
+                pxs.extend((new[m], partner[m]))
+        # route pairs to center owner
+        pair_out = [None] * P
+        if pcs:
+            pc = np.concatenate(pcs)
+            px = np.concatenate(pxs)
+            po = np.searchsorted(self.bounds, pc, side="right") - 1
+            order, cuts = _owner_bundles(po, P)
+            for p in range(P):
+                rows = order[cuts[p]:cuts[p + 1]]
+                if rows.shape[0]:
+                    pair_out[p] = (pc[rows], px[rows])
+        # advance tails and route walkers to new cur's owner
+        self.w_tail[:, :-1] = self.w_tail[:, 1:]
+        self.w_tail[:, -1] = new
+        wo = np.searchsorted(self.bounds, new, side="right") - 1
+        order, cuts = _owner_bundles(wo, P)
+        out = []
+        for p in range(P):
+            rows = order[cuts[p]:cuts[p + 1]]
+            wb = ((self.w_id[rows], self.w_tail[rows])
+                  if rows.shape[0] else None)
+            out.append(None if wb is None and pair_out[p] is None
+                       else (wb, pair_out[p]))
+        self.w_id = np.empty(0, dtype=np.int64)
+        self.w_tail = np.empty((0, self.tailw), dtype=np.int64)
+        return self._ret(out)
+
+    def walk_absorb(self, *elems) -> int:
+        """Accept routed walkers + pairs; count visit frequencies; drop
+        walkers that reached a sink.  Returns my new #active (the driver's
+        early-termination signal)."""
+        wid_parts, tail_parts = [], []
+        for el in elems:
+            if el is None:
+                continue
+            wb, pb = el
+            if pb is not None:
+                self.pairs_c.append(np.asarray(pb[0]))
+                self.pairs_x.append(np.asarray(pb[1]))
+            if wb is not None:
+                wid_parts.append(np.asarray(wb[0]))
+                tail_parts.append(np.asarray(wb[1]))
+        if wid_parts:
+            wid = np.concatenate(wid_parts)
+            tail = np.concatenate(tail_parts, axis=0)
+            loc = tail[:, -1] - self.lo
+            np.add.at(self.freq, loc, 1)
+            alive = self.deg[loc] > 0
+            self.w_id = wid[alive]
+            self.w_tail = tail[alive]
+        return int(self.w_id.shape[0])
+
+    def finish_walks(self):
+        """Freeze the routed pairs as my training shard; release walk state.
+        Returns (#pairs, my dense freq slice) — O(nloc) to the driver."""
+        self.c = (np.concatenate(self.pairs_c) if self.pairs_c
+                  else np.empty(0, dtype=np.int64))
+        self.x = (np.concatenate(self.pairs_x) if self.pairs_x
+                  else np.empty(0, dtype=np.int64))
+        self.pairs_c = self.pairs_x = None
+        self.indptr = self.indices = self.K = self.deg = None
+        self.w_id = self.w_tail = None
+        freq, self.freq = self.freq, None
+        return int(self.c.shape[0]), freq
+
+    def set_neg_table(self, neg_table) -> bool:
+        self.neg_table = np.asarray(neg_table)
+        return True
+
+    def dump_pairs(self):
+        """TESTING ONLY: my (c, x) pair shard (after finish_walks)."""
+        return self.c, self.x
+
+    # ---- SGNS training phases ----------------------------------------------
 
     def request(self, ep: int, rnd: int, lr: float):
         """Phase 1: draw minibatch ``rnd`` of epoch ``ep`` + negatives;
@@ -182,12 +446,15 @@ def train_sharded(n: int, c: np.ndarray, x: np.ndarray,
     Actor = ray.remote(_N2VShard)
     neg_ref = ray.put(neg_table)  # broadcast once, not P copies
     workers = []
+    loads = []
     max_pairs = 0
     for q in range(P):
         m = owner == q
         max_pairs = max(max_pairs, int(m.sum()))
-        workers.append(Actor.remote(q, bounds, d, c[m], x[m], neg_ref,
-                                    neg_k, batch, seed))
+        w = Actor.remote(q, bounds, d, neg_k, batch, seed)
+        loads.append(w.load_pairs.remote(c[m], x[m], neg_ref))
+        workers.append(w)
+    ray.get(loads)
     rounds = max(1, -(-max_pairs // batch))
     try:
         return _drive_rounds(workers, P, epochs, rounds, sync_every,
@@ -235,3 +502,200 @@ def _drive_rounds(workers, P, epochs, rounds, sync_every,
         ray.wait(shard_tabs, num_returns=len(shard_tabs))
         return ray.data.from_arrow_refs(shard_tabs)
     return pa.concat_tables(ray.get(shard_tabs))
+
+
+def walk_pairs_reference(graph, *, walks_per_node: int, walk_length: int,
+                         window: int, return_factor: float = 1.0,
+                         in_out_factor: float = 1.0, seed: int = 42):
+    """Driver-side reference for the sharded walk phase: the SAME counter-
+    based randomness over the whole CSR.  Returns (c, x, freq).  The sharded
+    actors must reproduce these pairs exactly at any shard count
+    (tests/test_node2vec.py); O(n + #pairs) driver memory — conformance
+    oracle only, never the scale path."""
+    sh = graph.shards(1, "natural")[0]
+    indptr, indices = sh.indptr, sh.indices.astype(np.int64)
+    deg = np.diff(indptr)
+    n = graph.n
+    K = np.repeat(np.arange(n, dtype=np.int64), deg) * n + indices
+    starts = np.repeat(np.arange(n, dtype=np.int64), walks_per_node)
+    nw = starts.shape[0]
+    wid = np.arange(nw, dtype=np.int64)
+    tailw = max(window, 2)
+    tail = np.full((nw, tailw), -1, dtype=np.int64)
+    tail[:, -1] = starts
+    freq = np.full(n, walks_per_node, dtype=np.int64)
+    alive = deg[starts] > 0
+    first_order = (return_factor == 1.0 and in_out_factor == 1.0)
+    p_inv, q_inv = 1.0 / return_factor, 1.0 / in_out_factor
+    max_prob = max(p_inv, 1.0, q_inv)
+    cs, xs = [], []
+    for step in range(1, walk_length):
+        act = np.nonzero(alive)[0]
+        if act.shape[0] == 0:
+            break
+        w = wid[act]
+        cur = tail[act, -1]
+        dl = deg[cur]
+        if first_order or step == 1:
+            u = _u01(seed, w, step, 0)
+            new = indices[indptr[cur] + (u * dl).astype(np.int64)]
+        else:
+            T = _T_TRIES
+            u1 = _u01(seed, w[:, None], step,
+                      3 * np.arange(T, dtype=np.int64)[None, :])
+            props = indices[indptr[cur][:, None]
+                            + (u1 * dl[:, None]).astype(np.int64)]
+            prev = tail[act, -2]
+            member = _member_sorted(
+                K, (prev[:, None] * n + props).ravel()).reshape(props.shape)
+            prob = np.where(member, 1.0, q_inv)
+            prob[props == prev[:, None]] = p_inv
+            u2 = _u01(seed, w[:, None], step,
+                      3 * np.arange(T, dtype=np.int64)[None, :] + 1)
+            ok = u2 * max_prob <= prob
+            anyok = ok.any(axis=1)
+            new = props[np.arange(act.shape[0]), np.argmax(ok, axis=1)]
+            if (~anyok).any():
+                idx = np.nonzero(~anyok)[0]
+                uf = _u01(seed, w[idx], step, 3 * T)
+                new[idx] = indices[indptr[cur[idx]]
+                                   + (uf * dl[idx]).astype(np.int64)]
+        for off in range(1, window + 1):
+            partner = tail[act, tailw - off]
+            m = partner >= 0
+            if m.any():
+                cs.extend((partner[m], new[m]))
+                xs.extend((new[m], partner[m]))
+        tail[act, :-1] = tail[act, 1:]
+        tail[act, -1] = new
+        np.add.at(freq, new, 1)
+        alive[act] = deg[new] > 0
+    c = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+    x = np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
+    return c, x, freq
+
+
+def _run_walk_phase(workers, handles, P, walks_per_node, walk_length,
+                    window, return_factor, in_out_factor):
+    """Drive the per-step walker/pair exchange across the shard actors."""
+    import ray
+
+    active = sum(ray.get([
+        w.init_walks.remote(handles[q], walks_per_node, window,
+                            return_factor, in_out_factor)
+        for q, w in enumerate(workers)]))
+    biased = not (return_factor == 1.0 and in_out_factor == 1.0)
+    for step in range(1, walk_length):
+        if active == 0:
+            break
+        if biased and step >= 2:
+            qs = [w.walk_queries.options(num_returns=P).remote(step)
+                  for w in workers]
+            if P == 1:
+                qs = [[r] for r in qs]
+            ans = [workers[p].walk_answers.options(num_returns=P).remote(
+                *[qs[q][p] for q in range(P)]) for p in range(P)]
+            if P == 1:
+                ans = [[a] for a in ans]
+        else:
+            ans = [[None] * P for _ in range(P)]
+        adv = [workers[q].walk_advance.options(num_returns=P).remote(
+            step, *[ans[p][q] for p in range(P)]) for q in range(P)]
+        if P == 1:
+            adv = [[a] for a in adv]
+        active = sum(ray.get([
+            workers[p].walk_absorb.remote(*[adv[q][p] for q in range(P)])
+            for p in range(P)]))
+
+
+def sharded_walk_pairs(graph, *, walks_per_node: int, walk_length: int,
+                       window: int, return_factor: float = 1.0,
+                       in_out_factor: float = 1.0, seed: int = 42,
+                       num_partitions: int = 4):
+    """TESTING ONLY: run just the sharded walk phase and gather
+    (c, x, freq) on the driver for equality checks against
+    walk_pairs_reference."""
+    import ray
+
+    from .pregel import _shard_handles
+
+    n = graph.n
+    P = max(1, min(num_partitions, n))
+    bounds = graph.bounds(P, "natural")
+    handles = _shard_handles(graph, P, "natural")
+    P = len(bounds) - 1
+    Actor = ray.remote(_N2VShard)
+    workers = [Actor.remote(q, bounds, 2, 1, 4096, seed) for q in range(P)]
+    try:
+        _run_walk_phase(workers, handles, P, walks_per_node, walk_length,
+                        window, return_factor, in_out_factor)
+        counts_freq = ray.get([w.finish_walks.remote() for w in workers])
+        pairs = ray.get([w.dump_pairs.remote() for w in workers])
+    finally:
+        for w in workers:
+            ray.kill(w)
+    freq = np.zeros(n, dtype=np.int64)
+    for q, (_, fr) in enumerate(counts_freq):
+        freq[int(bounds[q]):int(bounds[q + 1])] = fr
+    c = np.concatenate([p[0] for p in pairs]) if pairs else np.empty(0)
+    x = np.concatenate([p[1] for p in pairs]) if pairs else np.empty(0)
+    return c.astype(np.int64), x.astype(np.int64), freq
+
+
+def node2vec_full_sharded(graph, *, d: int, walks_per_node: int,
+                          walk_length: int, window: int, neg_k: int,
+                          epochs: int, initial_learning_rate: float,
+                          min_learning_rate: float,
+                          return_factor: float = 1.0,
+                          in_out_factor: float = 1.0, seed: int = 42,
+                          num_partitions: int = 4, batch: int = 4096,
+                          sync_every: int = 8, as_dataset: bool = False):
+    """Walks + pair generation + SGNS training, ALL inside the vid-range
+    shard actors: the driver holds only the O(n) visit-frequency vector (for
+    the unigram^0.75 negative table) and per-shard counts — never a walk,
+    pair, or embedding array (round-4 VERDICT next #3)."""
+    import ray
+
+    from .pregel import _shard_handles
+
+    n = graph.n
+    P = max(1, min(num_partitions, n))
+    bounds = graph.bounds(P, "natural")
+    handles = _shard_handles(graph, P, "natural")
+    P = len(bounds) - 1
+    Actor = ray.remote(_N2VShard)
+    workers = [Actor.remote(q, bounds, d, neg_k, batch, seed)
+               for q in range(P)]
+    try:
+        _run_walk_phase(workers, handles, P, walks_per_node, walk_length,
+                        window, return_factor, in_out_factor)
+        counts_freq = ray.get([w.finish_walks.remote() for w in workers])
+        freq = np.zeros(n, dtype=np.int64)
+        max_pairs = 0
+        total_pairs = 0
+        for q, (cnt, fr) in enumerate(counts_freq):
+            freq[int(bounds[q]):int(bounds[q + 1])] = fr
+            max_pairs = max(max_pairs, cnt)
+            total_pairs += cnt
+        if total_pairs == 0:
+            tab = pa.table({"vid": np.arange(n, dtype=np.int64),
+                            "embedding": pa.array([[0.0] * d] * n,
+                                                  pa.list_(pa.float64()))})
+            if as_dataset:
+                import ray.data
+                return ray.data.from_arrow(tab)
+            return tab
+        p_neg = freq.astype(np.float64) ** 0.75
+        p_neg /= p_neg.sum()
+        table_size = min(1 << 20, max(1 << 12, 16 * n))
+        neg_table = np.random.default_rng(seed).choice(
+            n, size=table_size, p=p_neg).astype(np.int64)
+        neg_ref = ray.put(neg_table)
+        ray.get([w.set_neg_table.remote(neg_ref) for w in workers])
+        rounds = max(1, -(-max_pairs // batch))
+        return _drive_rounds(workers, P, epochs, rounds, sync_every,
+                             initial_learning_rate, min_learning_rate,
+                             as_dataset)
+    finally:
+        for w in workers:  # also on exception: don't leak embedding shards
+            ray.kill(w)

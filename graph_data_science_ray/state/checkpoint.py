@@ -88,6 +88,15 @@ class CheckpointManager:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # per-superstep lineage log (SURVEY §3.2 Ray analogue): one JSON line
+        # per checkpointed iteration, appended AFTER the atomic rename so a
+        # line implies its checkpoint exists; resumed runs keep appending
+        with open(os.path.join(self.base, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"iteration": iteration,
+                                "fingerprint": self.fp,
+                                "written_at": manifest["written_at"],
+                                "rows": sum(e["rows"] for e in lineage),
+                                **metrics}) + "\n")
 
     def write_local(self, iteration: int, part_tables: list, metrics: dict):
         tmp = os.path.join(self.base, f".tmp-iter={iteration}")

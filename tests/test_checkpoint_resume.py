@@ -30,6 +30,14 @@ def test_checkpoint_layout_and_lineage(tmp_path, medium_graph):
     assert len(m["partitions"]) == 3
     for p in m["partitions"]:
         assert p["rows"] > 0 and len(p["sha256"]) == 64
+    # per-superstep lineage log: one JSON line per checkpointed iteration,
+    # each carrying the superstep metrics and total rows
+    with open(ck / "metrics.jsonl") as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    assert [ln["iteration"] for ln in lines] == [0, 1, 2, 3, 4]
+    for ln in lines[1:]:  # iter=0 is the pre-run snapshot (no step metrics)
+        assert ln["rows"] > 0 and "superstep" in ln and "written_at" in ln
+    assert res.ran_iterations == 5
 
 
 def test_resume_matches_uninterrupted(tmp_path, medium_graph):

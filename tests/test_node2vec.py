@@ -114,3 +114,55 @@ class TestNode2Vec:
         assert t.num_rows == 4
         e = np.asarray(t.column("embedding").to_pylist())
         assert np.isfinite(e).all()
+
+
+class TestShardedWalks:
+    """The sharded walk phase (node2vec_sharded): counter-based randomness
+    makes the walk corpus P-independent — pairs and visit frequencies must
+    EQUAL the driver-side reference kernel at any shard count."""
+
+    def _rand_graph(self, n, m, seed):
+        rng = np.random.default_rng(seed)
+        return Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m),
+                                n=n, orientation="undirected",
+                                aggregation="single")
+
+    @pytest.mark.parametrize("parts", [1, 2, 3])
+    def test_first_order_equality(self, parts):
+        from graph_data_science_ray.pipelines.node2vec_sharded import (
+            sharded_walk_pairs, walk_pairs_reference)
+        g = self._rand_graph(300, 1800, seed=21)
+        kw = dict(walks_per_node=3, walk_length=12, window=4, seed=9)
+        rc, rx, rfreq = walk_pairs_reference(g, **kw)
+        sc, sx, sfreq = sharded_walk_pairs(g, num_partitions=parts, **kw)
+        np.testing.assert_array_equal(rfreq, sfreq)
+        ref = sorted(zip(rc.tolist(), rx.tolist()))
+        got = sorted(zip(sc.tolist(), sx.tolist()))
+        assert ref == got
+
+    @pytest.mark.parametrize("parts", [2, 3])
+    def test_biased_equality(self, parts):
+        """p=0.5, q=2.0: the membership exchange path."""
+        from graph_data_science_ray.pipelines.node2vec_sharded import (
+            sharded_walk_pairs, walk_pairs_reference)
+        g = self._rand_graph(200, 1400, seed=22)
+        kw = dict(walks_per_node=2, walk_length=10, window=3,
+                  return_factor=0.5, in_out_factor=2.0, seed=4)
+        rc, rx, rfreq = walk_pairs_reference(g, **kw)
+        sc, sx, sfreq = sharded_walk_pairs(g, num_partitions=parts, **kw)
+        np.testing.assert_array_equal(rfreq, sfreq)
+        assert sorted(zip(rc.tolist(), rx.tolist())) == \
+            sorted(zip(sc.tolist(), sx.tolist()))
+
+    def test_sinks_and_isolates(self):
+        from graph_data_science_ray.pipelines.node2vec_sharded import (
+            sharded_walk_pairs, walk_pairs_reference)
+        # 0->1->2 (2 is a sink), 3 isolated
+        g = Graph.from_edges([0, 1], [1, 2], n=4)
+        kw = dict(walks_per_node=2, walk_length=5, window=2, seed=1)
+        rc, rx, rfreq = walk_pairs_reference(g, **kw)
+        sc, sx, sfreq = sharded_walk_pairs(g, num_partitions=2, **kw)
+        np.testing.assert_array_equal(rfreq, sfreq)
+        assert rfreq[3] == 2  # isolate: counted at position 0 only
+        assert sorted(zip(rc.tolist(), rx.tolist())) == \
+            sorted(zip(sc.tolist(), sx.tolist()))

@@ -222,8 +222,9 @@ def test_ray_default_is_streaming_and_matches_local():
                          streaming_threshold=0)
     tri = res.table.column("triangles").to_numpy(zero_copy_only=False)
     assert (tri == -1).any()
-    # default routing: small |E| under execution="ray" takes the bit-equal
-    # local kernel (no streaming shuffles) — results unchanged
+    # default routing: small |E| under execution="ray" takes the bucketed
+    # in-memory-prep DISTRIBUTED kernel (edge_key_mode="bucketed",
+    # triangles.py:138) — results unchanged
     small = triangle_count(g, execution="ray", num_partitions=4)
     assert small.global_count == triangle_count(g, execution="local").global_count
 
