@@ -59,6 +59,11 @@ def tumbling_window(events_ds, window: str = "h"):
                                     batch_format="pyarrow")
 
     def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:  # schema-less empty groups
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "window_start": pa.array([], pa.timestamp("ns")),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
         out = g.drop_columns(["bucket"]) \
             .group_by(["user_id", "window_start"]).aggregate(
                 [("n_events", "sum"), ("sum_value", "sum")])
@@ -83,8 +88,10 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
     def _sessions(g: pa.Table) -> pa.Table:
         # one vectorized NumPy pass over a whole USER-BUCKET: sort (user, ts);
         # a user change or a gap > threshold starts a new session id
-        if g.num_rows == 0:
+        if g.num_rows == 0 or g.num_columns == 0:
             return empty
+        if "bucket" in g.column_names:
+            g = g.drop_columns(["bucket"])
         u = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.timestamp("ns")) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -106,6 +113,4 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
 
     nb = _event_buckets(events_ds)
     return events_ds.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: _sessions(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+        .groupby("bucket").map_groups(_sessions, batch_format="pyarrow")
