@@ -135,8 +135,14 @@ class _N2VShard:
     # ---- sharded walk phase -------------------------------------------------
 
     def init_walks(self, shard_ref, walks_per_node: int, window: int,
-                   return_factor: float, in_out_factor: float) -> int:
-        """Create the resident walkers for my vid range; returns #active."""
+                   return_factor: float, in_out_factor: float,
+                   record: bool = False, walk_length: int = 0) -> int:
+        """Create the resident walkers for my vid range; returns #active.
+
+        ``record=True`` (distributed random_walks): the tail is widened to
+        the full walk length so each walker carries its whole path, finished
+        walkers (sink-hit) are retained instead of dropped, and
+        ``finish_walk_paths`` returns this shard's walk table."""
         from .pregel import _resolve_shard
         sh = _resolve_shard(shard_ref)
         self.indptr = sh.indptr
@@ -147,7 +153,9 @@ class _N2VShard:
         srcs = np.repeat(np.arange(self.lo, self.hi, dtype=np.int64), self.deg)
         self.K = srcs * self.nmul + self.indices
         self.window = window
-        self.tailw = max(window, 2)  # tail[-1] = cur, tail[-2] = prev
+        self.record = record
+        # tail[-1] = cur, tail[-2] = prev; record mode keeps the whole path
+        self.tailw = max(walk_length, 2) if record else max(window, 2)
         self.p_inv = 1.0 / return_factor
         self.q_inv = 1.0 / in_out_factor
         self.max_prob = max(self.p_inv, 1.0, self.q_inv)
@@ -163,6 +171,11 @@ class _N2VShard:
         # every local node appears walks_per_node times at path position 0
         self.freq = np.full(nloc, walks_per_node, dtype=np.int64)
         alive = self.deg[starts - self.lo] > 0
+        self.done_ids: list = []
+        self.done_tails: list = []
+        if record and (~alive).any():  # length-1 walks from sink starts
+            self.done_ids.append(self.w_id[~alive])
+            self.done_tails.append(self.w_tail[~alive])
         self.w_id = self.w_id[alive]
         self.w_tail = self.w_tail[alive]
         self.pairs_c: list = []
@@ -306,6 +319,9 @@ class _N2VShard:
             loc = tail[:, -1] - self.lo
             np.add.at(self.freq, loc, 1)
             alive = self.deg[loc] > 0
+            if self.record and (~alive).any():  # sink-hit: retain the path
+                self.done_ids.append(wid[~alive])
+                self.done_tails.append(tail[~alive])
             self.w_id = wid[alive]
             self.w_tail = tail[alive]
         return int(self.w_id.shape[0])
@@ -330,6 +346,31 @@ class _N2VShard:
     def dump_pairs(self):
         """TESTING ONLY: my (c, x) pair shard (after finish_walks)."""
         return self.c, self.x
+
+    def finish_walk_paths(self) -> pa.Table:
+        """Record mode: this shard's finished + still-resident walks as
+        (walk_id, start_node, path: list<int64>), sorted by walk_id.  A walk
+        ends at its LAST node's owner, so the corpus is naturally sharded;
+        the caller builds a Dataset from the per-shard refs."""
+        ids = self.done_ids + ([self.w_id] if self.w_id.shape[0] else [])
+        tails = self.done_tails + ([self.w_tail]
+                                   if self.w_id.shape[0] else [])
+        if not ids:
+            return pa.table({"walk_id": pa.array([], pa.int64()),
+                             "start_node": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.list_(pa.int64()))})
+        wid = np.concatenate(ids)
+        tail = np.concatenate(tails, axis=0)
+        order = np.argsort(wid)
+        wid, tail = wid[order], tail[order]
+        # strip the -1 left padding: offsets from per-row path lengths
+        lens = (tail >= 0).sum(axis=1)
+        flat = tail[tail >= 0]  # row-major → per-walk segments in order
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        path = pa.ListArray.from_arrays(pa.array(offsets),
+                                        pa.array(flat, pa.int64()))
+        starts = tail[np.arange(tail.shape[0]), tail.shape[1] - lens]
+        return pa.table({"walk_id": wid, "start_node": starts, "path": path})
 
     # ---- SGNS training phases ----------------------------------------------
 
@@ -576,13 +617,14 @@ def walk_pairs_reference(graph, *, walks_per_node: int, walk_length: int,
 
 
 def _run_walk_phase(workers, handles, P, walks_per_node, walk_length,
-                    window, return_factor, in_out_factor):
+                    window, return_factor, in_out_factor, record=False):
     """Drive the per-step walker/pair exchange across the shard actors."""
     import ray
 
     active = sum(ray.get([
         w.init_walks.remote(handles[q], walks_per_node, window,
-                            return_factor, in_out_factor)
+                            return_factor, in_out_factor,
+                            record, walk_length)
         for q, w in enumerate(workers)]))
     biased = not (return_factor == 1.0 and in_out_factor == 1.0)
     for step in range(1, walk_length):
@@ -640,6 +682,44 @@ def sharded_walk_pairs(graph, *, walks_per_node: int, walk_length: int,
     c = np.concatenate([p[0] for p in pairs]) if pairs else np.empty(0)
     x = np.concatenate([p[1] for p in pairs]) if pairs else np.empty(0)
     return c.astype(np.int64), x.astype(np.int64), freq
+
+
+def random_walks_distributed(graph, *, walks_per_node: int = 10,
+                             walk_length: int = 80,
+                             return_factor: float = 1.0,
+                             in_out_factor: float = 1.0, seed: int = 42,
+                             num_partitions: int = 4):
+    """Distributed node2vec-biased random walks: walkers advance inside the
+    vid-range CSR shard actors (same machinery as the Node2Vec walk phase,
+    record mode) and the walk corpus is returned as a ray.data.Dataset built
+    from the per-shard tables — it never transits the driver.  Counter-based
+    randomness makes the corpus identical at any shard count (NOT equal to
+    the rng-based local ``random_walks`` corpus for the same seed — same
+    distribution, different stream).  Schema: (walk_id, start_node,
+    path: list<int64>); walks stop early at sinks like the reference
+    (RandomWalk.java)."""
+    import ray
+    import ray.data
+
+    from .pregel import _shard_handles
+
+    n = graph.n
+    P = max(1, min(num_partitions, n))
+    bounds = graph.bounds(P, "natural")
+    handles = _shard_handles(graph, P, "natural")
+    P = len(bounds) - 1
+    Actor = ray.remote(_N2VShard)
+    workers = [Actor.remote(q, bounds, 2, 1, 4096, seed) for q in range(P)]
+    try:
+        _run_walk_phase(workers, handles, P, walks_per_node, walk_length,
+                        0, return_factor, in_out_factor, record=True)
+        shard_tabs = [w.finish_walk_paths.remote() for w in workers]
+        # tables must exist in plasma before the producer actors die
+        ray.wait(shard_tabs, num_returns=len(shard_tabs))
+        return ray.data.from_arrow_refs(shard_tabs)
+    finally:
+        for w in workers:
+            ray.kill(w)
 
 
 def node2vec_full_sharded(graph, *, d: int, walks_per_node: int,

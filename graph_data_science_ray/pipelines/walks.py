@@ -28,9 +28,25 @@ from ..state.graph import Graph
 def random_walks(graph: Graph, *, walks_per_node: int = 10,
                  walk_length: int = 80, return_factor: float = 1.0,
                  in_out_factor: float = 1.0, seed: int = 42,
-                 source_nodes: Optional[np.ndarray] = None) -> pa.Table:
+                 source_nodes: Optional[np.ndarray] = None,
+                 execution: str = "local", num_partitions: int = 4):
     """Returns (walk_id, start_node, path: list<int64>); walks stop early at
-    sink nodes (like the reference)."""
+    sink nodes (like the reference).
+
+    ``execution="ray"``: walkers advance inside vid-range CSR shard actors
+    and the corpus comes back as a ray.data.Dataset built from per-shard
+    tables — it never transits the driver (counter-based randomness, so the
+    corpus is shard-count-independent but a DIFFERENT stream than the local
+    rng path for the same seed; ``source_nodes`` unsupported there)."""
+    if execution == "ray":
+        if source_nodes is not None:
+            raise ValueError("source_nodes is unsupported with "
+                             "execution='ray' (walks start at every node)")
+        from .node2vec_sharded import random_walks_distributed
+        return random_walks_distributed(
+            graph, walks_per_node=walks_per_node, walk_length=walk_length,
+            return_factor=return_factor, in_out_factor=in_out_factor,
+            seed=seed, num_partitions=num_partitions)
     sh = graph.shards(1, "natural")[0]
     indptr, indices = sh.indptr, sh.indices.astype(np.int64)
     deg = np.diff(indptr)

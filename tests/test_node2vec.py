@@ -166,3 +166,57 @@ class TestShardedWalks:
         assert rfreq[3] == 2  # isolate: counted at position 0 only
         assert sorted(zip(rc.tolist(), rx.tolist())) == \
             sorted(zip(sc.tolist(), sx.tolist()))
+
+
+class TestDistributedRandomWalks:
+    """random_walks(execution='ray'): the corpus comes back as a Dataset of
+    per-shard tables; P-independent, edge-valid, sink-correct."""
+
+    def _collect(self, ds):
+        rows = ds.take_all()
+        return {r["walk_id"]: (r["start_node"], tuple(r["path"]))
+                for r in rows}
+
+    def test_p_independence_and_validity(self):
+        from graph_data_science_ray import Graph, random_walks
+        rng = np.random.default_rng(31)
+        n, m = 150, 900
+        g = Graph.from_edges(rng.integers(0, n, m), rng.integers(0, n, m),
+                             n=n, orientation="undirected",
+                             aggregation="single")
+        a = self._collect(random_walks(g, walks_per_node=2, walk_length=8,
+                                       seed=3, execution="ray",
+                                       num_partitions=2))
+        b = self._collect(random_walks(g, walks_per_node=2, walk_length=8,
+                                       seed=3, execution="ray",
+                                       num_partitions=3))
+        assert a == b
+        assert len(a) == n * 2
+        # every consecutive hop is a real edge; starts match walker ids
+        sh = g.shards(1, "natural")[0]
+        adj = {u: set(sh.indices[sh.indptr[u]:sh.indptr[u + 1]].tolist())
+               for u in range(n)}
+        for wid, (start, path) in a.items():
+            assert path[0] == start == wid // 2
+            for u, v in zip(path, path[1:]):
+                assert v in adj[u], (wid, path)
+
+    def test_biased_and_sinks(self):
+        from graph_data_science_ray import Graph, random_walks
+        # chain 0->1->2 (2 sink), isolate 3: every walk from 2 is length 1
+        g = Graph.from_edges([0, 1], [1, 2], n=4)
+        d = self._collect(random_walks(g, walks_per_node=2, walk_length=6,
+                                       return_factor=0.5, in_out_factor=2.0,
+                                       seed=7, execution="ray",
+                                       num_partitions=2))
+        assert len(d) == 8
+        for wid, (start, path) in d.items():
+            if start == 2:
+                assert path == (2,)
+            if start == 3:
+                assert path == (3,)
+            if start == 0:
+                assert path == (0, 1, 2)  # forced chain, stops at the sink
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            random_walks(g, source_nodes=np.array([0]), execution="ray")
