@@ -391,29 +391,31 @@ class _N2VShard:
         nb = cc.shape[0]
         if nb == 0:
             self._pending = None
-            return tuple(np.empty(0, np.int64) for _ in range(self.P))
+            return self._ret([np.empty(0, np.int64)
+                              for _ in range(self.P)])
         rng = np.random.default_rng((self.seed, 13, self.q, self._ep, rnd))
         negs = self.neg_table[rng.integers(0, self.neg_table.shape[0],
                                            size=(nb, self.neg_k))]
         need = np.unique(np.concatenate([xx, negs.ravel()]))
         self._pending = (cc, xx, negs, need)
         cuts = np.searchsorted(need, self.bounds)
-        return tuple(need[cuts[p]:cuts[p + 1]] for p in range(self.P))
+        return self._ret([need[cuts[p]:cuts[p + 1]]
+                          for p in range(self.P)])
 
     def serve(self, *reqs):
         """Phase 2: gather my context rows for each requester
         (num_returns=P)."""
-        return tuple(self.context[np.asarray(r) - self.lo]
-                     if np.asarray(r).shape[0] else
-                     np.empty((0, self.context.shape[1]))
-                     for r in reqs)
+        return self._ret([self.context[np.asarray(r) - self.lo]
+                          if np.asarray(r).shape[0] else
+                          np.empty((0, self.context.shape[1]))
+                          for r in reqs])
 
     def compute(self, *row_blocks):
         """Phase 3: SGNS gradients over the pending minibatch.  Applies the
         center update in place; returns per-owner (ids, grad_sum, count)
         context-gradient bundles (num_returns=P)."""
         if self._pending is None:
-            return tuple(None for _ in range(self.P))
+            return self._ret([None] * self.P)
         cc, xx, negs, need = self._pending
         self._pending = None
         ctx = np.concatenate([np.asarray(b) for b in row_blocks], axis=0)
@@ -445,11 +447,11 @@ class _N2VShard:
         np.add.at(cacc, cinv, ctx_grads)
         ccnt = np.bincount(cinv).astype(np.float64)
         cuts = np.searchsorted(cuniq, self.bounds)
-        return tuple((cuniq[cuts[p]:cuts[p + 1]],
-                      cacc[cuts[p]:cuts[p + 1]],
-                      ccnt[cuts[p]:cuts[p + 1]])
-                     if cuts[p + 1] > cuts[p] else None
-                     for p in range(self.P))
+        return self._ret([(cuniq[cuts[p]:cuts[p + 1]],
+                           cacc[cuts[p]:cuts[p + 1]],
+                           ccnt[cuts[p]:cuts[p + 1]])
+                          if cuts[p + 1] > cuts[p] else None
+                          for p in range(self.P)])
 
     def apply(self, *bundles):
         """Phase 4: apply each requester's mean context-gradient step, fixed

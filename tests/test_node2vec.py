@@ -220,3 +220,14 @@ class TestDistributedRandomWalks:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             random_walks(g, source_nodes=np.array([0]), execution="ray")
+
+
+def test_ray_single_partition_training():
+    """P==1: Ray doesn't split 1-tuples at num_returns=1 — every exchange
+    method must return bare elements (regression for _N2VShard._ret)."""
+    g = _two_cliques(4)
+    t = node2vec(g, embedding_dimension=8, walks_per_node=4, walk_length=10,
+                 window_size=3, iterations=2, seed=5, execution="ray",
+                 num_partitions=1)
+    e = np.asarray(t.column("embedding").to_pylist())
+    assert e.shape == (8, 8) and np.isfinite(e).all() and (e != 0).any()
