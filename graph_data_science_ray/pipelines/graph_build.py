@@ -197,10 +197,15 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     from ..state.graph import ParquetGraph
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, min(8, ncpu // 2))
+    pool = max(1, min(16, ncpu // 2))
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
                               batch_size=2048, concurrency=pool))
+    # extraction feeds BOTH the id-map branch and the id-resolve branch; a
+    # lazy dataset would re-run the regex scan once per consumer.  The
+    # extracted keys are a tiny fraction of the content bytes, so pin them
+    # in the (spillable) object store instead of extracting twice.
+    edges_raw = edges_raw.materialize()
     repo_keys = (_read_pq(corpus_dir, columns=["repo"])
                  .map_batches(lambda t: pa.table({"key": t.column("repo")}),
                               batch_format="pyarrow"))
@@ -348,10 +353,13 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
     # actor pool sized to leave CPUs for the read + shuffle stages (a pool that
     # reserves every CPU starves the other operators and the pipeline serializes)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, min(8, ncpu // 2))
+    pool = max(1, min(16, ncpu // 2))
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
                               batch_size=2048, concurrency=pool))
+    # two consumers (id map + id resolve): materialize or the regex scan
+    # re-executes per consumer (extracted keys ≪ content bytes)
+    edges_raw = edges_raw.materialize()
 
     # vertex set = every repo appearing as a file owner or a dependency target
     repo_keys = (_read_pq(corpus_dir, columns=["repo"])
