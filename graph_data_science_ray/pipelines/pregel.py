@@ -81,6 +81,13 @@ class Computation:
     # for the actor-mode pipelined stepping: only such computations may run extra
     # speculative supersteps past convergence without diverging from local mode.
     count_init_as_iteration = True   # superstep 0 counts toward ranIterations (Pregel yes)
+    asynchronous = False         # True ⇒ async queue mode (AsyncQueueMessenger.java):
+    # ONE shared message pool instead of double-buffered queues — a message
+    # becomes visible at its target's NEXT compute, which may be in the SAME
+    # superstep.  Requires reducer=None; shared-memory only (execution="local",
+    # like the reference).  This engine picks one deterministic interleaving
+    # (a fixed partition sweep, see _run_local_async) out of the reference's
+    # thread-nondeterministic schedules.
     state_spec: list = []        # [(name, np.dtype)] algorithm state columns
     output_cols: dict = {}       # result column name -> state column name
     master_cols: list = []       # state cols summed globally between supersteps
@@ -734,6 +741,24 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
         payload_mode = os.environ.get("GDS_PAYLOAD_MODE", "shared")
     if payload_mode not in ("shared", "sliced"):
         raise ValueError(f"unknown payload_mode {payload_mode!r}")
+    if getattr(comp, "asynchronous", False):
+        if comp.reducer is not None:
+            raise ValueError(
+                "asynchronous mode requires reducer=None — async delivery is "
+                "defined on raw message queues (AsyncQueueMessenger.java); "
+                "reducing computations use the double-buffered messenger")
+        if execution not in ("auto", "local"):
+            raise ValueError(
+                "asynchronous queue mode is shared-memory only, like the "
+                "reference (AsyncQueueMessenger.java has no distributed "
+                "analogue — same-superstep visibility would serialize the "
+                "shard actors); use execution='local'")
+        if num_partitions is None:
+            num_partitions = 1 if graph.n <= 50_000 else 8
+        validate_memory(graph, comp, num_partitions, memory_limit_bytes,
+                        execution="local")
+        return _run_local_async(graph, comp, max_iterations, num_partitions,
+                                checkpoint_dir, checkpoint_interval, resume)
     if execution == "auto":
         execution = "local" if graph.n <= local_threshold else "ray"
     if num_partitions is None:
@@ -829,6 +854,110 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     ran = _ran_iterations(comp, superstep, converged, max_iterations)
     return _result_from_parts(comp, [v for v, _ in parts], [s for _, s in parts],
                               ran, converged, metrics)
+
+
+def _run_local_async(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
+                     resume):
+    """Asynchronous queue-mode executor — the AsyncQueueMessenger.java
+    analogue (SURVEY §2.2 row 20, the last uncovered messenger).
+
+    ONE shared message pool instead of double-buffered queues: partitions are
+    swept in fixed vid order within a superstep; each partition consumes
+    everything pending for it (messages from earlier partitions in THIS sweep
+    plus leftovers from the previous one) and scatters its sends immediately,
+    so later partitions in the sweep see them in the same superstep.  A fixed
+    sweep is one valid interleaving of the reference's thread-nondeterministic
+    async schedule, chosen so results are reproducible.
+
+    Resume needs no extra persistence: st["send"]/"sending" are not touched
+    between a partition's scatter and its next apply, so the in-flight
+    payloads at a sweep boundary are exactly re-derivable from checkpointed
+    state — pending[q] = {scatter(state_r) : r >= q} (every payload scattered
+    at or after q's turn last sweep), or all r at the initial checkpoint."""
+    from ..state.checkpoint import CheckpointManager
+
+    bounds = graph.bounds(P, comp.orientation)
+    shards = graph.shards(P, comp.orientation)
+    nparts = len(bounds) - 1
+    ckpt = CheckpointManager(ckpt_dir, comp) if ckpt_dir else None
+
+    start_superstep = 0
+    parts = []
+    latest = ckpt.latest() if (ckpt and resume) else None
+    if latest is not None:
+        start_superstep = latest + 1
+        t = ckpt.read_all(latest)
+        pcol = t.column("part").to_numpy(zero_copy_only=False)
+        for p in range(nparts):
+            sub = t.filter(pa.array(pcol == p))
+            vids, st = _table_to_state(sub, comp)
+            parts.append((vids, st))
+    else:
+        for p in range(nparts):
+            parts.append(_init_state_part(comp, p, int(bounds[p]),
+                                          int(bounds[p + 1]), shards[p]))
+        if ckpt:
+            ckpt.write_local(0, [_state_table(p, v, s, comp)
+                                 for p, (v, s) in enumerate(parts)], {})
+
+    def _scatter(q):
+        vids, st = parts[q]
+        return scatter_global(comp, shards[q], graph.n, vids - shards[q].lo,
+                              st["send"], st["skey"], st["sending"])
+
+    payloads = [_scatter(q) for q in range(nparts)]
+    if latest is None or latest == 0:
+        # initial condition: every partition computed superstep 0 before any
+        # delivery — all payloads pending for everyone
+        pending = [[pl for pl in payloads if pl is not None]
+                   for _ in range(nparts)]
+    else:
+        # sweep boundary: q consumed payloads of partitions before it
+        pending = [[payloads[r] for r in range(q, nparts)
+                    if payloads[r] is not None] for q in range(nparts)]
+
+    metrics = []
+    converged = False
+    superstep = max(start_superstep, 1)
+    while True:
+        it_limit = (max_iterations if comp.count_init_as_iteration
+                    else max_iterations + 1)
+        if superstep >= it_limit:
+            break
+        t0 = time.perf_counter()
+        n_msgs = 0
+        scalars_acc = {c: 0.0 for c in comp.master_cols}
+        for q, (vids, st) in enumerate(parts):
+            msg = merge_payloads(comp, shards[q].lo, shards[q].hi, pending[q])
+            pending[q] = []
+            st["changed"][:] = 0
+            comp.apply_part(vids, st, msg, superstep, shards[q])
+            for c in comp.master_cols:
+                scalars_acc[c] += float(st[c].sum())
+            pl = _scatter(q)  # deliver immediately: later partitions in this
+            if pl is not None:  # sweep consume it within the same superstep
+                n_msgs += _payload_count(pl)
+                for r in range(nparts):
+                    pending[r].append(pl)
+        if _has_master(comp):
+            for p, (vids, st) in enumerate(parts):
+                comp.master_part(vids, st, scalars_acc, superstep)
+        sum_sending = sum(int(st["sending"].sum()) for _, st in parts)
+        sum_changed = sum(int(st["changed"].sum()) for _, st in parts)
+        metrics.append({"superstep": superstep, "messages": int(n_msgs),
+                        "sending": sum_sending, "changed": sum_changed,
+                        "sec": time.perf_counter() - t0})
+        if ckpt and superstep % ckpt_interval == 0:
+            ckpt.write_local(superstep,
+                             [_state_table(p, v, s, comp)
+                              for p, (v, s) in enumerate(parts)], metrics[-1])
+        if _converged(comp, superstep, sum_sending, sum_changed):
+            converged = True
+            break
+        superstep += 1
+    ran = _ran_iterations(comp, superstep, converged, max_iterations)
+    return _result_from_parts(comp, [v for v, _ in parts],
+                              [s for _, s in parts], ran, converged, metrics)
 
 
 def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):

@@ -198,3 +198,106 @@ def test_memory_estimation_guard():
     # default budget (available RAM) admits the small job
     res2 = pagerank(g, execution="local")
     assert res2.table.num_rows == 100
+
+
+class QueueBfs(Computation):
+    """BFS over raw message queues (reducer=None) — min is taken in user code,
+    so it runs under BOTH queue messengers: double-buffered (sync) and the
+    shared-pool async one (AsyncQueueMessenger.java analogue)."""
+
+    reducer = None
+    state_spec = [("dist", np.float64)]
+    output_cols = {"distance": "dist"}
+
+    def __init__(self, source_vid: int, asynchronous: bool = False):
+        self.source = source_vid
+        self.asynchronous = asynchronous
+
+    def init_part(self, vids, shard, st):
+        is_src = vids == self.source
+        st["dist"][:] = np.where(is_src, 0.0, np.inf)
+        st["sending"][:] = is_src.astype(np.uint8)
+        st["send"][:] = 0.0
+
+    def apply_part(self, vids, st, msg, superstep, shard):
+        best = np.full(vids.shape[0], np.inf)
+        if msg.local.shape[0]:
+            np.minimum.at(best, msg.local, msg.vals)
+        cand = best + 1.0
+        better = cand < st["dist"]
+        st["dist"][:] = np.where(better, cand, st["dist"])
+        st["sending"][:] = better.astype(np.uint8)
+        st["send"][:] = np.where(better, st["dist"], 0.0)
+        st["changed"][:] = better.astype(np.uint8)
+
+
+class TestAsyncQueueMessenger:
+    def _path(self, n=10):
+        return Graph.from_edges(np.arange(n - 1), np.arange(1, n), n=n)
+
+    def test_same_result_fewer_supersteps(self):
+        """On a vid-ascending path with one vertex per partition, the fixed
+        partition sweep propagates the whole chain in ONE superstep (each
+        partition consumes the previous one's message the moment it lands) —
+        the same-superstep visibility that defines the async messenger."""
+        g = self._path(10)
+        sync = run_pregel(g, QueueBfs(0), max_iterations=30,
+                          execution="local", num_partitions=10)
+        asy = run_pregel(g, QueueBfs(0, asynchronous=True), max_iterations=30,
+                         execution="local", num_partitions=10)
+        expect = np.arange(10, dtype=np.float64)
+        np.testing.assert_array_equal(
+            sync.table.column("distance").to_numpy(zero_copy_only=False),
+            expect)
+        np.testing.assert_array_equal(
+            asy.table.column("distance").to_numpy(zero_copy_only=False),
+            expect)
+        assert sync.ran_iterations >= 9  # one hop per superstep
+        assert asy.ran_iterations <= 3   # whole chain per sweep
+        assert asy.did_converge and sync.did_converge
+
+    def test_matches_sync_on_random_graph(self):
+        rng = np.random.default_rng(33)
+        g = Graph.from_edges(rng.integers(0, 80, 400),
+                             rng.integers(0, 80, 400), n=80,
+                             orientation="undirected", aggregation="single")
+        sync = run_pregel(g, QueueBfs(5), max_iterations=50,
+                          execution="local", num_partitions=4)
+        asy = run_pregel(g, QueueBfs(5, asynchronous=True), max_iterations=50,
+                         execution="local", num_partitions=4)
+        np.testing.assert_array_equal(
+            asy.table.column("distance").to_numpy(zero_copy_only=False),
+            sync.table.column("distance").to_numpy(zero_copy_only=False))
+        assert asy.ran_iterations <= sync.ran_iterations
+
+    def test_checkpoint_resume(self, tmp_path):
+        rng = np.random.default_rng(34)
+        g = Graph.from_edges(rng.integers(0, 60, 250),
+                             rng.integers(0, 60, 250), n=60,
+                             orientation="undirected", aggregation="single")
+        full = run_pregel(g, QueueBfs(2, asynchronous=True),
+                          max_iterations=30, execution="local",
+                          num_partitions=3)
+        ck = str(tmp_path / "ck")
+        run_pregel(g, QueueBfs(2, asynchronous=True), max_iterations=2,
+                   execution="local", num_partitions=3, checkpoint_dir=ck)
+        resumed = run_pregel(g, QueueBfs(2, asynchronous=True),
+                             max_iterations=30, execution="local",
+                             num_partitions=3, checkpoint_dir=ck,
+                             resume=True)
+        np.testing.assert_array_equal(
+            resumed.table.column("distance").to_numpy(zero_copy_only=False),
+            full.table.column("distance").to_numpy(zero_copy_only=False))
+
+    def test_validation(self):
+        import pytest
+        g = self._path(4)
+
+        class BadReduce(QueueBfs):
+            reducer = "min"
+
+        with pytest.raises(ValueError, match="reducer=None"):
+            run_pregel(g, BadReduce(0, asynchronous=True), max_iterations=5)
+        with pytest.raises(ValueError, match="shared-memory"):
+            run_pregel(g, QueueBfs(0, asynchronous=True), max_iterations=5,
+                       execution="ray")
