@@ -100,7 +100,14 @@ def _assign_dense_ids(keys_ds):
 
     from ..stages.blocks import nonempty_arrow_refs
 
-    distinct = keys_ds.groupby("key").count().materialize()
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        # partial dedup before the shuffle: the groupby then moves one row
+        # per (block, distinct key) instead of every raw key occurrence
+        import pyarrow.compute as pc
+        return pa.table({"key": pc.unique(t.column("key"))})
+
+    distinct = keys_ds.map_batches(_local_distinct, batch_format="pyarrow") \
+        .groupby("key").count().materialize()
     # groupby with more reduce partitions than distinct keys emits the empty
     # partitions as ZERO-COLUMN blocks; mapping column("key") over them is the
     # round-4 driver-bench crash (VERDICT r4 Wrong #1). Drop them here.
