@@ -150,23 +150,40 @@ def _sample_quantile_bounds(ds, col: str, n: int, P: int,
     return np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
 
 
-def _write_layout(agg_ds, out_dir: str, sub: str, key_col: str, other_col: str,
+def _write_layout(agg, out_dir: str, sub: str, key_col: str, other_col: str,
                   bounds: np.ndarray):
     """Range-partition the aggregated edge stream by ``key_col`` and have each
-    group write its OWN sorted part file — edge data never touches the driver.
-    Written schema is always (src, dst, weight) with src = key_col."""
+    partition task write its OWN sorted part file — edge data never touches
+    the driver.  Written schema is always (src, dst, weight) with src =
+    key_col.
+
+    ``agg`` is a Dataset or a list of Arrow-table refs.  The shuffle is an
+    explicit range exchange (stages/exchange.py): the bounds are already
+    known, so Ray Data's sample-sort groupby would re-derive partition
+    boundaries we have — the direct exchange skips the sampling and the
+    global merge-sort (it was the dominant cost of graph_build at 100k
+    files)."""
     import os
+
+    import ray
+
+    from ..stages.blocks import nonempty_arrow_refs
+    from ..stages.exchange import exchange_refs, range_parts
     d = os.path.join(out_dir, sub)
     os.makedirs(d, exist_ok=True)
-    b = np.asarray(bounds)
+    b = np.asarray(bounds, dtype=np.int64)
+    if isinstance(agg, list):
+        agg_refs = agg
+    else:
+        agg_refs, _ = nonempty_arrow_refs(agg.materialize())
+    if not agg_refs:
+        return 0
+    P = len(b) - 1
 
-    def _tag(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).to_numpy(zero_copy_only=False)
-        part = (np.searchsorted(b, k, side="right") - 1).astype(np.int32)
-        return t.append_column("part", pa.array(part))
-
-    def _write_group(g: pa.Table) -> pa.Table:
-        p = int(g.column("part")[0].as_py())
+    def _sort_write(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # keep old behavior: no part file for empty ranges
+            return pa.table({"part": pa.array([p], pa.int32()),
+                             "rows": pa.array([0], pa.int64())})
         s = g.column(key_col).to_numpy(zero_copy_only=False)
         dd = g.column(other_col).to_numpy(zero_copy_only=False)
         w = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -178,10 +195,9 @@ def _write_layout(agg_ds, out_dir: str, sub: str, key_col: str, other_col: str,
         return pa.table({"part": pa.array([p], pa.int32()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    stats = agg_ds.map_batches(_tag, batch_format="pyarrow") \
-        .groupby("part").map_groups(_write_group, batch_format="pyarrow")
-    total = int(sum(r["rows"] for r in stats.take_all()))  # tiny: one row per part
-    return total
+    stats = exchange_refs(agg_refs, range_parts(key_col, b), P,
+                          combine=_sort_write)
+    return int(sum(ray.get(r).column("rows")[0].as_py() for r in stats))
 
 
 def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
@@ -231,27 +247,27 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     else:
         edges_ids = _resolve_ids_hash_join(edges_raw, vertices_ds, hash_join)
 
-    # parallel-edge aggregation via hash-bucketed vectorized combine — Ray's
-    # sort aggregate on a two-column key costs ~9s per million rows; a small
-    # bucket key sorts in seconds and the per-bucket combine is one
-    # lexsort+reduceat (same pattern as NodeSimilarity/minhash).  Bucket count
-    # scales with the corpus so one group task holds a bounded slice.
+    # parallel-edge aggregation via an explicit hash exchange
+    # (stages/exchange.py) — Ray's sort aggregate on a two-column key costs
+    # ~9s per million rows, and even the bucket-key groupby pays a sample
+    # sort over every edge row; the exchange moves each block's rows straight
+    # to their combine task.  The per-partition combine is one
+    # lexsort+reduceat.  Partition count scales with the corpus so one
+    # combine task holds a bounded slice.
+    from ..stages.blocks import nonempty_arrow_refs
     from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    from ..stages.exchange import exchange_refs, hash_parts
     corpus_rows = rows_if_cheap(
         _read_pq(corpus_dir, columns=["repo"]))
     num_agg_buckets = adaptive_bucket_count(
-        corpus_rows and corpus_rows * 4)  # ~edges per corpus file
+        corpus_rows and corpus_rows * 4,  # ~edges per corpus file
+        min_buckets=max(4, min(16, ncpu)))
 
-    def _tag_edge(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = s * np.uint64(0x9E3779B97F4A7C15) ^ d
-        return t.append_column("bucket", pa.array(
-            ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
-            .astype(np.int64) % num_agg_buckets))
-
-    def _combine_edges(g: pa.Table) -> pa.Table:
+    def _combine_edges(p: int, g: pa.Table) -> pa.Table:
         s = g.column("src").to_numpy(zero_copy_only=False)
+        if s.shape[0] == 0:
+            e = np.empty(0, dtype=np.int64)
+            return pa.table({"src": e, "dst": e, "weight": np.empty(0)})
         d = g.column("dst").to_numpy(zero_copy_only=False)
         w = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.lexsort((d, s))
@@ -261,11 +277,15 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         return pa.table({"src": s[starts], "dst": d[starts],
                          "weight": np.add.reduceat(w, starts)})
 
-    agg = edges_ids.map_batches(_tag_edge, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_combine_edges, batch_format="pyarrow")
-    # materialized in the OBJECT STORE (distributed, spillable) so the bounds
-    # sample and the two layout writes don't re-execute the whole pipeline
-    agg = agg.materialize()
+    edge_refs, _ = nonempty_arrow_refs(edges_ids.materialize())
+    # agg lives in the OBJECT STORE as per-partition refs (distributed,
+    # spillable) reused by the bounds sample and both layout writes
+    agg_refs = exchange_refs(edge_refs,
+                             hash_parts("src", "dst", P=num_agg_buckets),
+                             num_agg_buckets, combine=_combine_edges) \
+        if edge_refs else []
+    agg = (ray.data.from_arrow_refs(agg_refs) if agg_refs
+           else edges_ids.limit(0).materialize())
 
     bounds_fwd = _sample_quantile_bounds(agg, "src", n, num_partitions)
     bounds_rev = _sample_quantile_bounds(agg, "dst", n, num_partitions)
@@ -278,8 +298,10 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         d = _os.path.join(out_dir, sub)
         if _os.path.exists(d):
             _shutil.rmtree(d)
-    m_fwd = _write_layout(agg, out_dir, "edges_fwd", "src", "dst", bounds_fwd)
-    _write_layout(agg, out_dir, "edges_rev", "dst", "src", bounds_rev)
+    m_fwd = _write_layout(agg_refs or agg, out_dir, "edges_fwd", "src", "dst",
+                          bounds_fwd)
+    _write_layout(agg_refs or agg, out_dir, "edges_rev", "dst", "src",
+                  bounds_rev)
     vdir = _os.path.join(out_dir, "vertices")
     _os.makedirs(vdir, exist_ok=True)
     vertices_ds.write_parquet(vdir)

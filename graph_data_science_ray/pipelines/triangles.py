@@ -394,28 +394,40 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
                              num_buckets: Optional[int] = None,
                              max_degree: Optional[int] = None,
                              work_dir: Optional[str] = None) -> TriangleCountResult:
-    """Triangle count whose ENTIRE prep is streaming:
+    """Triangle count whose prep is streaming and whose shuffles are EXPLICIT
+    known-partitioner exchanges (stages/exchange.py) instead of Ray Data's
+    sample-sort all-to-alls (which were >80% of wall time at 4.6M edges):
 
-    1. canonical pairs (min, max, a≠b) per batch → hash-bucketed distributed
-       dedup (one vectorized combine per bucket);
-    2. degrees accumulated as n-sized partials while the pair stream is
-       consumed once (driver never retains pairs);
-    3. rank relabel + orientation per batch against the broadcast rank array,
-       range-partitioned by WEDGE-balanced rank quantiles and written as a
-       canonical layout — each wedge worker then loads ITS OWN partition
-       (ShardSpec pattern), and the edge-key match runs in the hash-bucketed
-       mode (no full-|E| broadcast anywhere).
+    1. canonical pairs (min, max, a != b) per block -> hash exchange ->
+       per-partition vectorized dedup; each dedup combine also returns its
+       degree partial, so degrees cost no extra pass;
+    2. rank relabel per block against the broadcast rank array -> range
+       exchange on WEDGE-balanced rank quantiles -> each owner sorts and
+       writes ITS OWN canonical layout partition (resumable output) while the
+       sorted table stays in the object store for the match phase;
+    3. each owner emits its wedges (a; b, c), routed by the wedge's CLOSING
+       edge's lower endpoint b to owner(b) (``num_returns=P``) — the match
+       task tests (b, c) against its own sorted edge keys; no edge-key array
+       is ever broadcast and nothing |E|-sized touches the driver.
+
+    Partitioning assumption: bounds are wedge-weight quantiles of the rank
+    order (C(deg, 2) mass), so wedge GENERATION is balanced even on skewed
+    degree distributions; the match side inherits edge-ownership balance from
+    the same bounds.
 
     ``source``: a ParquetGraph (reads its edges_fwd layout) or a Ray Dataset
-    with (src, dst) columns (then ``n`` is required)."""
+    with (src, dst) columns (then ``n`` is required).  Semantics match the
+    in-memory kernels bit-for-bit (ref IntersectingTriangleCount.java); the
+    driver holds only n-sized degree/rank/count arrays."""
     import os
     import tempfile
 
     import ray
-    import ray.data
-    from ray.data.aggregate import Sum
 
-    from ..state.graph import ParquetGraph, ShardSpec, load_shard_from_layout
+    from ..stages.blocks import nonempty_arrow_refs
+    from ..stages.exchange import (_split_table, exchange_refs, hash_parts,
+                                   range_parts)
+    from ..state.graph import ParquetGraph
 
     if isinstance(source, ParquetGraph):
         from ..sources.io import read_parquet_clean
@@ -432,6 +444,19 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
             raise ValueError("n is required for a raw edge Dataset")
     _check_key_packable(n)
 
+    import time as _time
+    _timing = os.environ.get("GDS_TC_TIMING") == "1"
+    _marks: list = [_time.perf_counter()]
+
+    def _mark(label):
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[tc] {label}: {now - _marks[0]:.2f}s", flush=True)
+            _marks[0] = now
+
+    P = max(1, int(num_partitions))
+    nn = n  # bind locally for closures (avoid capturing self-ish state)
+
     def _canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False)
         d = t.column("dst").to_numpy(zero_copy_only=False)
@@ -440,45 +465,35 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         keep = a != b
         return pa.table({"a": a[keep], "b": b[keep]})
 
-    def _tag_fn(nb: int):
-        def _tag(t: pa.Table) -> pa.Table:
-            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-            key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
-            return t.append_column("bucket", pa.array(
-                ((key * np.uint64(0xBF58476D1CE4E5B9)) >> np.uint64(40))
-                .astype(np.int64) % nb))
-        return _tag
-
-    def _dedup(g: pa.Table) -> pa.Table:
+    def _dedup_deg(p: int, g: pa.Table):
         a = g.column("a").to_numpy(zero_copy_only=False)
         b = g.column("b").to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
-        run = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        return pa.table({"a": a[run], "b": b[run]})
+        if a.shape[0]:
+            run = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            a, b = a[run], b[run]
+        deg = (np.bincount(a, minlength=nn)
+               + np.bincount(b, minlength=nn)).astype(np.int64)
+        return pa.table({"a": a, "b": b}), deg
 
-    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
-    dedup_buckets = num_buckets or adaptive_bucket_count(
-        rows_if_cheap(edges_ds))
-
-    pairs = edges_ds.map_batches(_canon, batch_format="pyarrow") \
-        .map_batches(_tag_fn(dedup_buckets), batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_dedup, batch_format="pyarrow") \
-        .materialize()  # object-store resident; reused by 3 passes below
-
-    # pass 1: degrees (driver holds one n-array; pairs stream through)
-    def _stream_degrees(p):
-        d = np.zeros(n, dtype=np.int64)
-        for t in p.iter_batches(batch_format="pyarrow", batch_size=262144):
-            d += np.bincount(t.column("a").to_numpy(zero_copy_only=False),
-                             minlength=n)
-            d += np.bincount(t.column("b").to_numpy(zero_copy_only=False),
-                             minlength=n)
-        return d
-
-    deg = _stream_degrees(pairs)
+    refs, _ = nonempty_arrow_refs(edges_ds.materialize())
     excluded = np.zeros(n, dtype=bool)
+    if not refs:  # empty edge table: every node has zero triangles
+        return TriangleCountResult(
+            pa.table({"vid": np.arange(n, dtype=np.int64),
+                      "triangles": np.zeros(n, dtype=np.int64)}), 0)
+
+    D = num_buckets or max(P, min(32, len(refs)))
+    out = exchange_refs(refs, hash_parts("a", "b", P=D), D,
+                        combine=_dedup_deg, map_fn=_canon,
+                        combine_num_returns=2)
+    pair_refs = [o[0] for o in out]
+    deg = np.zeros(n, dtype=np.int64)
+    for r in [o[1] for o in out]:  # sequential: driver holds 2 n-arrays max
+        deg += ray.get(r)
+    _mark("canon+dedup+degrees")
+
     if max_degree is not None:
         # hub escape hatch, streaming port of the in-memory path (ref
         # IntersectingTriangleCount.java:162-166): nodes above maxDegree are
@@ -487,161 +502,136 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         if excluded.any():
             excl_ref = ray.put(excluded)
 
-            class _DropExcluded:
-                def __init__(self):
-                    self.mask = None
-                    self.__name__ = "drop_excluded"
+            @ray.remote(num_returns=2)
+            def _drop_excluded(t: pa.Table):
+                mask = ray.get(excl_ref)
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                keep = ~(mask[a] | mask[b])
+                a, b = a[keep], b[keep]
+                dd = (np.bincount(a, minlength=nn)
+                      + np.bincount(b, minlength=nn)).astype(np.int64)
+                return pa.table({"a": a, "b": b}), dd
 
-                def __call__(self, t: pa.Table) -> pa.Table:
-                    if self.mask is None:
-                        self.mask = ray.get(excl_ref)
-                    a = t.column("a").to_numpy(zero_copy_only=False)
-                    b = t.column("b").to_numpy(zero_copy_only=False)
-                    keep = ~(self.mask[a] | self.mask[b])
-                    return pa.table({"a": a[keep], "b": b[keep]})
+            dropped = [_drop_excluded.remote(r) for r in pair_refs]
+            pair_refs = [d[0] for d in dropped]
+            deg = np.zeros(n, dtype=np.int64)
+            for r in [d[1] for d in dropped]:  # rank uses post-exclusion deg
+                deg += ray.get(r)
 
-            pairs = pairs.map_batches(_DropExcluded(),
-                                      batch_format="pyarrow").materialize()
-            deg = _stream_degrees(pairs)  # rank uses post-exclusion degrees
     order = np.lexsort((np.arange(n), deg))
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
     rank_ref = ray.put(rank)
 
-    # wedge-balanced bounds in RANK space: outdeg_ranked(r) = #pairs whose
-    # lower-ranked endpoint has rank r; derivable from deg (each pair
-    # contributes to its lower-ranked endpoint) — approximate with C(deg,2)
-    # quantiles over the rank order (exact balance isn't required, the
-    # straggler guard is)
+    # wedge-balanced bounds in RANK space: each oriented edge lives at its
+    # lower-ranked endpoint, so C(deg, 2) quantiles over the rank order bound
+    # per-partition wedge mass (exact balance isn't required, the straggler
+    # guard is)
     degr = deg[order].astype(np.float64)
     wedge_w = degr * np.maximum(degr - 1.0, 0.0) / 2.0
     cum = np.cumsum(wedge_w)
     total_w = cum[-1] if cum[-1] > 0 else 1.0
-    cuts = np.searchsorted(cum, total_w * np.arange(1, num_partitions)
-                           / num_partitions)
+    cuts = np.searchsorted(cum, total_w * np.arange(1, P) / P)
     bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
+    P_eff = len(bounds) - 1
 
-    if num_buckets is None:
-        # match-stage groups hold wedges + edge keys: scale buckets with the
-        # EXACT wedge total (C(deg,2) sum, already computed for the balance
-        # cuts) plus the deduped pair count (materialized → metadata count)
-        num_buckets = adaptive_bucket_count(int(total_w) + int(pairs.count()))
+    def _relabel(t: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        ra = rk[t.column("a").to_numpy(zero_copy_only=False)]
+        rb = rk[t.column("b").to_numpy(zero_copy_only=False)]
+        return pa.table({"src": np.minimum(ra, rb), "dst": np.maximum(ra, rb)})
 
-    class _Relabel:
-        def __init__(self):
-            self.rank = None
-            self.__name__ = "rank_relabel"
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.rank is None:
-                self.rank = ray.get(rank_ref)
-            ra = self.rank[t.column("a").to_numpy(zero_copy_only=False)]
-            rb = self.rank[t.column("b").to_numpy(zero_copy_only=False)]
-            rs = np.minimum(ra, rb)
-            rd = np.maximum(ra, rb)
-            return pa.table({"src": rs, "dst": rd,
-                             "weight": np.ones(rs.shape[0])})
-
-    ranked = pairs.map_batches(_Relabel(), batch_format="pyarrow")
     out_dir = work_dir or tempfile.mkdtemp(prefix="gds_tc_layout_")
     # a reused work_dir may hold a previous run's partition files whose
-    # bounds split differs — a now-empty partition p would silently read the
-    # stale part-p.parquet (round-2 ADVICE); clear first like Graph.save does
-    stale = os.path.join(out_dir, "edges_fwd")
-    if os.path.exists(stale):
+    # bounds split differs — a now-empty partition p would silently leave the
+    # stale part-p.parquet behind (round-2 ADVICE); clear first
+    layout_dir = os.path.join(out_dir, "edges_fwd")
+    if os.path.exists(layout_dir):
         import shutil
-        shutil.rmtree(stale)
-    from .graph_build import _write_layout
-    _write_layout(ranked, out_dir, "edges_fwd", "src", "dst", bounds)
-    layout_bounds = {"edges_fwd": [int(x) for x in bounds]}
-    specs = [ShardSpec(p=p, lo=int(bounds[p]), hi=int(bounds[p + 1]),
-                       orientation="natural", path=out_dir, n=n,
-                       weighted=True, layout_bounds=layout_bounds)
-             for p in range(len(bounds) - 1)]
+        shutil.rmtree(layout_dir)
+    os.makedirs(layout_dir, exist_ok=True)
 
-    # edge keys travel as ROWS to the same bucket groups as the wedges —
-    # keys and wedges meet inside groupby(bucket), no key array ever exists
-    # outside the group tasks (fully distributed match)
-    class _KeyRows:
-        def __init__(self):
-            self.rank = None
-            self.__name__ = "edge_key_rows"
+    def _sort_write(p: int, t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, s))
+        tt = pa.table({"src": s[o], "dst": d[o],
+                       "weight": np.ones(s.shape[0])})
+        import pyarrow.parquet as _pq
+        _pq.write_table(tt, os.path.join(layout_dir, f"part-{p:05d}.parquet"))
+        return tt
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self.rank is None:
-                self.rank = ray.get(rank_ref)
-            ra = self.rank[t.column("a").to_numpy(zero_copy_only=False)]
-            rb = self.rank[t.column("b").to_numpy(zero_copy_only=False)]
-            key = np.minimum(ra, rb) * n + np.maximum(ra, rb)
-            z = np.zeros(key.shape[0], dtype=np.int64)
-            return pa.table({"bucket": _bucket_of(key, num_buckets),
-                             "key": key, "a": z, "b": z, "c": z,
-                             "side": np.zeros(key.shape[0], dtype=np.int8)})
+    shard_refs = exchange_refs(pair_refs, range_parts("src", bounds), P_eff,
+                               combine=_sort_write, map_fn=_relabel)
+    _mark("relabel+layout write")
 
-    key_rows = pairs.map_batches(_KeyRows(), batch_format="pyarrow")
+    wedge_router = range_parts("b", bounds)
 
-    def _match(g: pa.Table) -> pa.Table:
-        side = g.column("side").to_numpy(zero_copy_only=False)
-        kv = g.column("key").to_numpy(zero_copy_only=False)
-        keys = np.sort(kv[side == 0])
-        wmask = side == 1
-        wkey = kv[wmask]
-        if keys.shape[0] == 0 or wkey.shape[0] == 0:
+    @ray.remote
+    def _emit_wedges(t: pa.Table):
+        """Wedges of one sorted shard, pre-split by owner(b)."""
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        if src.shape[0]:
+            starts = np.flatnonzero(np.concatenate(([True],
+                                                    src[1:] != src[:-1])))
+            lens = np.diff(np.concatenate((starts, [src.shape[0]])))
+            keep = lens >= 2
+            wa, wb, wc = _wedges_from_segment(dst.astype(np.int64),
+                                              starts[keep], lens[keep],
+                                              src[starts[keep]])
+        else:
+            wa = wb = wc = np.empty(0, dtype=np.int64)
+        wt = pa.table({"a": wa, "b": wb, "c": wc})
+        parts = _split_table(wt, wedge_router, P_eff)
+        return parts[0] if P_eff == 1 else tuple(parts)
+
+    wcols: list = [[] for _ in range(P_eff)]
+    emit = (_emit_wedges.options(num_returns=P_eff) if P_eff > 1
+            else _emit_wedges)
+    for r in shard_refs:
+        parts = emit.remote(r)
+        if P_eff == 1:
+            parts = [parts]
+        for q in range(P_eff):
+            wcols[q].append(parts[q])
+
+    @ray.remote
+    def _match(shard_t: pa.Table, *wtabs: pa.Table):
+        """Test this owner's wedges-closing edges; return (vid, cnt)."""
+        keys = (shard_t.column("src").to_numpy(zero_copy_only=False) * nn
+                + shard_t.column("dst").to_numpy(zero_copy_only=False))
+        live = [w for w in wtabs if w.num_rows > 0]
+        if keys.shape[0] == 0 or not live:
             e = np.empty(0, np.int64)
             return pa.table({"vid": e, "cnt": e})
-        pos = np.searchsorted(keys, wkey)
+        wt = pa.concat_tables(live)
+        wb = wt.column("b").to_numpy(zero_copy_only=False)
+        wc = wt.column("c").to_numpy(zero_copy_only=False)
+        wkey = wb * nn + wc
+        pos = np.searchsorted(keys, wkey)  # keys sorted by (src, dst) == key
         pos[pos >= keys.shape[0]] = keys.shape[0] - 1
         m = keys[pos] == wkey
         if not m.any():
             e = np.empty(0, np.int64)
             return pa.table({"vid": e, "cnt": e})
         vids = np.concatenate(
-            [g.column(c).to_numpy(zero_copy_only=False)[wmask][m]
+            [wt.column(c).to_numpy(zero_copy_only=False)[m]
              for c in ("a", "b", "c")])
-        uq, inv = np.unique(vids, return_inverse=True)
-        return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
+        uq, cnt = np.unique(vids, return_counts=True)
+        return pa.table({"vid": uq, "cnt": cnt.astype(np.int64)})
 
-    class _SpecWedges:
-        def __init__(self, specs, n, num_buckets):
-            self.specs = specs
-            self.n = n
-            self.num_buckets = num_buckets
-            self.__name__ = "wedge_emit_spec"
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            outs = []
-            for p in batch.column("part").to_pylist():
-                sh = load_shard_from_layout(self.specs[p])
-                dg = np.diff(sh.indptr)
-                srcs = np.nonzero(dg >= 2)[0]
-                if srcs.shape[0] == 0:
-                    continue
-                wa, wb, wc = _wedges_from_segment(sh.indices.astype(np.int64),
-                                                  sh.indptr[srcs], dg[srcs],
-                                                  srcs + sh.lo)
-                key = wb * self.n + wc
-                outs.append(pa.table({"bucket": _bucket_of(key, self.num_buckets),
-                                      "key": key, "a": wa, "b": wb, "c": wc,
-                                      "side": np.ones(key.shape[0],
-                                                      dtype=np.int8)}))
-            if not outs:
-                e = np.empty(0, np.int64)
-                return pa.table({"bucket": e, "key": e, "a": e, "b": e, "c": e,
-                                 "side": np.empty(0, np.int8)})
-            return pa.concat_tables(outs)
-
-    parts_ds = ray.data.from_arrow(
-        pa.table({"part": np.arange(len(specs), dtype=np.int64)})) \
-        .repartition(len(specs))
-    wedges = parts_ds.map_batches(_SpecWedges(specs, n, num_buckets),
-                                  batch_format="pyarrow", batch_size=1)
-    partials = wedges.union(key_rows).groupby("bucket") \
-        .map_groups(_match, batch_format="pyarrow")
-    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="t"))
+    match_refs = [_match.remote(shard_refs[q], *wcols[q])
+                  for q in range(P_eff)]
     counts_ranked = np.zeros(n, dtype=np.int64)
-    for t in per_node.iter_batches(batch_format="pyarrow", batch_size=262144):
-        counts_ranked[t.column("vid").to_numpy(zero_copy_only=False)] = \
-            t.column("t").to_numpy(zero_copy_only=False)
+    for r in match_refs:
+        t = ray.get(r)
+        # vids are unique within one owner's output; owners partition the key
+        # space, so fancy-index accumulate is exact
+        counts_ranked[t.column("vid").to_numpy(zero_copy_only=False)] += \
+            t.column("cnt").to_numpy(zero_copy_only=False)
+    _mark("wedge match + aggregate")
     counts = counts_ranked[rank].astype(np.int64)
     total = int(counts.sum()) // 3
     counts[excluded] = -1  # EXCLUDED_NODE_TRIANGLE_COUNT sentinel

@@ -1,0 +1,155 @@
+"""Explicit partition exchange: a deterministic P-way shuffle built from raw
+Ray tasks, for stages whose partitioner is already KNOWN a priori (a hash
+bucket or fixed range bounds).
+
+Ray Data's ``groupby``/``sort`` all-to-all is a sample sort: it samples key
+quantiles, range-partitions every block against the sampled boundaries and
+merge-sorts the slices.  That machinery is what you want when the key
+distribution is unknown — but when the partition function is already fixed
+(dedup buckets, canonical-layout range bounds, owner-vid routing) the
+sampling + global sort is pure overhead, and it is the dominant cost of the
+streaming triangle prep and layout writes (measured: the two Sort stages are
+>80% of triangles_300k wall time).
+
+This exchange is the direct shape instead:
+
+    split:    one task per input block  -> ``num_returns=P`` sub-tables
+    combine:  one task per partition p  <- the p-th slice of every split
+
+Object count is O(in_blocks x P) — the driver holds only refs (two ints of
+metadata each); payloads move block-to-block through the object store, never
+through the driver.  On a multi-node cluster each sub-table travels directly
+from the split worker to the one combine worker that needs it, which is the
+same wire shape a real cluster shuffle uses (and what pregel.py's sliced
+payload exchange does for BSP supersteps).
+
+Partitioning assumption (documented per the custom-operator contract): the
+caller's ``part_of`` must map every row to [0, P) deterministically; skew is
+the caller's responsibility (choose bounds from a measured distribution, as
+triangle_count_streaming's wedge-balanced cuts do).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["exchange", "exchange_refs", "hash_parts", "range_parts"]
+
+
+def hash_parts(*cols: str, P: int, salt: int = 0x9E3779B97F4A7C15):
+    """Partitioner: splitmix-style hash of one or more int64 columns mod P."""
+    def _part(t: pa.Table) -> np.ndarray:
+        key = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in cols:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = (key ^ v) * np.uint64(salt)
+            key ^= key >> np.uint64(31)
+        return (key % np.uint64(P)).astype(np.int64)
+    return _part
+
+
+def range_parts(col: str, bounds: np.ndarray):
+    """Partitioner: fixed range bounds (len P+1, ascending, covering all keys).
+    Row i goes to the partition whose [bounds[p], bounds[p+1]) contains col[i].
+    """
+    b = np.asarray(bounds, dtype=np.int64)
+
+    def _part(t: pa.Table) -> np.ndarray:
+        k = t.column(col).to_numpy(zero_copy_only=False)
+        return np.clip(np.searchsorted(b, k, side="right") - 1, 0,
+                       len(b) - 2).astype(np.int64)
+    return _part
+
+
+def _split_table(t: pa.Table, part_of, P: int):
+    """Slice ``t`` into P sub-tables by the partitioner (one stable argsort)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        empty = t.slice(0, 0)
+        return [empty] * P
+    part = np.asarray(part_of(t), dtype=np.int64)
+    order = np.argsort(part, kind="stable")
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    tt = t.take(pa.array(order, type=pa.int64()))
+    return [tt.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p]))
+            for p in range(P)]
+
+
+def exchange_refs(block_refs: Sequence, part_of, P: int,
+                  combine: Optional[Callable[[int, pa.Table], pa.Table]] = None,
+                  map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
+                  combine_num_returns: int = 1) -> List:
+    """P-way exchange over Arrow-table object refs.
+
+    ``map_fn``   (optional) runs inside each split task before partitioning —
+                 fuse the last narrow transform into the split to avoid an
+                 extra materialized pass.
+    ``combine``  runs once per partition p over the concatenation of its
+                 slices; default returns the concatenated table.  With
+                 ``combine_num_returns > 1`` the combine may return a tuple
+                 (e.g. (written-table, stats-row)) and the function returns a
+                 list of ref-tuples.
+
+    Returns one ref (or ref-tuple) per partition.  Empty inputs produce
+    zero-row tables with the upstream schema — combines must tolerate them
+    (the schema is preserved by slicing, never dropped as Ray Data's empty
+    groupby reduce partitions drop it).
+    """
+    import ray
+
+    if P < 1:
+        raise ValueError("P must be >= 1")
+
+    @ray.remote
+    def _split(t: pa.Table):
+        if map_fn is not None:
+            t = map_fn(t)
+        out = _split_table(t, part_of, P)
+        return out[0] if P == 1 else tuple(out)
+
+    @ray.remote
+    def _combine(p: int, *tables: pa.Table):
+        live = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
+        if live:
+            merged = pa.concat_tables(live, promote_options="default")
+        else:
+            merged = next((t for t in tables if t.num_columns > 0),
+                          tables[0] if tables else pa.table({}))
+        if combine is None:
+            return merged
+        return combine(p, merged)
+
+    split_opts = _split.options(num_returns=P) if P > 1 else _split
+    cols = [[] for _ in range(P)]
+    for ref in block_refs:
+        parts = split_opts.remote(ref)
+        if P == 1:
+            parts = [parts]  # a single return is not wrapped by Ray
+        for p in range(P):
+            cols[p].append(parts[p])
+    comb_opts = (_combine.options(num_returns=combine_num_returns)
+                 if combine_num_returns > 1 else _combine)
+    return [comb_opts.remote(p, *cols[p]) for p in range(P)]
+
+
+def exchange(ds, part_of, P: int,
+             combine: Optional[Callable[[int, pa.Table], pa.Table]] = None,
+             map_fn: Optional[Callable[[pa.Table], pa.Table]] = None):
+    """Dataset-in, Dataset-out exchange (see ``exchange_refs``).
+
+    The input is materialized to block refs (zero-copy; Ray Data blocks are
+    already Arrow tables in the object store) and the combined partitions are
+    re-wrapped with ``from_arrow_refs`` — downstream stages keep streaming.
+    """
+    import ray.data
+
+    from .blocks import nonempty_arrow_refs
+
+    refs, _ = nonempty_arrow_refs(ds.materialize())
+    if not refs:
+        # preserve an empty dataset's schema through the exchange
+        return ds
+    out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn)
+    return ray.data.from_arrow_refs(out)

@@ -1,0 +1,142 @@
+"""stages/exchange.py — the explicit known-partitioner shuffle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from graph_data_science_ray.stages.exchange import (_split_table, exchange,
+                                                    exchange_refs, hash_parts,
+                                                    range_parts)
+
+
+def _table(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table({"k": rng.integers(0, 100, n).astype(np.int64),
+                     "v": rng.integers(0, 10, n).astype(np.int64)})
+
+
+class TestSplitTable:
+    def test_partition_of_every_row(self):
+        t = _table(1000)
+        part_of = hash_parts("k", P=7)
+        parts = _split_table(t, part_of, 7)
+        assert sum(p.num_rows for p in parts) == 1000
+        for p_idx, p in enumerate(parts):
+            if p.num_rows:
+                assert (np.asarray(part_of(p)) == p_idx).all()
+
+    def test_empty_and_zero_column(self):
+        empty = _table(0)
+        parts = _split_table(empty, hash_parts("k", P=3), 3)
+        assert all(p.num_rows == 0 for p in parts)
+        assert all(p.schema == empty.schema for p in parts)  # schema kept
+
+    def test_preserves_rows_exactly(self):
+        t = _table(500, seed=3)
+        parts = _split_table(t, range_parts("k", np.array([0, 30, 100])), 2)
+        merged = pa.concat_tables(parts)
+        a = merged.sort_by([("k", "ascending"), ("v", "ascending")])
+        b = t.sort_by([("k", "ascending"), ("v", "ascending")])
+        assert a.equals(b)
+
+
+class TestRangeParts:
+    def test_bounds_routing(self):
+        t = pa.table({"k": np.array([0, 5, 10, 15, 99], dtype=np.int64)})
+        part = range_parts("k", np.array([0, 10, 100]))(t)
+        assert part.tolist() == [0, 0, 1, 1, 1]
+
+    def test_out_of_range_clipped(self):
+        t = pa.table({"k": np.array([-5, 1000], dtype=np.int64)})
+        part = range_parts("k", np.array([0, 10, 100]))(t)
+        assert part.tolist() == [0, 1]
+
+
+class TestExchangeRefs:
+    def test_roundtrip_equals_input(self):
+        tabs = [_table(200, seed=i) for i in range(5)]
+        refs = [ray.put(t) for t in tabs]
+        out = exchange_refs(refs, hash_parts("k", P=4), 4)
+        merged = pa.concat_tables(ray.get(out))
+        want = pa.concat_tables(tabs)
+        assert merged.sort_by([("k", "ascending"), ("v", "ascending")]).equals(
+            want.sort_by([("k", "ascending"), ("v", "ascending")]))
+
+    def test_combine_sees_colocated_keys(self):
+        tabs = [_table(300, seed=i) for i in range(4)]
+        refs = [ray.put(t) for t in tabs]
+
+        def _sum(p, t):
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            uq, inv = np.unique(k, return_inverse=True)
+            return pa.table({"k": uq, "s": np.bincount(inv, weights=v)
+                             .astype(np.int64)})
+
+        out = ray.get(exchange_refs(refs, hash_parts("k", P=8), 8,
+                                    combine=_sum))
+        got = pa.concat_tables(out).sort_by([("k", "ascending")])
+        want = pa.concat_tables(tabs).group_by("k").aggregate([("v", "sum")]) \
+            .rename_columns(["k", "s"]).sort_by([("k", "ascending")])
+        assert got.column("k").equals(want.column("k"))
+        assert got.column("s").to_pylist() == want.column("s").to_pylist()
+
+    def test_map_fn_fused_into_split(self):
+        refs = [ray.put(pa.table({"x": np.arange(10, dtype=np.int64)}))]
+
+        def _double(t):
+            return pa.table({"k": t.column("x").to_numpy() * 2})
+
+        out = ray.get(exchange_refs(refs, hash_parts("k", P=2), 2,
+                                    map_fn=_double))
+        vals = sorted(np.concatenate(
+            [t.column("k").to_numpy(zero_copy_only=False) for t in out]))
+        assert vals == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+    def test_p_equals_one(self):
+        refs = [ray.put(_table(50, seed=i)) for i in range(3)]
+        out = ray.get(exchange_refs(refs, hash_parts("k", P=1), 1))
+        assert len(out) == 1 and out[0].num_rows == 150
+
+    def test_combine_num_returns(self):
+        refs = [ray.put(_table(100))]
+
+        def _two(p, t):
+            return t, np.int64(t.num_rows)
+
+        out = exchange_refs(refs, hash_parts("k", P=3), 3, combine=_two,
+                            combine_num_returns=2)
+        rows = sum(int(ray.get(r[1])) for r in out)
+        assert rows == 100
+
+    def test_empty_partitions_keep_schema(self):
+        # one distinct key, many partitions: most combines see 0 rows but
+        # MUST still see the schema (the Ray Data empty-groupby-block hazard
+        # this exchange is immune to)
+        t = pa.table({"k": np.zeros(10, dtype=np.int64),
+                      "v": np.arange(10, dtype=np.int64)})
+        out = ray.get(exchange_refs([ray.put(t)], hash_parts("k", P=8), 8))
+        assert sum(o.num_rows for o in out) == 10
+        for o in out:
+            assert o.schema.names == ["k", "v"]
+
+
+class TestExchangeDataset:
+    def test_dataset_in_dataset_out(self):
+        ds = ray.data.from_arrow(_table(1000)).repartition(6)
+        out = exchange(ds, hash_parts("k", P=4), 4)
+        assert out.count() == 1000
+        assert set(out.schema().names) == {"k", "v"}
+
+    def test_empty_dataset_passthrough(self):
+        ds = ray.data.from_arrow(_table(0))
+        out = exchange(ds, hash_parts("k", P=4), 4)
+        assert out.count() == 0
+
+
+class TestRejects:
+    def test_p_zero(self):
+        with pytest.raises(ValueError):
+            exchange_refs([], hash_parts("k", P=1), 0)
