@@ -258,7 +258,6 @@ def _count_ray(n, rs, rd, P, edge_key_mode="broadcast", num_buckets=64):
       maps the full edge set.  Same counts, one extra shuffle."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     # balance shards by WEDGE count (Σ C(outdeg,2)), not edge count — the
     # per-shard work is quadratic in out-degree, so edge-balanced ranges leave
@@ -286,14 +285,19 @@ def _count_ray(n, rs, rd, P, edge_key_mode="broadcast", num_buckets=64):
         .repartition(len(shard_refs))
     partials = parts_ds.map_batches(_WedgeWorker(shard_refs, n, edge_keys_ref),
                                     batch_format="pyarrow", batch_size=1)
-    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
-    t_refs = [ray.get(r) for r in per_node.to_arrow_refs()]
-    tabs = [t for t in t_refs if t.num_rows and t.num_columns]
+    # the workers emit pre-combined (vid, cnt) partials — one block per shard,
+    # each <= n rows.  A groupby("vid") all-to-all would re-shuffle what a
+    # streaming driver accumulate handles in one pass over P blocks (the
+    # result is a driver n-array either way).
+    return _accumulate_counts(n, partials.iter_batches(batch_format="pyarrow"))
+
+
+def _accumulate_counts(n, batches):
     counts = np.zeros(n, dtype=np.int64)
-    if tabs:
-        t = pa.concat_tables(tabs)
-        counts[t.column("vid").to_numpy(zero_copy_only=False)] = \
-            t.column("triangles").to_numpy(zero_copy_only=False)
+    for t in batches:
+        if t.num_rows and t.num_columns:
+            np.add.at(counts, t.column("vid").to_numpy(zero_copy_only=False),
+                      t.column("cnt").to_numpy(zero_copy_only=False))
     total = int(counts.sum()) // 3
     return counts, total
 
@@ -336,50 +340,46 @@ class _WedgeEmitter:
 
 
 def _count_ray_bucketed(n, keys_sorted, shard_refs, num_buckets):
-    """Hash-bucketed wedge↔edge matching: per-bucket sorted key arrays are
-    separate objects; each bucket group matches only against its own keys."""
+    """Hash-bucketed wedge↔edge matching over the known-partitioner exchange:
+    per-bucket sorted key arrays are separate objects; wedge rows route
+    straight to their key's bucket combine and match against ONLY that
+    bucket's keys.  The bucket id IS the partition id, so Ray Data's sampled
+    groupby sort (and the per-vid aggregate after it) is pure overhead here —
+    the combines emit pre-combined (vid, cnt) partials that the driver folds
+    into the n-array result in one streaming pass."""
     import ray
-    import ray.data
-    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import exchange_refs
 
     kb = _bucket_of(keys_sorted, num_buckets)
     bucket_refs = {int(b): ray.put(np.sort(keys_sorted[kb == b]))
                    for b in np.unique(kb)}
+    emit = _WedgeEmitter(shard_refs, n, num_buckets)
 
-    def _match(g: pa.Table) -> pa.Table:
-        b = int(g.column("bucket")[0].as_py())
-        keys = ray.get(bucket_refs[b]) if b in bucket_refs else None
-        wkey = g.column("key").to_numpy(zero_copy_only=False)
-        if keys is None or keys.shape[0] == 0:
-            e = np.empty(0, np.int64)
+    def _part_of(t: pa.Table) -> np.ndarray:
+        return t.column("bucket").to_numpy(zero_copy_only=False)
+
+    def _match(p: int, g: pa.Table) -> pa.Table:
+        keys = ray.get(bucket_refs[p]) if p in bucket_refs else None
+        e = np.empty(0, np.int64)
+        if g.num_rows == 0 or keys is None or keys.shape[0] == 0:
             return pa.table({"vid": e, "cnt": e})
+        wkey = g.column("key").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, wkey)
         pos[pos >= keys.shape[0]] = keys.shape[0] - 1
         m = keys[pos] == wkey
         if not m.any():
-            e = np.empty(0, np.int64)
             return pa.table({"vid": e, "cnt": e})
         vids = np.concatenate([g.column(c).to_numpy(zero_copy_only=False)[m]
                                for c in ("a", "b", "c")])
         uq, inv = np.unique(vids, return_inverse=True)
         return pa.table({"vid": uq, "cnt": np.bincount(inv).astype(np.int64)})
 
-    parts_ds = ray.data.from_arrow(
-        pa.table({"part": np.arange(len(shard_refs), dtype=np.int64)})) \
-        .repartition(len(shard_refs))
-    wedges = parts_ds.map_batches(_WedgeEmitter(shard_refs, n, num_buckets),
-                                  batch_format="pyarrow", batch_size=1)
-    partials = wedges.groupby("bucket").map_groups(_match, batch_format="pyarrow")
-    per_node = partials.groupby("vid").aggregate(Sum("cnt", alias_name="triangles"))
-    t_refs = [ray.get(r) for r in per_node.to_arrow_refs()]
-    tabs = [t for t in t_refs if t.num_rows and t.num_columns]
-    counts = np.zeros(n, dtype=np.int64)
-    if tabs:
-        t = pa.concat_tables(tabs)
-        counts[t.column("vid").to_numpy(zero_copy_only=False)] = \
-            t.column("triangles").to_numpy(zero_copy_only=False)
-    total = int(counts.sum()) // 3
-    return counts, total
+    part_refs = [ray.put(pa.table({"part": np.array([p], dtype=np.int64)}))
+                 for p in range(len(shard_refs))]
+    out = exchange_refs(part_refs, _part_of, num_buckets,
+                        combine=_match, map_fn=emit)
+    return _accumulate_counts(n, (ray.get(r) for r in out))
 
 
 # --------------------------------------------------------------------------------
