@@ -133,6 +133,28 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # Dataset-level pipelines
 # ---------------------------------------------------------------------------
 
+def _dedup_pairs_exchange(ds, col_a: str, col_b: str):
+    """Distinct (col_a, col_b) int64 rows via hash exchange (replaces
+    ``groupby([a, b]).aggregate(Count)`` — the keys only need CO-LOCATION,
+    any hash partitioner works, so the sampled sort is overhead)."""
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    from ..stages.exchange import exchange, hash_parts
+
+    P = adaptive_bucket_count(rows_if_cheap(ds))
+
+    def _distinct(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.select([col_a, col_b])
+        a = g.column(col_a).to_numpy(zero_copy_only=False)
+        b = g.column(col_b).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table({col_a: a[keep], col_b: b[keep]})
+
+    return exchange(ds, hash_parts(col_a, col_b, P=P), P, combine=_distinct)
+
+
 def exact_dedup(docs_ds):
     """Keep min doc_id per identical text.  SQL oracle:
     SELECT MIN(doc_id) doc_id, COUNT(*) dup_count FROM documents GROUP BY text.
@@ -172,8 +194,12 @@ def exact_dedup(docs_ds):
                          "doc_id": ids[starts],  # min doc_id (ids sorted in runs)
                          "dup_count": counts.astype(np.int64)})
 
-    return fps.map_batches(_tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_combine, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(
+        fps, "bucket", num_buckets, _combine, map_fn=_tag,
+        empty_result=pa.table({"fp": pa.array([], pa.string()),
+                               "doc_id": pa.array([], pa.int64()),
+                               "dup_count": pa.array([], pa.int64())}))
 
 
 def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
@@ -187,7 +213,6 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     map_batches stage over the joined rows — the driver never materializes
     texts or candidates (round-1 VERDICT "Wrong #3" fix)."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from .joins import hash_join
 
@@ -235,13 +260,15 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
                              "doc_b": pa.array([], pa.int64())})
         return pa.table({"doc_a": doc[ii], "doc_b": doc[jj]})
 
-    cand = bands.map_batches(_tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    _empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+    cand = grouped_exchange(bands, "bucket", num_pair_buckets, _pairs,
+                            map_fn=_tag, empty_result=_empty_pairs)
     # distributed pair dedup (same pair surfaces from multiple bands); the
     # deduped pair set is bounded by the banding math (≪ corpus) — materialize
     # it so the two verify joins don't re-execute the signature pipeline
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb")) \
-        .drop_columns(["_nb"]).materialize()
+    cand = _dedup_pairs_exchange(cand, "doc_a", "doc_b").materialize()
     if cand.count() == 0:  # no candidates: empty blocks have no usable schema
         return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
                                              "doc_b": pa.array([], pa.int64()),
@@ -301,7 +328,6 @@ def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
     Returns a Dataset of (doc_a, doc_b, hamming), doc_a < doc_b,
     hamming ≤ max_hamming.  Identical texts pair at distance 0."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
     from .joins import hash_join
@@ -359,11 +385,13 @@ def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
         ok = lo != hi
         return pa.table({"doc_a": lo[ok], "doc_b": hi[ok]})
 
-    cand = sigs.map_batches(_explode, batch_format="pyarrow") \
-        .map_batches(_tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb")) \
-        .drop_columns(["_nb"]).materialize()
+    from ..stages.exchange import grouped_exchange
+    _empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+    cand = grouped_exchange(
+        sigs.map_batches(_explode, batch_format="pyarrow"),
+        "bucket", nb, _pairs, map_fn=_tag, empty_result=_empty_pairs)
+    cand = _dedup_pairs_exchange(cand, "doc_a", "doc_b").materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
                                              "doc_b": pa.array([], pa.int64()),
@@ -496,7 +524,6 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
     (tunable via num_bands), precision exact.
     """
     import ray
-    from ray.data.aggregate import Count
     from .compat import cosine_f32_sequential
     from .joins import hash_join
     from ..stages.bucketing import adaptive_bucket_count
@@ -532,18 +559,47 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
     sigs = emb_ds.map_batches(_Signer, batch_format="pyarrow",
                               concurrency=(1, 8))
 
-    def _pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(np.unique(g.column("vec_id").to_numpy(
-            zero_copy_only=False)))
-        if ids.size < 2:
-            return pa.table({"id1": pa.array([], pa.int64()),
-                             "id2": pa.array([], pa.int64())})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pa.table({"id1": ids[a], "id2": ids[b]})
+    # route buckets through the known-partitioner exchange: partition id =
+    # bucket % P, and the pair expansion segments by EXACT bucket value inside
+    # the partition (several buckets share a partition — pairs must never
+    # cross buckets)
+    from ..stages.exchange import grouped_exchange
+    P_bkt = adaptive_bucket_count(num_bands * (1 << planes_per_band),
+                                  min_buckets=64)
 
-    cand = sigs.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["id1", "id2"]).aggregate(Count(alias_name="_nb")) \
-        .drop_columns(["_nb"]).materialize()
+    def _tag_part(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column("part_id", pa.array(
+            (b % P_bkt).astype(np.int64)))
+
+    _empty_ids = pa.table({"id1": pa.array([], pa.int64()),
+                           "id2": pa.array([], pa.int64())})
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_ids
+        bkt = g.column("bucket").to_numpy(zero_copy_only=False)
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, bkt))
+        bkt, vid = bkt[order], vid[order]
+        # distinct (bucket, vec_id), then all pairs within each bucket run
+        keep = np.concatenate(([True], (bkt[1:] != bkt[:-1])
+                               | (vid[1:] != vid[:-1])))
+        bkt, vid = bkt[keep], vid[keep]
+        seg = np.concatenate(([True], bkt[1:] != bkt[:-1]))
+        seg_starts = np.nonzero(seg)[0]
+        seg_lens = np.diff(np.append(seg_starts, bkt.shape[0]))
+        from ..pipelines.triangles import _wedges_from_segment
+        _, ii, jj = _wedges_from_segment(
+            np.arange(vid.shape[0], dtype=np.int64), seg_starts, seg_lens,
+            np.zeros(seg_starts.shape[0], dtype=np.int64))
+        if ii.shape[0] == 0:
+            return _empty_ids
+        return pa.table({"id1": vid[ii], "id2": vid[jj]})
+
+    cand = grouped_exchange(sigs, "part_id", P_bkt, _pairs, map_fn=_tag_part,
+                            empty_result=_empty_ids)
+    cand = _dedup_pairs_exchange(cand, "id1", "id2").materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(pa.table({
             "id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64()),

@@ -170,10 +170,17 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
         return pa.table({"node1": a[starts], "node2": b[starts],
                          "inter": np.add.reduceat(v, starts)})
 
-    inter = ds.map_batches(_tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_pairs, batch_format="pyarrow") \
-        .map_batches(_tag2, batch_format="pyarrow") \
-        .groupby("b2").map_groups(_combine, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    pair_rows = grouped_exchange(
+        ds, "bucket", num_buckets, _pairs, map_fn=_tag,
+        empty_result=pa.table({"node1": pa.array([], pa.int64()),
+                               "node2": pa.array([], pa.int64()),
+                               "minw": pa.array([], pa.float64())}))
+    inter = grouped_exchange(
+        pair_rows, "b2", num_pair_buckets, _combine, map_fn=_tag2,
+        empty_result=pa.table({"node1": pa.array([], pa.int64()),
+                               "node2": pa.array([], pa.int64()),
+                               "inter": pa.array([], pa.float64())}))
 
     def _similarity(t: pa.Table) -> pa.Table:
         # jaccard: |∩| / (|A| + |B| − |∩|)   (NodeSimilarity.java:315-376)
@@ -219,8 +226,11 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
                 g.column("sim").to_numpy(zero_copy_only=False), top_k)
             return pa.table({"node1": s1, "node2": o1, "similarity": v1})
 
-        topk_ds = sims.map_batches(_expand, batch_format="pyarrow") \
-            .groupby("kb").map_groups(_bucket_topk, batch_format="pyarrow")
+        topk_ds = grouped_exchange(
+            sims, "kb", nb, _bucket_topk, map_fn=_expand,
+            empty_result=pa.table({"node1": pa.array([], pa.int64()),
+                                   "node2": pa.array([], pa.int64()),
+                                   "similarity": pa.array([], pa.float64())}))
         if as_dataset:
             return topk_ds
         raw = [ray.get(r) for r in topk_ds.to_arrow_refs()]

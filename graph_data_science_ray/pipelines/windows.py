@@ -3,8 +3,9 @@
 Ray Data is a batch engine (like the reference, which has no streaming machinery at
 all — SURVEY.md §1.3); stream-shaped inputs are treated as an ordered, partitioned
 log.  A tumbling window = partial pre-aggregation per batch (one row per
-(user, window) per batch) followed by a small ``groupby`` final combine — the
-partial/final pattern that keeps the wide shuffle tiny.
+(user, window) per batch) followed by a user-bucketed final combine over the
+known-partitioner exchange (stages/exchange.py) — the partial/final pattern
+that keeps the wide shuffle tiny, with no sampled sort anywhere.
 
 Arrow-native throughout (round-4 VERDICT Wrong #5): the tumbling partial is
 ``pa.compute.floor_temporal`` + Arrow ``Table.group_by``, the session scan is
@@ -70,8 +71,9 @@ def tumbling_window(events_ds, window: str = "h"):
         return out.rename_columns(["user_id", "window_start",
                                    "n_events", "sum_value"])
 
-    return partial.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_combine, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(partial, "bucket", nb, _combine,
+                            map_fn=_user_bucket_fn(nb))
 
 
 def sessionize(events_ds, gap_seconds: float = 1800.0):
@@ -112,5 +114,6 @@ def sessionize(events_ds, gap_seconds: float = 1800.0):
         })
 
     nb = _event_buckets(events_ds)
-    return events_ds.map_batches(_user_bucket_fn(nb), batch_format="pyarrow") \
-        .groupby("bucket").map_groups(_sessions, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(events_ds, "bucket", nb, _sessions,
+                            map_fn=_user_bucket_fn(nb))

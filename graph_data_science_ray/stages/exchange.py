@@ -36,7 +36,8 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["exchange", "exchange_refs", "hash_parts", "range_parts"]
+__all__ = ["exchange", "exchange_refs", "grouped_exchange", "hash_parts",
+           "range_parts"]
 
 
 def hash_parts(*cols: str, P: int, salt: int = 0x9E3779B97F4A7C15):
@@ -132,6 +133,35 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     comb_opts = (_combine.options(num_returns=combine_num_returns)
                  if combine_num_returns > 1 else _combine)
     return [comb_opts.remote(p, *cols[p]) for p in range(P)]
+
+
+def grouped_exchange(ds, bucket_col: str, P: int,
+                     combine_group: Callable[[pa.Table], pa.Table],
+                     map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
+                     empty_result: Optional[pa.Table] = None):
+    """Drop-in replacement for ``groupby(bucket).map_groups(combine_group)``
+    when ``bucket_col`` already holds a partition id in ``[0, P)`` (the
+    repo's bucketed-combine pattern, stages/bucketing.py).  The sampled sort
+    Ray Data runs for that groupby re-discovers a partitioning the caller
+    already computed; here rows route straight to their bucket's combine.
+
+    Differences from map_groups the caller must accept:
+      * ``combine_group`` sees the WHOLE bucket partition (identical, since
+        one bucket value = one group = one partition);
+      * empty buckets DO reach the combine (map_groups never saw them) as
+        zero-row tables with the upstream schema — pass ``empty_result`` (a
+        typed empty output table) if the combine can't produce its own typed
+        empty output.
+    """
+    def _part(t: pa.Table) -> np.ndarray:
+        return t.column(bucket_col).to_numpy(zero_copy_only=False)
+
+    def _comb(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 and empty_result is not None:
+            return empty_result
+        return combine_group(g)
+
+    return exchange(ds, _part, P, combine=_comb, map_fn=map_fn)
 
 
 def exchange(ds, part_of, P: int,
