@@ -103,8 +103,11 @@ def hash_join(left_ds, right_ds, key: str, *, num_buckets: int = 64,
         # column order is not guaranteed by Table.join — normalize it
         return out.select([key] + [c for c in left_cols if c != key] + right_cols)
 
-    return lt.union(rt).groupby(_BUCKET_COL).map_groups(
-        join_bucket, batch_format="pyarrow")
+    # bucket ids are already in [0, num_buckets) — route each row straight to
+    # its bucket's join task instead of Ray Data's sampled sort groupby
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(lt.union(rt), _BUCKET_COL, num_buckets,
+                            join_bucket)
 
 
 def semi_join_filter(ds, key: str, key_set, *, anti: bool = False):

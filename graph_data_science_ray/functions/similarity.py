@@ -55,7 +55,19 @@ def cosine_topk(emb_ds, query_vec: np.ndarray, k: int = 10, exclude_id=None):
             lambda t: t.filter(pa.compute.not_equal(t.column("vec_id"),
                                                     pa.scalar(exclude_id))),
             batch_format="pyarrow")
-    return scored.sort("cos_sim", descending=True).limit(k)
+    # the per-batch argpartition already shrank each block to <= k rows, so
+    # the final merge is over #blocks*k rows — a driver-side concat + one
+    # argsort, not a Ray sort stage (an all-to-all for a k-row result)
+    import ray.data
+    tabs = [t for t in (ray.get(r) for r in scored.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    if not tabs:
+        return scored.limit(k)
+    merged = pa.concat_tables(tabs)
+    sims = merged.column("cos_sim").to_numpy(zero_copy_only=False)
+    ids = merged.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:k]
+    return ray.data.from_arrow(merged.take(pa.array(order, type=pa.int64())))
 
 
 class L2Norm:

@@ -214,7 +214,6 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     Returns a ParquetGraph handle."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     from ..functions.joins import hash_join
     from ..state.graph import ParquetGraph
@@ -377,7 +376,6 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
                             num_partitions: int = 8) -> Graph:
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     # actor pool sized to leave CPUs for the read + shuffle stages (a pool that
     # reserves every CPU starves the other operators and the pipeline serializes)
@@ -430,7 +428,28 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
                              "weight": t.column("weight")})
 
     edges_ids = edges_raw.map_batches(_Resolve(), batch_format="pyarrow")
-    agg = edges_ids.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+    # parallel-edge sum via hash exchange — (src, dst) only needs co-location
+    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    from ..stages.exchange import exchange, hash_parts
+    P_agg = adaptive_bucket_count(rows_if_cheap(edges_ids))
+
+    def _sum_edges(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        s = g.column("src").to_numpy(zero_copy_only=False)
+        d = g.column("dst").to_numpy(zero_copy_only=False)
+        w = g.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((d, s))
+        s, d, w = s[order], d[order], w[order]
+        run = np.concatenate(([True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])))
+        starts = np.nonzero(run)[0]
+        return pa.table({"src": s[starts], "dst": d[starts],
+                         "weight": np.add.reduceat(w, starts)})
+
+    agg = exchange(edges_ids, hash_parts("src", "dst", P=P_agg), P_agg,
+                   combine=_sum_edges)
     et = concat_nonempty(agg, empty_schema=pa.schema(
         [("src", pa.int64()), ("dst", pa.int64()), ("weight", pa.float64())]))
 

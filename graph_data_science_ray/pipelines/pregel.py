@@ -1004,19 +1004,15 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
             _ScatterWorker(comp, shards_refs, bounds),
             batch_format="pyarrow", zero_copy_batch=True)
         unioned = state_ds.union(msgs)
-        # repartition BEFORE materializing: union doubles the block count and
-        # the sort-based groupby preserves it (mostly as empty blocks), so
-        # without the coalesce the block count — and with it the per-superstep
-        # fixed cost — DOUBLES every superstep (measured: 4→512 blocks and
-        # 0.3s→11s per superstep by superstep 8).  Coalescing to nparts keeps
-        # the loop O(1) blocks per superstep; correctness is unaffected because
-        # both scatter and apply key on the `part` COLUMN, not block boundaries.
-        state_ds = unioned.groupby("part").map_groups(
-            _ApplyWorker(comp, shards_refs, bounds, superstep),
-            batch_format="pyarrow").repartition(nparts).materialize()
-        # also cut the lineage: the union embeds TWO copies of the previous
-        # plan, so the logical plan would still double every superstep
-        state_ds = ray.data.from_arrow_refs(list(state_ds.to_arrow_refs()))
+        # `part` is already the partition id, so the apply combine rides the
+        # known-partitioner exchange: one output block per partition (the
+        # union's block-count doubling and the old sampled-sort groupby are
+        # both gone), and from_arrow_refs cuts the lineage so the plan stays
+        # O(1) per superstep.
+        from ..stages.exchange import grouped_exchange
+        state_ds = grouped_exchange(
+            unioned, "part", nparts,
+            _ApplyWorker(comp, shards_refs, bounds, superstep))
         aggs = state_ds.aggregate(
             Sum("sending", alias_name="s"), Sum("changed", alias_name="c"),
             *[Sum(c, alias_name=f"m_{c}") for c in comp.master_cols])

@@ -798,8 +798,8 @@ def triangle_stream(graph: Graph, *, execution: str = "auto",
         return pa.table({"node_a": tri[:, 0], "node_b": tri[:, 1],
                          "node_c": tri[:, 2]})
 
-    rows = wedges.union(key_rows).groupby("bucket") \
-        .map_groups(_match_rows, batch_format="pyarrow")
+    from ..stages.exchange import grouped_exchange
+    rows = grouped_exchange(wedges.union(key_rows), "bucket", B, _match_rows)
     if as_dataset:
         return rows
     tabs = [t for t in (ray.get(r) for r in rows.to_arrow_refs())

@@ -104,7 +104,9 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
         raise ValueError("P must be >= 1")
 
     @ray.remote
-    def _split(t: pa.Table):
+    def _split(t):
+        if not isinstance(t, pa.Table):  # pandas-typed upstream block
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if map_fn is not None:
             t = map_fn(t)
         out = _split_table(t, part_of, P)
@@ -114,7 +116,9 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     def _combine(p: int, *tables: pa.Table):
         live = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
         if live:
-            merged = pa.concat_tables(live, promote_options="default")
+            # permissive: unify compatible types (e.g. an int32 vid column from
+            # one upstream branch of a union with int64 from the other)
+            merged = pa.concat_tables(live, promote_options="permissive")
         else:
             merged = next((t for t in tables if t.num_columns > 0),
                           tables[0] if tables else pa.table({}))
