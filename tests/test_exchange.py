@@ -140,3 +140,72 @@ class TestRejects:
     def test_p_zero(self):
         with pytest.raises(ValueError):
             exchange_refs([], hash_parts("k", P=1), 0)
+
+
+class TestGroupedExchange:
+    """grouped_exchange == groupby(bucket).map_groups when bucket ∈ [0, P)."""
+
+    def test_matches_map_groups(self):
+        from graph_data_science_ray.stages.exchange import grouped_exchange
+        rng = np.random.default_rng(11)
+        t = pa.table({"bucket": rng.integers(0, 8, 2000).astype(np.int64),
+                      "x": rng.integers(0, 50, 2000).astype(np.int64)})
+        ds = ray.data.from_arrow(t).repartition(6)
+
+        def _sum(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "total": pa.array([], pa.int64())})
+            b = int(g.column("bucket")[0].as_py())
+            return pa.table({"bucket": np.array([b], dtype=np.int64),
+                             "total": np.array([g.column("x").to_numpy(
+                                 zero_copy_only=False).sum()], dtype=np.int64)})
+
+        got = grouped_exchange(ds, "bucket", 8, _sum).to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        want = ray.data.from_arrow(t).groupby("bucket") \
+            .map_groups(_sum, batch_format="pyarrow").to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_empty_buckets_get_empty_result(self):
+        from graph_data_science_ray.stages.exchange import grouped_exchange
+        t = pa.table({"bucket": np.array([2, 2, 5], dtype=np.int64),
+                      "x": np.array([1, 2, 3], dtype=np.int64)})
+        empty = pa.table({"n": pa.array([], pa.int64())})
+
+        def _count(g: pa.Table) -> pa.Table:
+            return pa.table({"n": np.array([g.num_rows], dtype=np.int64)})
+
+        out = grouped_exchange(ray.data.from_arrow(t), "bucket", 8, _count,
+                               empty_result=empty).to_pandas()
+        # 8 partitions: 6 empty → empty_result (0 rows each), 2 with counts
+        assert sorted(out["n"].tolist()) == [1, 2]
+
+    def test_permissive_promotion_across_union(self):
+        a = pa.table({"bucket": np.array([0, 1], dtype=np.int64),
+                      "v": np.array([1, 2], dtype=np.int32)})
+        b = pa.table({"bucket": np.array([0, 1], dtype=np.int64),
+                      "v": np.array([3, 4], dtype=np.int64)})
+        from graph_data_science_ray.stages.exchange import grouped_exchange
+        ds = ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+        out = grouped_exchange(ds, "bucket", 2,
+                               lambda g: g).to_pandas()
+        assert sorted(out["v"].tolist()) == [1, 2, 3, 4]
+
+
+class TestDedupPairsExchange:
+    def test_distinct_pairs(self):
+        from graph_data_science_ray.functions.dedup import \
+            _dedup_pairs_exchange
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 30, 500).astype(np.int64)
+        b = rng.integers(0, 30, 500).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_a": a, "doc_b": b})) \
+            .repartition(4)
+        out = _dedup_pairs_exchange(ds, "doc_a", "doc_b").to_pandas()
+        want = {(int(x), int(y)) for x, y in zip(a, b)}
+        got = {(int(x), int(y)) for x, y in
+               zip(out["doc_a"], out["doc_b"])}
+        assert got == want
+        assert len(out) == len(want)  # no duplicates survive
