@@ -81,12 +81,14 @@ def _split_table(t: pa.Table, part_of, P: int):
 def exchange_refs(block_refs: Sequence, part_of, P: int,
                   combine: Optional[Callable[[int, pa.Table], pa.Table]] = None,
                   map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
-                  combine_num_returns: int = 1) -> List:
+                  combine_num_returns: int = 1,
+                  max_objects: int = 1_000_000) -> List:
     """P-way exchange over Arrow-table object refs.
 
     ``map_fn``   (optional) runs inside each split task before partitioning —
                  fuse the last narrow transform into the split to avoid an
-                 extra materialized pass.
+                 extra materialized pass.  Must be ROW-WISE (it may see the
+                 concatenation of several upstream blocks, see below).
     ``combine``  runs once per partition p over the concatenation of its
                  slices; default returns the concatenated table.  With
                  ``combine_num_returns > 1`` the combine may return a tuple
@@ -97,16 +99,31 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     zero-row tables with the upstream schema — combines must tolerate them
     (the schema is preserved by slicing, never dropped as Ray Data's empty
     groupby reduce partitions drop it).
+
+    Object-count bound: a naive split emits ``in_blocks × P`` sub-table refs;
+    at cluster scale (1e5 blocks × 1e3 partitions) that is 1e8 driver-held
+    refs.  When ``in_blocks × P > max_objects`` the split stage groups
+    adjacent input blocks — one split task concatenates its group before
+    partitioning — capping the ref count at ~``max_objects`` with no extra
+    pass over the data (the concat happens inside the task that was reading
+    those blocks anyway).
     """
     import ray
 
     if P < 1:
         raise ValueError("P must be >= 1")
 
+    n_in = len(block_refs)
+    group = max(1, -(-(n_in * P) // max_objects))  # ceil(in*P / max_objects)
+
     @ray.remote
-    def _split(t):
-        if not isinstance(t, pa.Table):  # pandas-typed upstream block
-            t = pa.Table.from_pandas(t, preserve_index=False)
+    def _split(*tables):
+        ts = [pa.Table.from_pandas(t, preserve_index=False)
+              if not isinstance(t, pa.Table) else t  # pandas-typed block
+              for t in tables]
+        live = [t for t in ts if t.num_columns > 0]
+        t = (pa.concat_tables(live, promote_options="permissive")
+             if len(live) > 1 else (live[0] if live else ts[0]))
         if map_fn is not None:
             t = map_fn(t)
         out = _split_table(t, part_of, P)
@@ -128,8 +145,8 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
 
     split_opts = _split.options(num_returns=P) if P > 1 else _split
     cols = [[] for _ in range(P)]
-    for ref in block_refs:
-        parts = split_opts.remote(ref)
+    for i in range(0, n_in, group):
+        parts = split_opts.remote(*block_refs[i:i + group])
         if P == 1:
             parts = [parts]  # a single return is not wrapped by Ray
         for p in range(P):

@@ -209,3 +209,22 @@ class TestDedupPairsExchange:
                zip(out["doc_a"], out["doc_b"])}
         assert got == want
         assert len(out) == len(want)  # no duplicates survive
+
+
+class TestObjectCountCap:
+    def test_grouped_split_matches_naive(self):
+        """With max_objects forcing grouped splits, results are identical."""
+        rng = np.random.default_rng(23)
+        tabs = [pa.table({"k": rng.integers(0, 40, 100).astype(np.int64),
+                          "v": np.arange(100, dtype=np.int64) + i * 100})
+                for i in range(12)]
+        refs = [ray.put(t) for t in tabs]
+        part = hash_parts("k", P=5)
+        naive = exchange_refs(refs, part, 5)          # group == 1
+        capped = exchange_refs(refs, part, 5, max_objects=10)  # forces groups
+        a = pa.concat_tables([ray.get(r) for r in naive]) \
+            .sort_by([("k", "ascending"), ("v", "ascending")])
+        b = pa.concat_tables([ray.get(r) for r in capped]) \
+            .sort_by([("k", "ascending"), ("v", "ascending")])
+        assert a.equals(b)
+        assert sum(t.num_rows for t in tabs) == a.num_rows
