@@ -162,13 +162,6 @@ def exact_dedup(docs_ds):
     text, collision probability ~0), so the wide shuffle carries 40-byte keys, not
     documents."""
 
-    def _hash(batch: pa.Table) -> pa.Table:
-        fps = [hashlib.sha256(t.encode()).hexdigest()
-               for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
-
-    fps = docs_ds.map_batches(_hash, batch_format="pyarrow")
-
     # hash-bucket the fingerprint + vectorized per-bucket combine (Ray's
     # sort aggregate over a string key pays a comparison sort of the full
     # corpus; the bucket key is small and the combine one lexsort); bucket
@@ -176,11 +169,19 @@ def exact_dedup(docs_ds):
     from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
     num_buckets = adaptive_bucket_count(rows_if_cheap(docs_ds))
 
-    def _tag(t: pa.Table) -> pa.Table:
-        from zlib import crc32
-        b = np.asarray([crc32(x.encode()) % num_buckets
-                        for x in t.column("fp").to_pylist()], dtype=np.int64)
-        return t.append_column("bucket", pa.array(b))
+    def _hash(batch: pa.Table) -> pa.Table:
+        # fp AND its bucket from one digest pass (the first 8 digest bytes
+        # are uniform — no second hashing pass over the fingerprints)
+        fps, buckets = [], np.empty(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            d = hashlib.sha256(t.encode())
+            fps.append(d.hexdigest())
+            buckets[i] = int.from_bytes(d.digest()[:8], "big") % num_buckets
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, pa.string()),
+                         "bucket": pa.array(buckets)})
+
+    fps = docs_ds.map_batches(_hash, batch_format="pyarrow")
 
     def _combine(g: pa.Table) -> pa.Table:
         fp = np.asarray(g.column("fp").to_pylist(), dtype=object)
@@ -196,7 +197,7 @@ def exact_dedup(docs_ds):
 
     from ..stages.exchange import grouped_exchange
     return grouped_exchange(
-        fps, "bucket", num_buckets, _combine, map_fn=_tag,
+        fps, "bucket", num_buckets, _combine,
         empty_result=pa.table({"fp": pa.array([], pa.string()),
                                "doc_id": pa.array([], pa.int64()),
                                "dup_count": pa.array([], pa.int64())}))
