@@ -140,6 +140,27 @@ def _q_louvain_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "community": comm[present]})
 
 
+def _q_async_bfs_chain(sf_dir: str):
+    """Multi-source queue-BFS under the ASYNC shared-pool messenger
+    (AsyncQueueMessenger.java semantics) over the per-nation customer chains:
+    sources are the chain heads (in-degree 0), so every customer's hop
+    distance is its 0-based rank within the nation's custkey order — the same
+    SQL oracle as dag_longest_chain.  Distances are messenger-independent
+    (sync == async, asserted in tests/test_pregel_extension.py); the async
+    sweep shaves the cross-partition hops (67 vs 74 supersteps at sf0.01 —
+    chains here mostly live inside one vid-range partition, so the saving is
+    topology-bound; the aligned-path pytest shows the ≤3-vs-9+ extreme)."""
+    import numpy as np
+    from graph_data_science_ray.pipelines.queue_bfs import queue_bfs
+    from graph_data_science_ray.pipelines.tpch_graph import chain_graph
+    g, custkeys = chain_graph(sf_dir)
+    indeg = np.bincount(g.dst, minlength=g.n)
+    sources = custkeys[indeg[custkeys] == 0]
+    res = queue_bfs(g, sources, asynchronous=True, num_partitions=8)
+    dist = res.table.column("distance").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": custkeys, "distance": dist[custkeys]})
+
+
 def _q_louvain_dist_hierarchy(sf_dir: str):
     """Distributed Louvain level-0 kernel (louvain_dist.py shard actors) on the
     undirected hierarchy graph, equality-asserted against the sequential kernel
@@ -623,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_rows": _q_triangle_rows,
         "louvain_hierarchy": _q_louvain_hierarchy,
         "louvain_dist_hierarchy": _q_louvain_dist_hierarchy,
+        "async_bfs_chain": _q_async_bfs_chain,
         "node_similarity_suppliers": _q_node_similarity_suppliers,
         "node_similarity_overlap": _q_node_similarity_overlap,
         "betweenness_hierarchy": _q_betweenness_hierarchy,
@@ -706,6 +728,14 @@ FROM customer
         "dag_longest_chain": """
 -- longest path ending at a customer in the per-nation consecutive-custkey
 -- chain = its 0-based rank within the nation's custkey order
+SELECT c_custkey AS vid,
+       CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1
+            AS DOUBLE) AS distance
+FROM customer
+""",
+        # async queue-BFS from the chain heads: hop distance along the
+        # per-nation chain == the same 0-based rank as dag_longest_chain
+        "async_bfs_chain": """
 SELECT c_custkey AS vid,
        CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1
             AS DOUBLE) AS distance
