@@ -11,9 +11,10 @@ same stages are a streaming Ray Data pipeline over the Parquet corpus
   2. ``map_batches(EdgeExtractor)``                 — actor-pool stage (compiled
      regex state): sha256(content) row invariant + ``import X`` dependency edges,
      pre-aggregated to (src_key, dst_key, weight=count) per batch;
-  3. **id assignment** — distinct keys via ``groupby(key).count()`` (sort-based, so
-     output blocks are globally key-sorted), then dense vids by per-block offset
-     (rank over the sorted distinct keys) — the IdMap invariant: internal ids
+  3. **id assignment** — per-block distinct keys → range exchange on sampled
+     string boundaries → per-partition sort+unique (ascending ranges, so local
+     order == global order), then dense vids by per-partition offset (rank
+     over the sorted distinct keys) — the IdMap invariant: internal ids
      ascending in original-key order (core/loading/IdMap.java:44-46);
   4. **key→vid join** — the vertex map is broadcast once (``ray.put``) and each
      batch resolves ids with a vectorized ``np.searchsorted`` — a broadcast hash
@@ -92,31 +93,62 @@ def compute_sha_table(corpus_dir: str):
 def _assign_dense_ids(keys_ds):
     """Distinct sorted keys -> (vid, key) Dataset with dense rank ids.
 
-    Scale path: groupby(key).count() yields globally key-sorted blocks; per-block
-    row counts are fetched via metadata-only remote calls (the driver holds one int
-    per block, never the keys), then each block gets its cumulative offset."""
+    Scale path (no Ray Data sampled sort): per-block pre-dedup → range
+    exchange on string boundaries sampled from a bounded subset of blocks
+    (stages/exchange.py) → per-partition sort+unique (ascending ranges, so
+    local order == global order) → per-partition row counts via
+    metadata-only probes → cumulative offsets.  vids are the rank over the
+    globally sorted distinct keys — the IdMap invariant
+    (core/loading/IdMap.java:44-46) — regardless of block arrival order or
+    the sampled boundaries."""
     import ray
     import ray.data
 
     from ..stages.blocks import nonempty_arrow_refs
+    from ..stages.exchange import exchange_refs
 
     def _local_distinct(t: pa.Table) -> pa.Table:
-        # partial dedup before the shuffle: the groupby then moves one row
+        # partial dedup before the shuffle: the exchange then moves one row
         # per (block, distinct key) instead of every raw key occurrence
         import pyarrow.compute as pc
         return pa.table({"key": pc.unique(t.column("key"))})
 
-    distinct = keys_ds.map_batches(_local_distinct, batch_format="pyarrow") \
-        .groupby("key").count().materialize()
-    # groupby with more reduce partitions than distinct keys emits the empty
-    # partitions as ZERO-COLUMN blocks; mapping column("key") over them is the
-    # round-4 driver-bench crash (VERDICT r4 Wrong #1). Drop them here.
+    distinct = keys_ds.map_batches(_local_distinct,
+                                   batch_format="pyarrow").materialize()
     refs, counts = nonempty_arrow_refs(distinct)
     if not refs:
         return (ray.data.from_arrow(
             pa.table({"vid": pa.array([], pa.int64()),
                       "key": pa.array([], pa.string())})), 0)
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    # boundary sample: up to 32 evenly spaced blocks; the driver sees one
+    # bounded key sample, never the full key set
+    P = max(1, min(64, -(-int(np.sum(counts)) // 250_000), len(refs)))
+    if P > 1:
+        pick = np.unique(np.linspace(0, len(refs) - 1,
+                                     min(32, len(refs))).astype(int))
+        sample = np.unique(np.concatenate([
+            np.asarray(t.column("key").to_pylist(), dtype=object)
+            for t in ray.get([refs[i] for i in pick])]))
+        pos = (sample.shape[0] * np.arange(1, P)) // P
+        bounds = sample[np.minimum(pos, sample.shape[0] - 1)]
+
+        def _part_of(t: pa.Table) -> np.ndarray:
+            k = np.asarray(t.column("key").to_pylist(), dtype=object)
+            return np.searchsorted(bounds, k, side="right").astype(np.int64)
+    else:
+        def _part_of(t: pa.Table) -> np.ndarray:
+            return np.zeros(t.num_rows, dtype=np.int64)
+
+    def _sorted_distinct(p: int, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        uq = pc.unique(g.column("key"))
+        order = pc.sort_indices(uq)
+        return pa.table({"key": pc.take(uq, order)})
+
+    part_refs = exchange_refs(refs, _part_of, P, combine=_sorted_distinct)
+    part_counts = ray.get([_nrows_fn().remote(r) for r in part_refs])
+    offsets = np.concatenate(([0], np.cumsum(part_counts)[:-1]))
 
     @ray.remote
     def _with_vid(t: pa.Table, off: int) -> pa.Table:
@@ -125,8 +157,25 @@ def _assign_dense_ids(keys_ds):
             "key": t.column("key"),
         })
 
-    vid_refs = [_with_vid.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return ray.data.from_arrow_refs(vid_refs), int(np.sum(counts))
+    vid_refs = [_with_vid.remote(r, int(o))
+                for r, o in zip(part_refs, offsets)]
+    return ray.data.from_arrow_refs(vid_refs), int(np.sum(part_counts))
+
+
+_NROWS_FN = None
+
+
+def _nrows_fn():
+    global _NROWS_FN
+    if _NROWS_FN is None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        _NROWS_FN = _nrows
+    return _NROWS_FN
 
 
 def _sample_quantile_bounds(ds, col: str, n: int, P: int,
