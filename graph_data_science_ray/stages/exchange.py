@@ -71,6 +71,10 @@ def _split_table(t: pa.Table, part_of, P: int):
         empty = t.slice(0, 0)
         return [empty] * P
     part = np.asarray(part_of(t), dtype=np.int64)
+    if part.shape[0] and (part.min() < 0 or part.max() >= P):
+        raise ValueError(
+            f"partitioner emitted ids outside [0, {P}): "
+            f"min={part.min()}, max={part.max()} — rows would be dropped")
     order = np.argsort(part, kind="stable")
     cuts = np.searchsorted(part[order], np.arange(P + 1))
     tt = t.take(pa.array(order, type=pa.int64()))

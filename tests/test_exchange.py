@@ -228,3 +228,11 @@ class TestObjectCountCap:
             .sort_by([("k", "ascending"), ("v", "ascending")])
         assert a.equals(b)
         assert sum(t.num_rows for t in tabs) == a.num_rows
+
+    def test_out_of_range_partition_raises(self):
+        t = pa.table({"bucket": np.array([0, 7], dtype=np.int64),
+                      "x": np.array([1, 2], dtype=np.int64)})
+        with pytest.raises(Exception, match="outside"):
+            from graph_data_science_ray.stages.exchange import _split_table
+            _split_table(t, lambda g: g.column("bucket").to_numpy(
+                zero_copy_only=False), 4)
