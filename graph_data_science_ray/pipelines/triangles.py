@@ -405,15 +405,15 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
        exchange on WEDGE-balanced rank quantiles -> each owner sorts and
        writes ITS OWN canonical layout partition (resumable output) while the
        sorted table stays in the object store for the match phase;
-    3. each owner emits its wedges (a; b, c), routed by the wedge's CLOSING
-       edge's lower endpoint b to owner(b) (``num_returns=P``) — the match
-       task tests (b, c) against its own sorted edge keys; no edge-key array
-       is ever broadcast and nothing |E|-sized touches the driver.
+    3. each owner emits its wedges (a; b, c), routed by the HASH of the
+       wedge's closing-edge key (b*n+c) to that key's bucket
+       (``num_returns=D``) — the match task tests (b, c) against only its
+       bucket's sorted edge keys; no edge-key array is ever broadcast and
+       nothing |E|-sized touches the driver.
 
-    Partitioning assumption: bounds are wedge-weight quantiles of the rank
-    order (C(deg, 2) mass), so wedge GENERATION is balanced even on skewed
-    degree distributions; the match side inherits edge-ownership balance from
-    the same bounds.
+    Partitioning assumption: emission bounds are wedge-weight quantiles of
+    the rank order (C(outdeg, 2) mass — OUT-degree, so hub-skewed graphs
+    stay balanced), and the match side is hash-uniform by construction.
 
     ``source``: a ParquetGraph (reads its edges_fwd layout) or a Ray Dataset
     with (src, dst) columns (then ``n`` is required).  Semantics match the
@@ -525,16 +525,34 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
     rank_ref = ray.put(rank)
 
     # wedge-balanced bounds in RANK space: each oriented edge lives at its
-    # lower-ranked endpoint, so C(deg, 2) quantiles over the rank order bound
-    # per-partition wedge mass (exact balance isn't required, the straggler
-    # guard is)
-    degr = deg[order].astype(np.float64)
-    wedge_w = degr * np.maximum(degr - 1.0, 0.0) / 2.0
+    # lower-ranked endpoint, so wedge GENERATION mass at rank r is
+    # C(outdeg(r), 2).  OUT-degree, not full degree: on hub-skewed graphs
+    # C(deg, 2) is dominated by the few top-ranked hubs, whose oriented
+    # out-degree is ~0 (every hub edge lives at the lower-ranked endpoint) —
+    # full-degree quantiles then spend all P-1 cuts inside the hub ranks and
+    # leave >99% of the real wedge work in partition 0 (measured: the 300k /
+    # power-law bench graph collapsed to P_eff=8 with 36.49M of 36.49M
+    # wedges in partition 0).  outdeg costs one extra n-array pass over the
+    # deduped pairs (same driver budget as the degree pass).
+    @ray.remote
+    def _outdeg_rank_partial(t: pa.Table) -> np.ndarray:
+        rk = ray.get(rank_ref)
+        ra = rk[t.column("a").to_numpy(zero_copy_only=False)]
+        rb = rk[t.column("b").to_numpy(zero_copy_only=False)]
+        return np.bincount(np.minimum(ra, rb), minlength=nn)
+
+    od_parts = [_outdeg_rank_partial.remote(r) for r in pair_refs]
+    outdeg_r = np.zeros(n, dtype=np.int64)
+    for r in od_parts:  # sequential: driver holds 2 n-arrays max
+        outdeg_r += ray.get(r)
+    odf = outdeg_r.astype(np.float64)
+    wedge_w = odf * np.maximum(odf - 1.0, 0.0) / 2.0
     cum = np.cumsum(wedge_w)
     total_w = cum[-1] if cum[-1] > 0 else 1.0
     cuts = np.searchsorted(cum, total_w * np.arange(1, P) / P)
     bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
     P_eff = len(bounds) - 1
+    _mark("outdeg bounds")
 
     def _relabel(t: pa.Table) -> pa.Table:
         rk = ray.get(rank_ref)
@@ -566,11 +584,50 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
                                combine=_sort_write, map_fn=_relabel)
     _mark("relabel+layout write")
 
-    wedge_router = range_parts("b", bounds)
+    # match side: hash buckets over the closing-edge key, NOT owner(b) ranges.
+    # Closing edges (b, c) of hub-skewed graphs concentrate on the few
+    # top-ranked hub pairs, so range routing by b funnels nearly every wedge
+    # to the one partition owning the hubs; the key hash is uniform by
+    # construction.  Bucket count scales with the measured wedge mass so one
+    # match task holds a bounded slice.
+    D2 = max(P_eff, min(256, int(total_w // 2_000_000) + 1))
+
+    @ray.remote
+    def _bucket_keys(t: pa.Table):
+        """Split one sorted shard's edge keys by hash bucket."""
+        keys = (t.column("src").to_numpy(zero_copy_only=False) * nn
+                + t.column("dst").to_numpy(zero_copy_only=False))
+        kb = _bucket_of(keys, D2)
+        o = np.argsort(kb, kind="stable")
+        ks, kbs = keys[o], kb[o]
+        cuts = np.searchsorted(kbs, np.arange(D2 + 1))
+        out = [ks[cuts[q]:cuts[q + 1]] for q in range(D2)]
+        return out[0] if D2 == 1 else tuple(out)
+
+    @ray.remote
+    def _merge_keys(*arrs):
+        live = [a for a in arrs if a.shape[0]]
+        return (np.sort(np.concatenate(live)) if live
+                else np.empty(0, np.int64))
+
+    kcols: list = [[] for _ in range(D2)]
+    bk = _bucket_keys.options(num_returns=D2) if D2 > 1 else _bucket_keys
+    for r in shard_refs:
+        parts = bk.remote(r)
+        if D2 == 1:
+            parts = [parts]
+        for q in range(D2):
+            kcols[q].append(parts[q])
+    bucket_key_refs = [_merge_keys.remote(*kcols[q]) for q in range(D2)]
+
+    def _wedge_router(t: pa.Table) -> np.ndarray:
+        key = (t.column("b").to_numpy(zero_copy_only=False) * nn
+               + t.column("c").to_numpy(zero_copy_only=False))
+        return _bucket_of(key, D2)
 
     @ray.remote
     def _emit_wedges(t: pa.Table):
-        """Wedges of one sorted shard, pre-split by owner(b)."""
+        """Wedges of one sorted shard, pre-split by closing-key bucket."""
         src = t.column("src").to_numpy(zero_copy_only=False)
         dst = t.column("dst").to_numpy(zero_copy_only=False)
         if src.shape[0]:
@@ -584,24 +641,22 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         else:
             wa = wb = wc = np.empty(0, dtype=np.int64)
         wt = pa.table({"a": wa, "b": wb, "c": wc})
-        parts = _split_table(wt, wedge_router, P_eff)
-        return parts[0] if P_eff == 1 else tuple(parts)
+        parts = _split_table(wt, _wedge_router, D2)
+        return parts[0] if D2 == 1 else tuple(parts)
 
-    wcols: list = [[] for _ in range(P_eff)]
-    emit = (_emit_wedges.options(num_returns=P_eff) if P_eff > 1
+    wcols: list = [[] for _ in range(D2)]
+    emit = (_emit_wedges.options(num_returns=D2) if D2 > 1
             else _emit_wedges)
     for r in shard_refs:
         parts = emit.remote(r)
-        if P_eff == 1:
+        if D2 == 1:
             parts = [parts]
-        for q in range(P_eff):
+        for q in range(D2):
             wcols[q].append(parts[q])
 
     @ray.remote
-    def _match(shard_t: pa.Table, *wtabs: pa.Table):
-        """Test this owner's wedges-closing edges; return (vid, cnt)."""
-        keys = (shard_t.column("src").to_numpy(zero_copy_only=False) * nn
-                + shard_t.column("dst").to_numpy(zero_copy_only=False))
+    def _match(keys: np.ndarray, *wtabs: pa.Table):
+        """Test this bucket's wedges against its sorted edge keys."""
         live = [w for w in wtabs if w.num_rows > 0]
         if keys.shape[0] == 0 or not live:
             e = np.empty(0, np.int64)
@@ -610,7 +665,7 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         wb = wt.column("b").to_numpy(zero_copy_only=False)
         wc = wt.column("c").to_numpy(zero_copy_only=False)
         wkey = wb * nn + wc
-        pos = np.searchsorted(keys, wkey)  # keys sorted by (src, dst) == key
+        pos = np.searchsorted(keys, wkey)
         pos[pos >= keys.shape[0]] = keys.shape[0] - 1
         m = keys[pos] == wkey
         if not m.any():
@@ -622,8 +677,8 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         uq, cnt = np.unique(vids, return_counts=True)
         return pa.table({"vid": uq, "cnt": cnt.astype(np.int64)})
 
-    match_refs = [_match.remote(shard_refs[q], *wcols[q])
-                  for q in range(P_eff)]
+    match_refs = [_match.remote(bucket_key_refs[q], *wcols[q])
+                  for q in range(D2)]
     counts_ranked = np.zeros(n, dtype=np.int64)
     for r in match_refs:
         t = ray.get(r)

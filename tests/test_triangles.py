@@ -315,3 +315,53 @@ def test_triangle_stream_empty_and_triangle_free():
     assert triangle_stream(g, execution="local").num_rows == 0
     g2 = Graph.from_edges(np.empty(0, np.int64), np.empty(0, np.int64), n=3)
     assert triangle_stream(g2).num_rows == 0
+
+
+def test_streaming_hub_skew_matches_local_and_balances():
+    """Power-law hub graph: the wedge-emission bounds must follow C(outdeg, 2)
+    mass, not C(deg, 2) — full-degree quantiles spend every cut inside the
+    hub ranks (whose oriented out-degree is ~0) and funnel >99% of wedge
+    generation into partition 0 (the round-5 triangles_300k 194s collapse)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graph_data_science_ray import Graph, triangle_count
+    from graph_data_science_ray.pipelines.triangles import (
+        triangle_count_streaming)
+    from graph_data_science_ray.sources.generator import random_edge_table
+
+    src, dst, _ = random_edge_table(4000, 8, distribution="power_law", seed=7)
+    n = 4000
+    g = Graph.from_edges(src, dst, n=n, orientation="undirected",
+                         aggregation="single")
+    ref = triangle_count(g, execution="local")
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(8)
+    got = triangle_count_streaming(ds, n=n, num_partitions=8)
+    assert got.global_count == ref.global_count
+    assert np.array_equal(
+        got.table.column("triangles").to_numpy(zero_copy_only=False),
+        ref.table.column("triangles").to_numpy(zero_copy_only=False))
+
+    # balance invariant of the fix: outdeg-based quantile cuts spread the
+    # wedge mass (no partition holds ~everything on this hub-heavy graph)
+    a = np.minimum(src, dst); b = np.maximum(src, dst)
+    keep = a != b
+    key = a[keep].astype(np.int64) * n + b[keep]
+    uq = np.unique(key)
+    ca, cb = uq // n, uq % n
+    deg = np.bincount(ca, minlength=n) + np.bincount(cb, minlength=n)
+    order = np.lexsort((np.arange(n), deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    outdeg_r = np.bincount(np.minimum(rank[ca], rank[cb]), minlength=n)
+    odf = outdeg_r.astype(np.float64)
+    w = odf * np.maximum(odf - 1.0, 0.0) / 2.0
+    cum = np.cumsum(w)
+    P = 8
+    cuts = np.searchsorted(cum, cum[-1] * np.arange(1, P) / P)
+    bounds = np.unique(np.concatenate(([0], cuts, [n]))).astype(np.int64)
+    part = np.clip(np.searchsorted(bounds, np.arange(n), side="right") - 1,
+                   0, len(bounds) - 2)
+    per_part = np.bincount(part, weights=w, minlength=len(bounds) - 1)
+    assert per_part.max() <= 0.5 * w.sum()  # no single-partition collapse
