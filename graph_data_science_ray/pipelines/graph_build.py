@@ -267,16 +267,34 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     from ..functions.joins import hash_join
     from ..state.graph import ParquetGraph
 
+    import os as _os0
+    import time as _time
+    _timing = _os0.environ.get("GDS_GB_TIMING") == "1"
+    _marks: list = [_time.perf_counter()]
+
+    def _mark(label):
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[gb] {label}: {now - _marks[0]:.2f}s", flush=True)
+            _marks[0] = now
+
+    from ..stages.bucketing import rows_if_cheap as _ric
+    from ..stages.bucketing import sized_actor_pool
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, min(16, ncpu // 2))
+    corpus_rows = _ric(_read_pq(corpus_dir, columns=["repo"]))
+    # pool sized by data AND machine; autoscaling (1, pool) so a small
+    # corpus never pays full-pool actor startup (round-5 scaling profile:
+    # actor startup dominated the extract stage at 32 CPUs on 100k rows)
+    pool = sized_actor_pool(ncpu, corpus_rows, 2048)
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
-                              batch_size=2048, concurrency=pool))
+                              batch_size=2048, concurrency=(1, pool)))
     # extraction feeds BOTH the id-map branch and the id-resolve branch; a
     # lazy dataset would re-run the regex scan once per consumer.  The
     # extracted keys are a tiny fraction of the content bytes, so pin them
     # in the (spillable) object store instead of extracting twice.
     edges_raw = edges_raw.materialize()
+    _mark("extract+materialize")
     repo_keys = (_read_pq(corpus_dir, columns=["repo"])
                  .map_batches(lambda t: pa.table({"key": t.column("repo")}),
                               batch_format="pyarrow"))
@@ -287,6 +305,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         batch_format="pyarrow")
     vertices_ds, n = _assign_dense_ids(repo_keys.union(dep_keys))
     vertices_ds = vertices_ds.materialize()  # id map reused by both join sides
+    _mark("dense ids")
 
     if id_join == "auto":
         id_join = "broadcast" if n <= broadcast_limit else "hash"
@@ -303,10 +322,8 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     # lexsort+reduceat.  Partition count scales with the corpus so one
     # combine task holds a bounded slice.
     from ..stages.blocks import nonempty_arrow_refs
-    from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+    from ..stages.bucketing import adaptive_bucket_count
     from ..stages.exchange import exchange_refs, hash_parts
-    corpus_rows = rows_if_cheap(
-        _read_pq(corpus_dir, columns=["repo"]))
     num_agg_buckets = adaptive_bucket_count(
         corpus_rows and corpus_rows * 4,  # ~edges per corpus file
         min_buckets=max(4, min(16, ncpu)))
@@ -326,6 +343,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
                          "weight": np.add.reduceat(w, starts)})
 
     edge_refs, _ = nonempty_arrow_refs(edges_ids.materialize())
+    _mark("id resolve")
     # agg lives in the OBJECT STORE as per-partition refs (distributed,
     # spillable) reused by the bounds sample and both layout writes
     agg_refs = exchange_refs(edge_refs,
@@ -335,6 +353,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
     agg = (ray.data.from_arrow_refs(agg_refs) if agg_refs
            else edges_ids.limit(0).materialize())
 
+    _mark("edge aggregate")
     bounds_fwd = _sample_quantile_bounds(agg, "src", n, num_partitions)
     bounds_rev = _sample_quantile_bounds(agg, "dst", n, num_partitions)
     import json as _json
@@ -346,10 +365,12 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         d = _os.path.join(out_dir, sub)
         if _os.path.exists(d):
             _shutil.rmtree(d)
+    _mark("bounds sample")
     m_fwd = _write_layout(agg_refs or agg, out_dir, "edges_fwd", "src", "dst",
                           bounds_fwd)
     _write_layout(agg_refs or agg, out_dir, "edges_rev", "dst", "src",
                   bounds_rev)
+    _mark("layout writes")
     vdir = _os.path.join(out_dir, "vertices")
     _os.makedirs(vdir, exist_ok=True)
     vertices_ds.write_parquet(vdir)
@@ -359,6 +380,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
                            "edges_rev": [int(x) for x in bounds_rev]}}
     with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2)
+    _mark("vertices+manifest")
     return ParquetGraph(out_dir)
 
 
@@ -428,11 +450,15 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
 
     # actor pool sized to leave CPUs for the read + shuffle stages (a pool that
     # reserves every CPU starves the other operators and the pipeline serializes)
+    # and capped by data volume (see stages.bucketing.sized_actor_pool)
+    from ..stages.bucketing import rows_if_cheap as _ric
+    from ..stages.bucketing import sized_actor_pool
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, min(16, ncpu // 2))
+    pool = sized_actor_pool(ncpu, _ric(_read_pq(corpus_dir, columns=["repo"])),
+                            2048)
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
                  .map_batches(EdgeExtractor, batch_format="pyarrow",
-                              batch_size=2048, concurrency=pool))
+                              batch_size=2048, concurrency=(1, pool)))
     # two consumers (id map + id resolve): materialize or the regex scan
     # re-executes per consumer (extracted keys ≪ content bytes)
     edges_raw = edges_raw.materialize()

@@ -36,3 +36,21 @@ def adaptive_bucket_count(est_rows: Optional[int], *,
         return min_buckets
     need = -(-int(est_rows) // int(target_rows_per_bucket))  # ceil
     return max(min_buckets, min(max_buckets, need))
+
+
+def sized_actor_pool(ncpu: int, est_rows: Optional[int], batch_size: int, *,
+                     per_actor_batches: int = 6, cap: int = 16) -> int:
+    """Actor-pool size for a stateful map_batches stage, capped by DATA, not
+    just CPUs.  Each Python actor costs a fresh interpreter + imports
+    (~100-500ms) per dataset execution; on a small input, a pool sized to
+    the machine spends more wall time starting actors than computing
+    (measured: 100k-row corpus extract 1.85s with 4 actors vs 3.29s with 16
+    — round-5 scaling profile).  An actor only pays for itself when it owns
+    several batches, so the pool is ``min(cpu_budget, ceil(batches /
+    per_actor_batches))``.  At 100 TB `est_rows/batch_size` dwarfs any cpu
+    budget and this reduces to the machine-sized pool."""
+    budget = max(1, min(cap, ncpu // 2))
+    if est_rows is None or est_rows <= 0:
+        return budget
+    batches = -(-int(est_rows) // int(batch_size))  # ceil
+    return max(1, min(budget, -(-batches // per_actor_batches)))
