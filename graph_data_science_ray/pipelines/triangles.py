@@ -610,6 +610,13 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         return (np.sort(np.concatenate(live)) if live
                 else np.empty(0, np.int64))
 
+    _deep = os.environ.get("GDS_TC_DEEP") == "1"
+
+    def _barrier(label, refs):
+        if _deep and refs:
+            ray.wait(list(refs), num_returns=len(refs), fetch_local=False)
+            _mark(label)
+
     kcols: list = [[] for _ in range(D2)]
     bk = _bucket_keys.options(num_returns=D2) if D2 > 1 else _bucket_keys
     for r in shard_refs:
@@ -619,6 +626,7 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         for q in range(D2):
             kcols[q].append(parts[q])
     bucket_key_refs = [_merge_keys.remote(*kcols[q]) for q in range(D2)]
+    _barrier("  deep: bucket+merge keys", bucket_key_refs)
 
     def _wedge_router(t: pa.Table) -> np.ndarray:
         key = (t.column("b").to_numpy(zero_copy_only=False) * nn
@@ -653,6 +661,7 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
             parts = [parts]
         for q in range(D2):
             wcols[q].append(parts[q])
+    _barrier("  deep: emit wedges", [c[-1] for c in wcols if c])
 
     @ray.remote
     def _match(keys: np.ndarray, *wtabs: pa.Table):
@@ -679,6 +688,7 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
 
     match_refs = [_match.remote(bucket_key_refs[q], *wcols[q])
                   for q in range(D2)]
+    _barrier("  deep: match", match_refs)
     counts_ranked = np.zeros(n, dtype=np.int64)
     for r in match_refs:
         t = ray.get(r)

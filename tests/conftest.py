@@ -9,6 +9,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     import ray
+
+    from graph_data_science_ray.stages.memory import configure_worker_memory
+    configure_worker_memory()  # before ray.init: workers inherit the env
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
