@@ -425,8 +425,7 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
     import ray
 
     from ..stages.blocks import nonempty_arrow_refs
-    from ..stages.exchange import (_split_table, exchange_refs, hash_parts,
-                                   range_parts)
+    from ..stages.exchange import exchange_refs, hash_parts, range_parts
     from ..state.graph import ParquetGraph
 
     if isinstance(source, ParquetGraph):
@@ -628,14 +627,16 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
     bucket_key_refs = [_merge_keys.remote(*kcols[q]) for q in range(D2)]
     _barrier("  deep: bucket+merge keys", bucket_key_refs)
 
-    def _wedge_router(t: pa.Table) -> np.ndarray:
-        key = (t.column("b").to_numpy(zero_copy_only=False) * nn
-               + t.column("c").to_numpy(zero_copy_only=False))
-        return _bucket_of(key, D2)
-
     @ray.remote
     def _emit_wedges(t: pa.Table):
-        """Wedges of one sorted shard, pre-split by closing-key bucket."""
+        """Wedges of one sorted shard, pre-split by closing-key bucket.
+
+        Packed as (key=b*n+c, a) — 2 int64 columns, not (a, b, c): a third
+        less exchange traffic and per-task allocation (this host punishes
+        fresh allocation under concurrency — stages/memory.py), and the
+        match side needs exactly `key` anyway; (b, c) are recovered by
+        divmod only for the matched rows (|matches| == |triangles-per-
+        wedge-hit| ≪ |wedges|)."""
         src = t.column("src").to_numpy(zero_copy_only=False)
         dst = t.column("dst").to_numpy(zero_copy_only=False)
         if src.shape[0]:
@@ -648,8 +649,14 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
                                               src[starts[keep]])
         else:
             wa = wb = wc = np.empty(0, dtype=np.int64)
-        wt = pa.table({"a": wa, "b": wb, "c": wc})
-        parts = _split_table(wt, _wedge_router, D2)
+        key = wb * nn + wc
+        kb = _bucket_of(key, D2)
+        order = np.argsort(kb, kind="stable")
+        ks, was, kbs = key[order], wa[order], kb[order]
+        cuts = np.searchsorted(kbs, np.arange(D2 + 1))
+        parts = [pa.table({"key": ks[cuts[q]:cuts[q + 1]],
+                           "a": was[cuts[q]:cuts[q + 1]]})
+                 for q in range(D2)]
         return parts[0] if D2 == 1 else tuple(parts)
 
     wcols: list = [[] for _ in range(D2)]
@@ -670,19 +677,18 @@ def triangle_count_streaming(source, *, n: Optional[int] = None,
         if keys.shape[0] == 0 or not live:
             e = np.empty(0, np.int64)
             return pa.table({"vid": e, "cnt": e})
-        wt = pa.concat_tables(live)
-        wb = wt.column("b").to_numpy(zero_copy_only=False)
-        wc = wt.column("c").to_numpy(zero_copy_only=False)
-        wkey = wb * nn + wc
+        wkey = np.concatenate(
+            [w.column("key").to_numpy(zero_copy_only=False) for w in live])
         pos = np.searchsorted(keys, wkey)
         pos[pos >= keys.shape[0]] = keys.shape[0] - 1
         m = keys[pos] == wkey
         if not m.any():
             e = np.empty(0, np.int64)
             return pa.table({"vid": e, "cnt": e})
-        vids = np.concatenate(
-            [wt.column(c).to_numpy(zero_copy_only=False)[m]
-             for c in ("a", "b", "c")])
+        wa = np.concatenate(
+            [w.column("a").to_numpy(zero_copy_only=False) for w in live])
+        mk = wkey[m]
+        vids = np.concatenate([wa[m], mk // nn, mk % nn])
         uq, cnt = np.unique(vids, return_counts=True)
         return pa.table({"vid": uq, "cnt": cnt.astype(np.int64)})
 
