@@ -270,10 +270,56 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     # deduped pair set is bounded by the banding math (≪ corpus) — materialize
     # it so the two verify joins don't re-execute the signature pipeline
     cand = _dedup_pairs_exchange(cand, "doc_a", "doc_b").materialize()
-    if cand.count() == 0:  # no candidates: empty blocks have no usable schema
+    n_pairs = cand.count()
+    if n_pairs == 0:  # no candidates: empty blocks have no usable schema
         return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
                                              "doc_b": pa.array([], pa.int64()),
                                              "jaccard": pa.array([], pa.float64())}))
+
+    # Small candidate set (the normal case — banding leaves ≪ corpus pairs):
+    # gather ONLY the candidate texts with one broadcast-filter pass over the
+    # docs and verify in a single task, instead of shuffling every document
+    # through two partitioned hash joins.  Above the gate the join path runs
+    # (a huge pair set must not concentrate on the driver or one worker).
+    if n_pairs <= 100_000:
+        import ray as _ray
+
+        from ..stages.blocks import concat_nonempty, nonempty_arrow_refs
+
+        pair_tab = concat_nonempty(cand)
+        a_np = pair_tab.column("doc_a").to_numpy(zero_copy_only=False)
+        b_np = pair_tab.column("doc_b").to_numpy(zero_copy_only=False)
+        cand_ids = np.unique(np.concatenate([a_np, b_np]))
+        ids_ref = _ray.put(cand_ids)  # sorted (np.unique)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            sid = _ray.get(ids_ref)
+            k = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(sid, k), 0, sid.shape[0] - 1)
+            return t.select(["doc_id", "text"]).filter(pa.array(sid[pos] == k))
+
+        texts = docs_ds.map_batches(_gather, batch_format="pyarrow").materialize()
+
+        @_ray.remote
+        def _verify_small(pairs: pa.Table, *text_blocks: pa.Table):
+            tmap: dict = {}
+            for tb in text_blocks:
+                tmap.update(zip(tb.column("doc_id").to_pylist(),
+                                tb.column("text").to_pylist()))
+            a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
+            b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
+            jac = np.fromiter(
+                (exact_jaccard(tmap[x], tmap[y], shingle_k)
+                 for x, y in zip(a, b)),
+                dtype=np.float64, count=a.shape[0])
+            keep = jac >= threshold
+            return pa.table({"doc_a": a[keep].astype(np.int64),
+                             "doc_b": b[keep].astype(np.int64),
+                             "jaccard": np.round(jac[keep], 6)})
+
+        t_refs, _ = nonempty_arrow_refs(texts)
+        out = _verify_small.remote(_ray.put(pair_tab), *t_refs)
+        return ray.data.from_arrow_refs([out])
 
     def _rename(col_from, col_to):
         def f(t: pa.Table) -> pa.Table:

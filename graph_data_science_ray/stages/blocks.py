@@ -39,22 +39,52 @@ def _shape_fn():
     return _SHAPE_FN
 
 
+def _metadata_row_counts(ds) -> Optional[List[int]]:
+    """Per-block row counts straight from Ray Data's block metadata —
+    zero remote calls.  Only safe on a MaterializedDataset (on a lazy one
+    ``iter_internal_ref_bundles`` would re-execute the plan after
+    ``to_arrow_refs`` already did).  Returns None when any count is
+    unknown so the caller falls back to remote probes."""
+    import ray.data
+
+    if not isinstance(ds, ray.data.dataset.MaterializedDataset):
+        return None
+    try:
+        counts: List[int] = []
+        for b in ds.iter_internal_ref_bundles():
+            for _, md in b.blocks:
+                if md.num_rows is None:
+                    return None
+                counts.append(int(md.num_rows))
+        return counts
+    except Exception:
+        return None
+
+
 def nonempty_arrow_refs(ds) -> Tuple[List, List[int]]:
     """``(refs, row_counts)`` for the dataset's blocks, with zero-row and
     zero-column (schema-less empty groupby partition) blocks dropped.
-    Metadata-only: the driver sees two ints per block."""
+    Metadata-only: block num_rows comes from Ray Data's own BlockMetadata
+    when the dataset is materialized (no remote calls at all); otherwise a
+    num_cpus=0 probe per block — either way the driver sees two ints per
+    block, never block data.  A zero-column block is always zero-row, so
+    filtering on rows alone is sufficient in the metadata path."""
     import ray
 
     refs = list(ds.to_arrow_refs())
+    meta_counts = _metadata_row_counts(ds)
+    if meta_counts is not None and len(meta_counts) == len(refs):
+        keep = [(r, n) for r, n in zip(refs, meta_counts) if n > 0]
+        return [r for r, _ in keep], [n for _, n in keep]
     shape = _shape_fn()
     shapes = ray.get([shape.remote(r) for r in refs])
-    keep: List = []
+    keep2: List = []
     counts: List[int] = []
     for r, (nr, nc) in zip(refs, shapes):
         if nr > 0 and nc > 0:
-            keep.append(r)
+            keep2.append(r)
             counts.append(int(nr))
-    return keep, counts
+    return keep2, counts
 
 
 def concat_nonempty(ds, empty_schema: Optional[pa.Schema] = None) -> pa.Table:

@@ -86,7 +86,9 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
                   combine: Optional[Callable[[int, pa.Table], pa.Table]] = None,
                   map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
                   combine_num_returns: int = 1,
-                  max_objects: int = 1_000_000) -> List:
+                  max_objects: int = 1_000_000,
+                  total_rows: Optional[int] = None,
+                  small_rows: int = 262_144) -> List:
     """P-way exchange over Arrow-table object refs.
 
     ``map_fn``   (optional) runs inside each split task before partitioning —
@@ -118,6 +120,36 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
         raise ValueError("P must be >= 1")
 
     n_in = len(block_refs)
+
+    # Small-input fast path: a chained tiny exchange (candidate pairs, join of
+    # a small pair set, a final combine over kilobytes) pays two scheduling
+    # rounds of n_in + P tasks for data one worker handles in microseconds.
+    # When the caller KNOWS the total row count and it is small, run the whole
+    # split + per-partition combine in ONE task (num_returns=P keeps the
+    # output shape identical: one ref per partition).  At data scale
+    # total_rows exceeds small_rows and the distributed shape below runs.
+    if (total_rows is not None and total_rows <= small_rows
+            and combine_num_returns == 1 and n_in > 0):
+
+        @ray.remote
+        def _small(*tables):
+            ts = [pa.Table.from_pandas(t, preserve_index=False)
+                  if not isinstance(t, pa.Table) else t
+                  for t in tables]
+            live = [t for t in ts if t.num_columns > 0]
+            t = (pa.concat_tables(live, promote_options="permissive")
+                 if len(live) > 1 else (live[0] if live else ts[0]))
+            if map_fn is not None:
+                t = map_fn(t)
+            parts = _split_table(t, part_of, P)
+            if combine is not None:
+                parts = [combine(p, g) for p, g in enumerate(parts)]
+            return parts[0] if P == 1 else tuple(parts)
+
+        opts = _small.options(num_returns=P) if P > 1 else _small
+        out = opts.remote(*block_refs)
+        return [out] if P == 1 else list(out)
+
     group = max(1, -(-(n_in * P) // max_objects))  # ceil(in*P / max_objects)
 
     @ray.remote
@@ -202,9 +234,10 @@ def exchange(ds, part_of, P: int,
 
     from .blocks import nonempty_arrow_refs
 
-    refs, _ = nonempty_arrow_refs(ds.materialize())
+    refs, counts = nonempty_arrow_refs(ds.materialize())
     if not refs:
         # preserve an empty dataset's schema through the exchange
         return ds
-    out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn)
+    out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn,
+                        total_rows=sum(counts))
     return ray.data.from_arrow_refs(out)

@@ -236,3 +236,49 @@ class TestObjectCountCap:
             from graph_data_science_ray.stages.exchange import _split_table
             _split_table(t, lambda g: g.column("bucket").to_numpy(
                 zero_copy_only=False), 4)
+
+
+class TestSmallInputFastPath:
+    """total_rows <= small_rows routes the whole exchange through ONE task
+    (split + every per-partition combine, num_returns=P) — results must be
+    identical to the distributed split/combine shape."""
+
+    def _run(self, total_rows, small_rows):
+        t = _table(600, seed=11)
+        refs = [ray.put(t.slice(i * 100, 100)) for i in range(6)]
+        part_of = hash_parts("k", P=5)
+
+        def comb(p, g):
+            return g.append_column("part", pa.array(
+                np.full(g.num_rows, p, dtype=np.int64)))
+
+        out = exchange_refs(refs, part_of, 5, combine=comb,
+                            total_rows=total_rows, small_rows=small_rows)
+        assert len(out) == 5
+        merged = pa.concat_tables(ray.get(out))
+        return merged.sort_by([("k", "ascending"), ("v", "ascending"),
+                               ("part", "ascending")])
+
+    def test_fast_path_equals_distributed(self):
+        fast = self._run(total_rows=600, small_rows=100_000)   # fast path
+        dist = self._run(total_rows=600, small_rows=1)          # forced distributed
+        none = self._run(total_rows=None, small_rows=100_000)   # unknown rows
+        assert fast.equals(dist)
+        assert fast.equals(none)
+
+    def test_fast_path_p1(self):
+        t = _table(50, seed=2)
+        out = exchange_refs([ray.put(t)], hash_parts("k", P=1), 1,
+                            total_rows=50)
+        assert len(out) == 1
+        got = ray.get(out[0])
+        assert got.sort_by([("k", "ascending"), ("v", "ascending")]).equals(
+            t.sort_by([("k", "ascending"), ("v", "ascending")]))
+
+    def test_dataset_exchange_uses_metadata_counts(self):
+        # end-to-end: a materialized dataset's block metadata supplies the
+        # row counts (no remote probes) and the tiny input takes the fast path
+        ds = ray.data.from_arrow(_table(300, seed=7)).repartition(4)
+        out = exchange(ds, hash_parts("k", P=3), 3)
+        assert out.count() == 300
+        assert sorted(out.schema().names) == ["k", "v"]
