@@ -423,17 +423,22 @@ def run_scaling() -> dict:
 
     out = {}
     canaries = {8: [], 32: []}
+    probes = {8: [], 32: []}
     clean = {8: False, 32: False}
     # concurrent first-touch probe: the single-process canary can read
     # healthy while the CONCURRENT provisioning path (what a 32-CPU run
-    # actually exercises) is degraded — record both dimensions
+    # actually exercises) is degraded — record both dimensions, and gate
+    # each rep on BOTH (a 32-proc probe >1s means any 32-way stage inside
+    # the rep may hit the provisioning collapse even with clean canaries)
     prov_before = {"8": provisioning_probe(8), "32": provisioning_probe(32)}
     reps = 0
-    while reps < 2 or (reps < 5 and not (clean[8] and clean[32])):
+    while reps < 2 or (reps < 6 and not (clean[8] and clean[32])):
         reps += 1
         for ncpu in (8, 32):
             if reps > 2 and clean[ncpu]:
                 continue
+            pp = provisioning_probe(ncpu)
+            probes[ncpu].append(pp)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
             r = subprocess.run([sys.executable, os.path.abspath(__file__),
                                 "--scaling-suite"], env=env,
@@ -441,7 +446,7 @@ def run_scaling() -> dict:
             j = json.loads(r.stdout.strip().splitlines()[-1])
             cb, ca = j.get("vm_canary_sec_before"), j.get("vm_canary_sec_after")
             canaries[ncpu].append([cb, ca])
-            if cb is not None and max(cb, ca) < 0.5:
+            if cb is not None and max(cb, ca) < 0.5 and pp < 1.0:
                 clean[ncpu] = True
             if ncpu not in out or j["value"] < out[ncpu]["value"]:
                 extras = {k: v for k, v in out.get(ncpu, {}).items()
@@ -478,6 +483,9 @@ def run_scaling() -> dict:
         # first-touch canaries ([before, after] per rep, per level): reps with
         # values >0.5s ran inside a VM memory-provisioning burst (10-50x slow)
         "vm_canaries_8": canaries[8], "vm_canaries_32": canaries[32],
+        # per-rep CONCURRENT provisioning probe, taken just before each rep —
+        # a rep is accepted as clean only when canaries < 0.5s AND probe < 1s
+        "provisioning_probes_8": probes[8], "provisioning_probes_32": probes[32],
         "clean_rep_8": clean[8], "clean_rep_32": clean[32],
         # sec for N procs to each first-touch 50MB (healthy: <1s even at 32;
         # a large 32-value with a small 8-value = the host slows CONCURRENT

@@ -8,9 +8,11 @@ same stages are a streaming Ray Data pipeline over the Parquet corpus
 
   1. ``read_parquet(columns=["repo", "content"])``  — prune at the read; only the
      two columns the projection needs leave storage;
-  2. ``map_batches(EdgeExtractor)``                 — actor-pool stage (compiled
-     regex state): sha256(content) row invariant + ``import X`` dependency edges,
-     pre-aggregated to (src_key, dst_key, weight=count) per batch;
+  2. ``map_batches(extract_edges)``                 — stateless task stage on the
+     shared worker pool (its only state is a module-level compiled regex):
+     ``import X`` dependency edges pre-aggregated to (src_key, dst_key,
+     weight=count) per batch; the sha256(content) row invariant is its own
+     streaming stage (``compute_sha_table``);
   3. **id assignment** — per-block distinct keys → range exchange on sampled
      string boundaries → per-partition sort+unique (ascending ranges, so local
      order == global order), then dense vids by per-partition offset (rank
@@ -42,38 +44,36 @@ from ..sources.io import read_parquet_clean as _read_pq
 from ..state.graph import Graph
 
 
-class EdgeExtractor:
-    """Stateful map_batches stage: compiled regex in __init__ (once per actor),
-    vectorized-ish extraction per batch.  Emits one row per (file, dep) pair plus a
-    sha table side-channel column."""
+_IMPORT_PAT = re.compile(r"^import\s+(\S+)", re.M)
 
-    def __init__(self):
-        self.pat = re.compile(r"^import\s+(\S+)", re.M)
-        self.__name__ = "extract_edges"
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        contents = batch.column("content").to_pylist()
-        src, dst = [], []
-        shas = []
-        for r, c in zip(repos, contents):
-            shas.append(hashlib.sha256(c.encode()).hexdigest())
-            for d in self.pat.findall(c):
-                if d != r:
-                    src.append(r)
-                    dst.append(d)
-        # per-batch pre-aggregation: collapse duplicate (src, dst) pairs early so the
-        # groupby shuffle moves one row per distinct pair per batch (Arrow-native
-        # group_by — no pandas round-trip inside the Arrow stage)
-        if src:
-            arr = pa.table({"src_key": src, "dst_key": dst})
-            out = arr.group_by(["src_key", "dst_key"]).aggregate([([], "count_all")])
-            out = out.rename_columns(["src_key", "dst_key", "weight"])
-        else:
-            out = pa.table({"src_key": pa.array([], pa.string()),
-                            "dst_key": pa.array([], pa.string()),
-                            "weight": pa.array([], pa.int64())})
-        return out
+def extract_edges(batch: pa.Table) -> pa.Table:
+    """Edge-extraction map_batches stage.  Runs as plain TASKS on the shared
+    worker pool, not an actor pool: its only state is one module-level
+    compiled regex (microseconds to import), so actor-pool process startup
+    would be pure overhead — measured 2.8s of a 4.7s cold extract at 32 CPUs
+    on the 100k-file bench corpus.  Emits one pre-aggregated row per distinct
+    (src_key, dst_key) pair per batch."""
+    repos = batch.column("repo").to_pylist()
+    contents = batch.column("content").to_pylist()
+    src, dst = [], []
+    for r, c in zip(repos, contents):
+        for d in _IMPORT_PAT.findall(c):
+            if d != r:
+                src.append(r)
+                dst.append(d)
+    # per-batch pre-aggregation: collapse duplicate (src, dst) pairs early so the
+    # groupby shuffle moves one row per distinct pair per batch (Arrow-native
+    # group_by — no pandas round-trip inside the Arrow stage)
+    if src:
+        arr = pa.table({"src_key": src, "dst_key": dst})
+        out = arr.group_by(["src_key", "dst_key"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["src_key", "dst_key", "weight"])
+    else:
+        out = pa.table({"src_key": pa.array([], pa.string()),
+                        "dst_key": pa.array([], pa.string()),
+                        "weight": pa.array([], pa.int64())})
+    return out
 
 
 def compute_sha_table(corpus_dir: str):
@@ -279,16 +279,11 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
             _marks[0] = now
 
     from ..stages.bucketing import rows_if_cheap as _ric
-    from ..stages.bucketing import sized_actor_pool
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     corpus_rows = _ric(_read_pq(corpus_dir, columns=["repo"]))
-    # pool sized by data AND machine; autoscaling (1, pool) so a small
-    # corpus never pays full-pool actor startup (round-5 scaling profile:
-    # actor startup dominated the extract stage at 32 CPUs on 100k rows)
-    pool = sized_actor_pool(ncpu, corpus_rows, 2048)
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
-                 .map_batches(EdgeExtractor, batch_format="pyarrow",
-                              batch_size=2048, concurrency=(1, pool)))
+                 .map_batches(extract_edges, batch_format="pyarrow",
+                              batch_size=2048))
     # extraction feeds BOTH the id-map branch and the id-resolve branch; a
     # lazy dataset would re-run the regex scan once per consumer.  The
     # extracted keys are a tiny fraction of the content bytes, so pin them
@@ -448,17 +443,9 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
     import ray
     import ray.data
 
-    # actor pool sized to leave CPUs for the read + shuffle stages (a pool that
-    # reserves every CPU starves the other operators and the pipeline serializes)
-    # and capped by data volume (see stages.bucketing.sized_actor_pool)
-    from ..stages.bucketing import rows_if_cheap as _ric
-    from ..stages.bucketing import sized_actor_pool
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = sized_actor_pool(ncpu, _ric(_read_pq(corpus_dir, columns=["repo"])),
-                            2048)
     edges_raw = (_read_pq(corpus_dir, columns=["repo", "content"])
-                 .map_batches(EdgeExtractor, batch_format="pyarrow",
-                              batch_size=2048, concurrency=(1, pool)))
+                 .map_batches(extract_edges, batch_format="pyarrow",
+                              batch_size=2048))
     # two consumers (id map + id resolve): materialize or the regex scan
     # re-executes per consumer (extracted keys ≪ content bytes)
     edges_raw = edges_raw.materialize()

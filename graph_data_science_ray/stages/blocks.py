@@ -61,6 +61,25 @@ def _metadata_row_counts(ds) -> Optional[List[int]]:
         return None
 
 
+def metadata_total_bytes(ds) -> Optional[int]:
+    """Total size_bytes across a MaterializedDataset's blocks from metadata
+    (zero remote calls), or None when unknown/unavailable."""
+    import ray.data
+
+    if not isinstance(ds, ray.data.dataset.MaterializedDataset):
+        return None
+    try:
+        total = 0
+        for b in ds.iter_internal_ref_bundles():
+            for _, md in b.blocks:
+                if md.size_bytes is None:
+                    return None
+                total += int(md.size_bytes)
+        return total
+    except Exception:
+        return None
+
+
 def nonempty_arrow_refs(ds) -> Tuple[List, List[int]]:
     """``(refs, row_counts)`` for the dataset's blocks, with zero-row and
     zero-column (schema-less empty groupby partition) blocks dropped.

@@ -232,12 +232,20 @@ def exchange(ds, part_of, P: int,
     """
     import ray.data
 
-    from .blocks import nonempty_arrow_refs
+    from .blocks import metadata_total_bytes, nonempty_arrow_refs
 
-    refs, counts = nonempty_arrow_refs(ds.materialize())
+    mat = ds.materialize()
+    refs, counts = nonempty_arrow_refs(mat)
     if not refs:
         # preserve an empty dataset's schema through the exchange
         return ds
+    # rows gate the one-task fast path; a small-row table of LARGE payloads
+    # (long texts, binary columns) must still take the distributed shape —
+    # signal that by reporting the row total as unknown above 64 MB
+    total_rows: Optional[int] = sum(counts)
+    tb = metadata_total_bytes(mat)
+    if tb is not None and tb > 64 * 1024 * 1024:
+        total_rows = None
     out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn,
-                        total_rows=sum(counts))
+                        total_rows=total_rows)
     return ray.data.from_arrow_refs(out)
