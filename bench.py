@@ -314,6 +314,15 @@ def run_scaling_suite() -> dict:
         extra["pagerank_1m_sliced_sec"] = round(time.perf_counter() - t0, 3)
     finally:
         os.environ.pop("GDS_PAYLOAD_MODE", None)
+    # grouped = per-NODE slices (K=4 emulated nodes): the shape a real K-node
+    # cluster runs — O(K·n) network bytes, O(P·K) objects per superstep
+    os.environ["GDS_PAYLOAD_MODE"] = "grouped"
+    try:
+        t0 = time.perf_counter()
+        pagerank(g, tolerance=1e-6, max_iterations=60, execution="ray")
+        extra["pagerank_1m_grouped_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        os.environ.pop("GDS_PAYLOAD_MODE", None)
 
     # WCC over a disk-cached canonical layout (the real scale path: the driver
     # holds only the manifest; each shard actor reads its own layout partition,
@@ -505,6 +514,8 @@ def run_scaling() -> dict:
         # multi-node wire shape) — measured alongside, outside the suite total
         "pagerank_1m_sliced_sec_8": out[8].get("pagerank_1m_sliced_sec"),
         "pagerank_1m_sliced_sec_32": out[32].get("pagerank_1m_sliced_sec"),
+        "pagerank_1m_grouped_sec_8": out[8].get("pagerank_1m_grouped_sec"),
+        "pagerank_1m_grouped_sec_32": out[32].get("pagerank_1m_grouped_sec"),
         # identical fixed-pool PageRank at P=4/8/16/32 under each CPU count:
         # matching ns/edge at equal P across CPU counts = the efficiency gap is
         # DRAM saturation on this one box, which added cluster NODES restore

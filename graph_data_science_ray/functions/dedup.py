@@ -603,8 +603,11 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
                 "bucket": (band_idx * (1 << planes_per_band)
                            + buckets).ravel()})
 
+    from ..stages.bucketing import rows_if_cheap, sized_actor_pool
+    _ncpu = int(ray.cluster_resources().get("CPU", 8))
+    _pool = sized_actor_pool(_ncpu, rows_if_cheap(emb_ds), 1024, cap=8)
     sigs = emb_ds.map_batches(_Signer, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              concurrency=(1, _pool))
 
     # route buckets through the known-partitioner exchange: partition id =
     # bucket % P, and the pair expansion segments by EXACT bucket value inside

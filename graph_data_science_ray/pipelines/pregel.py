@@ -303,6 +303,34 @@ def slice_payload(comp: Computation, pl, bounds: np.ndarray) -> list:
             if cuts[q + 1] > cuts[q] else None for q in range(P)]
 
 
+def slice_payload_grouped(comp: Computation, pl, group_bounds: np.ndarray) -> list:
+    """Cut one global payload into K per-NODE-GROUP payloads — the cluster
+    deployment shape: with P actors spread over K nodes, a producer ships ONE
+    slice per node (covering that node's contiguous vid ranges) and the
+    co-located receivers map it zero-copy from their node's object store.
+    K = P degenerates to :func:`slice_payload`'s per-receiver slices; K = 1
+    degenerates to the shared whole-range payload.  Dense group slices carry
+    their range start (tags "Fg"/"FMg"/"Fmg" = (tag, glo, arr...)) so a
+    receiver can cut its own [lo, hi) sub-range; sparse slices keep global
+    ids, which merge_payloads' [lo, hi) filter already handles."""
+    K = len(group_bounds) - 1
+    if pl is None:
+        return [None] * K
+    tag = pl[0]
+    if tag in ("F", "FM", "Fm"):
+        out = []
+        for gix in range(K):
+            lo, hi = int(group_bounds[gix]), int(group_bounds[gix + 1])
+            if tag == "F":
+                out.append(("Fg", lo, pl[1][lo:hi], pl[2][lo:hi]))
+            elif tag == "FM":
+                out.append(("FMg", lo, pl[1][lo:hi]))
+            else:
+                out.append(("Fmg", lo, pl[1][lo:hi]))
+        return out
+    return slice_payload(comp, pl, group_bounds)
+
+
 def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
     """Final combine: slice/filter each global payload to [lo, hi) and reduce."""
     nloc = hi - lo
@@ -353,6 +381,9 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
             elif p[0] == "Fs":  # sliced dense: already exactly [lo, hi)
                 vals += p[1]
                 has |= p[2]
+            elif p[0] == "Fg":  # grouped dense: cut [lo, hi) from group range
+                vals += p[2][lo - p[1]:hi - p[1]]
+                has |= p[3][lo - p[1]:hi - p[1]]
             else:  # "s" — count payloads already carry per-message ones
                 m = (p[1] >= lo) & (p[1] < hi)
                 sparse_ids.append(p[1][m] - lo)
@@ -373,6 +404,8 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
                 np.maximum(vals, p[1][lo:hi], out=vals)
             elif p[0] == "FMs":
                 np.maximum(vals, p[1], out=vals)
+            elif p[0] == "FMg":
+                np.maximum(vals, p[2][lo - p[1]:hi - p[1]], out=vals)
             else:  # "s"
                 m = (p[1] >= lo) & (p[1] < hi)
                 if m.any():
@@ -386,6 +419,8 @@ def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
             np.minimum(vals, p[1][lo:hi], out=vals)
         elif p[0] == "Fms":
             np.minimum(vals, p[1], out=vals)
+        elif p[0] == "Fmg":
+            np.minimum(vals, p[2][lo - p[1]:hi - p[1]], out=vals)
         else:  # "s"
             m = (p[1] >= lo) & (p[1] < hi)
             if m.any():
@@ -431,8 +466,14 @@ def _payload_count(p) -> int:
         return int(p[1].shape[0])
     if p[0] in ("F", "Fs"):
         return int(p[2].sum())
+    if p[0] == "Fg":
+        return int(p[3].sum())
     if p[0] in ("FM", "FMs"):
         return int((p[1] > -np.inf).sum())
+    if p[0] == "FMg":
+        return int((p[2] > -np.inf).sum())
+    if p[0] == "Fmg":
+        return int((p[2] < np.inf).sum())
     return int((p[1] < np.inf).sum())
 
 
@@ -739,7 +780,7 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
     ``GDS_PAYLOAD_MODE`` env var, else "shared"."""
     if payload_mode is None:
         payload_mode = os.environ.get("GDS_PAYLOAD_MODE", "shared")
-    if payload_mode not in ("shared", "sliced"):
+    if payload_mode not in ("shared", "sliced", "grouped"):
         raise ValueError(f"unknown payload_mode {payload_mode!r}")
     if getattr(comp, "asynchronous", False):
         if comp.reducer is not None:
@@ -1114,6 +1155,21 @@ class _ShardActor:
         stats = self.apply(superstep, *payloads)
         return (stats, *slice_payload(self.comp, self.scatter(), self.bounds))
 
+    def scatter_grouped(self, group_bounds):
+        """Initial scatter cut into K per-node-group slices (num_returns=K)."""
+        return tuple(slice_payload_grouped(self.comp, self.scatter(),
+                                           np.asarray(group_bounds)))
+
+    def step_grouped(self, superstep, group_bounds, *payloads):
+        """Fused superstep in grouped-payload mode: K return slots, one per
+        NODE group of contiguous partitions — co-located receivers share their
+        group's slice zero-copy, so the object count per superstep is O(P·K)
+        instead of O(P²) while network bytes stay O(K·n) worst-case dense
+        (O(n) when K tracks the node count)."""
+        stats = self.apply(superstep, *payloads)
+        return (stats, *slice_payload_grouped(self.comp, self.scatter(),
+                                              np.asarray(group_bounds)))
+
     def master(self, scalars, superstep):
         self.comp.master_part(self.vids, self.st, scalars, superstep)
         return {"sending": int(self.st["sending"].sum()),
@@ -1209,9 +1265,31 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
                 and not comp.always_active) else 0
 
     sliced = payload_mode == "sliced" and nparts > 1
+    # grouped = the cluster deployment shape: one slice per NODE group of
+    # contiguous partitions (GDS_PAYLOAD_GROUPS, default 4 "nodes"), receivers
+    # in a group share their slice zero-copy.  K must be >= 2 (K == 1 IS the
+    # shared whole-range mode) and <= nparts (K == nparts IS sliced mode).
+    grouped = payload_mode == "grouped" and nparts > 1
+    if grouped:
+        K = int(os.environ.get("GDS_PAYLOAD_GROUPS", "0")) or min(4, nparts)
+        K = max(2, min(K, nparts))
+        gcut = np.linspace(0, nparts, K + 1).astype(int)  # partition indices
+        group_bounds = np.asarray(bounds)[gcut]
+        group_of = np.searchsorted(gcut, np.arange(nparts), side="right") - 1
 
     def _submit(step_s):
         nonlocal outbox
+        if grouped:
+            if outbox is None:  # outbox[p][g] = producer p's slice for node-group g
+                outbox = [w.scatter_grouped.options(num_returns=K)
+                          .remote(group_bounds) for w in workers]
+            stepped = [
+                workers[q].step_grouped.options(num_returns=1 + K).remote(
+                    step_s, group_bounds,
+                    *[outbox[p][group_of[q]] for p in range(nparts)])
+                for q in range(nparts)]
+            outbox = [r[1:] for r in stepped]
+            return [r[0] for r in stepped]
         if sliced:
             if outbox is None:  # outbox[p][q] = producer p's slice for receiver q
                 outbox = [w.scatter_sliced.options(num_returns=nparts).remote()

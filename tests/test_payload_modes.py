@@ -100,3 +100,69 @@ def test_slice_payload_covers_every_tag():
     assert np.array_equal(parts[2][1], [9])
     # None fans out to None
     assert slice_payload(C, None, bounds) == [None, None, None]
+
+
+def _run_grouped(g, make_comp, max_iterations, P=4, groups=2):
+    import os
+    a = run_pregel(g, make_comp(), max_iterations=max_iterations,
+                   execution="ray", num_partitions=P, payload_mode="shared")
+    os.environ["GDS_PAYLOAD_GROUPS"] = str(groups)
+    try:
+        b = run_pregel(g, make_comp(), max_iterations=max_iterations,
+                       execution="ray", num_partitions=P,
+                       payload_mode="grouped")
+    finally:
+        os.environ.pop("GDS_PAYLOAD_GROUPS", None)
+    assert a.table.column_names == b.table.column_names
+    for c in a.table.column_names:
+        va = a.table.column(c).to_numpy(zero_copy_only=False)
+        vb = b.table.column(c).to_numpy(zero_copy_only=False)
+        assert np.array_equal(va, vb), c
+    assert a.ran_iterations == b.ran_iterations
+
+
+def test_pagerank_grouped_equals_shared():
+    # grouped = per-NODE slices: K=2 "nodes" for P=4 partitions (the test
+    # session's Ray has 4 CPUs — P must not exceed it, one actor per CPU)
+    g = random_graph(5_000, 8, seed=11)
+    _run_grouped(g, lambda: PageRankComputation(0.85, 1e-9, [], False), 20)
+
+
+def test_wcc_min_grouped_equals_shared():
+    g = random_graph(4_000, 3, seed=7)
+    _run_grouped(g, WccComputation, 50)
+
+
+def test_lpa_keyed_grouped_equals_shared():
+    g = random_graph(3_000, 6, seed=5)
+    _run_grouped(g, LabelPropagationComputation, 10, P=4, groups=3)
+
+
+def test_grouped_uneven_groups_and_k_clamp():
+    # K > P clamps to P (per-receiver slices); K from env ignored when unset
+    g = random_graph(2_000, 4, seed=9)
+    _run_grouped(g, WccComputation, 50, P=3, groups=7)
+
+
+def test_slice_payload_grouped_covers_dense_tags():
+    from graph_data_science_ray.pipelines.pregel import slice_payload_grouped
+
+    class C:
+        keyed = False
+        reducer = "sum"
+
+    gb = np.array([0, 4, 10])  # two node groups
+    sumv = np.arange(10, dtype=np.float64)
+    has = sumv % 2 == 0
+    parts = slice_payload_grouped(C, ("F", sumv, has), gb)
+    assert [p[0] for p in parts] == ["Fg", "Fg"]
+    assert parts[0][1] == 0 and parts[1][1] == 4  # group range starts
+    assert np.array_equal(np.concatenate([p[2] for p in parts]), sumv)
+    acc = np.arange(10, dtype=np.float64)
+    assert [p[0] for p in slice_payload_grouped(C, ("Fm", acc), gb)] == ["Fmg"] * 2
+    assert [p[0] for p in slice_payload_grouped(C, ("FM", acc), gb)] == ["FMg"] * 2
+    # sparse payloads delegate to slice_payload (global ids retained)
+    dstv = np.array([9, 1, 4], dtype=np.int64)
+    parts = slice_payload_grouped(C, ("s", dstv, dstv.astype(float)), gb)
+    assert np.array_equal(parts[0][1], [1]) and np.array_equal(
+        np.sort(parts[1][1]), [4, 9])
