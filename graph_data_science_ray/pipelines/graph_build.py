@@ -146,7 +146,8 @@ def _assign_dense_ids(keys_ds):
         order = pc.sort_indices(uq)
         return pa.table({"key": pc.take(uq, order)})
 
-    part_refs = exchange_refs(refs, _part_of, P, combine=_sorted_distinct)
+    part_refs = exchange_refs(refs, _part_of, P, combine=_sorted_distinct,
+                              total_rows=int(np.sum(counts)))
     part_counts = ray.get([_nrows_fn().remote(r) for r in part_refs])
     offsets = np.concatenate(([0], np.cumsum(part_counts)[:-1]))
 
@@ -337,13 +338,15 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
         return pa.table({"src": s[starts], "dst": d[starts],
                          "weight": np.add.reduceat(w, starts)})
 
-    edge_refs, _ = nonempty_arrow_refs(edges_ids.materialize())
+    edge_refs, edge_counts = nonempty_arrow_refs(edges_ids.materialize())
     _mark("id resolve")
     # agg lives in the OBJECT STORE as per-partition refs (distributed,
-    # spillable) reused by the bounds sample and both layout writes
+    # spillable) reused by the bounds sample and both layout writes; the
+    # known row total opts small corpora into the one-task fast path
     agg_refs = exchange_refs(edge_refs,
                              hash_parts("src", "dst", P=num_agg_buckets),
-                             num_agg_buckets, combine=_combine_edges) \
+                             num_agg_buckets, combine=_combine_edges,
+                             total_rows=sum(edge_counts)) \
         if edge_refs else []
     agg = (ray.data.from_arrow_refs(agg_refs) if agg_refs
            else edges_ids.limit(0).materialize())
