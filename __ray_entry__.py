@@ -66,6 +66,25 @@ def _q_pagerank_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "score": _round6(scores[present])})
 
 
+def _q_pagerank_grouped_hierarchy(sf_dir: str):
+    """Same computation as pagerank_hierarchy but through the GROUPED payload
+    exchange (per-node-group slices — the cluster deployment wire shape,
+    pregel.py slice_payload_grouped).  Sharing pagerank_hierarchy's oracle
+    makes grouped-mode regressions visible to the driver correctness gate."""
+    import os
+
+    from graph_data_science_ray import pagerank
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    os.environ["GDS_PAYLOAD_MODE"] = "grouped"
+    try:
+        res = pagerank(g, tolerance=0.0, max_iterations=20, execution="ray")
+    finally:
+        os.environ.pop("GDS_PAYLOAD_MODE", None)
+    scores = res.table.column("score").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "score": _round6(scores[present])})
+
+
 def _q_wcc_hierarchy(sf_dir: str):
     from graph_data_science_ray import wcc
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
@@ -636,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # link-graph algorithms (SURVEY.md §2.1)
         "pagerank_hierarchy": _q_pagerank_hierarchy,
+        "pagerank_grouped_hierarchy": _q_pagerank_grouped_hierarchy,
         "wcc_hierarchy": _q_wcc_hierarchy,
         "wcc_chain": _q_wcc_chain,
         "dag_longest_chain": _q_dag_longest_chain,
@@ -692,7 +712,7 @@ hier AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "pagerank_hierarchy": """
 WITH nat AS (
   SELECT n.n_nationkey, n.n_regionkey,
@@ -1075,3 +1095,7 @@ SELECT user_id, epoch_us(MIN(ts))::BIGINT AS session_start,
 FROM y GROUP BY user_id, sid
 """,
     }
+    # grouped-payload PageRank computes the same scores through the per-node
+    # exchange shape — same oracle as the shared-mode query
+    sql["pagerank_grouped_hierarchy"] = sql["pagerank_hierarchy"]
+    return sql
