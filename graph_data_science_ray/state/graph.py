@@ -460,7 +460,10 @@ def load_shard_from_layout(spec: ShardSpec) -> CsrShard:
             fp = os.path.join(spec.path, sub, f"part-{q:05d}.parquet")
             if not os.path.exists(fp):  # empty partitions write no file
                 continue
-            t = pq.read_table(fp)
+            # prune at the read: an unweighted run must not decode (or
+            # allocate) the weight column — 8 bytes/edge of pure waste
+            t = pq.read_table(fp, columns=(
+                ["src", "dst", "weight"] if spec.weighted else ["src", "dst"]))
             s = t.column("src").to_numpy(zero_copy_only=False)
             a, b = np.searchsorted(s, [spec.lo, spec.hi])
             if b <= a:
