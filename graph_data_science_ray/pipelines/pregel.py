@@ -634,11 +634,19 @@ class _MasterWorker:
 def _shard_handles(graph, P, orientation):
     """Per-partition shard handles: object-store refs for in-memory graphs
     (put once, mapped zero-copy), ShardSpecs for parquet-backed graphs (each
-    worker loads its OWN partition from the layout — no driver materialization)."""
+    worker loads its OWN partition from the layout — no driver
+    materialization).  A parquet graph whose shards were already built by a
+    previous run on this handle returns its cached (ref, spec) pairs: the
+    built CSR is mapped zero-copy from the object store, the spec is the
+    rebuild fallback."""
     if isinstance(graph, ParquetGraph):
         bounds = graph.bounds(P, orientation)
+        nparts = len(bounds) - 1
+        cached = graph._shard_ref_cache.get((orientation, nparts))
+        if cached is not None:
+            return cached
         return [graph.shard_spec(p, bounds, orientation)
-                for p in range(len(bounds) - 1)]
+                for p in range(nparts)]
     return graph.shard_refs(P, orientation)
 
 
@@ -648,6 +656,13 @@ def _resolve_shard(handle) -> CsrShard:
     if isinstance(handle, ShardSpec):
         return load_shard_from_layout(handle)
     import ray
+    if isinstance(handle, tuple) and len(handle) == 2 \
+            and isinstance(handle[1], ShardSpec):
+        ref, spec = handle
+        try:
+            return ray.get(ref)
+        except Exception:  # cached shard evicted/lost: rebuild from layout
+            return load_shard_from_layout(spec)
     return ray.get(handle)
 
 
@@ -1175,6 +1190,11 @@ class _ShardActor:
         return {"sending": int(self.st["sending"].sum()),
                 "changed": int(self.st["changed"].sum())}
 
+    def publish_shard(self) -> CsrShard:
+        """Return the built CSR shard (lands in the object store as this
+        call's result) so the graph handle can cache it for later runs."""
+        return self.shard
+
     def state_table(self) -> pa.Table:
         return _state_table(self.p, self.vids, self.st, self.comp)
 
@@ -1247,6 +1267,18 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
         ray.get([w.init.remote() for w in workers])
         if ckpt:
             _ckpt_actors(ckpt, workers, 0, {})
+    if (isinstance(graph, ParquetGraph)
+            and (comp.orientation, nparts) not in graph._shard_ref_cache
+            and any(isinstance(h, ShardSpec) for h in shard_refs)):
+        # publish each actor's freshly built CSR to the object store and cache
+        # the refs on the graph handle: the NEXT run on this graph maps them
+        # zero-copy instead of re-reading the layout (GDS graph-catalog shape).
+        # ray.get before the actors can be killed — a killed actor's pending
+        # return would be lost.
+        pub = [w.publish_shard.remote() for w in workers]
+        ray.wait(pub, num_returns=len(pub))
+        graph._shard_ref_cache[(comp.orientation, nparts)] = \
+            list(zip(pub, shard_refs))
     _phase("spawn+load+init")
     metrics = []
     converged = False

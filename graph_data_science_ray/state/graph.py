@@ -522,6 +522,14 @@ class ParquetGraph:
         self.n = int(self.manifest["n"])
         self.name = self.manifest.get("name")
         self._vt = None
+        # (orientation, nparts) -> [(object ref of built CsrShard, ShardSpec)]
+        # filled by the first actor-BSP run (pregel publishes each actor's
+        # built CSR to the object store); later runs on this handle map the
+        # shards zero-copy instead of re-reading + re-building from parquet.
+        # The spec rides along as the rebuild fallback if a ref is ever lost
+        # (plasma eviction / node loss) — the GDS graph-catalog analogue
+        # (core/loading/CSRGraphStore.java: load once, reuse across algos).
+        self._shard_ref_cache: dict = {}
 
     @property
     def num_edges(self) -> int:

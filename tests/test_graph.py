@@ -98,3 +98,63 @@ class TestRowOrderInvariance:
         np.testing.assert_allclose(
             r1.table.column("score").to_numpy(zero_copy_only=False),
             r2.table.column("score").to_numpy(zero_copy_only=False), atol=1e-12)
+
+
+class TestParquetShardCache:
+    """The first actor-BSP run on a ParquetGraph publishes each actor's built
+    CSR to the object store; later runs map the cached shards zero-copy
+    instead of re-reading the layout (the GDS graph-catalog analogue)."""
+
+    def test_second_run_uses_cache_and_matches(self, tmp_path):
+        import ray
+
+        from graph_data_science_ray import wcc
+        from graph_data_science_ray.state.graph import Graph, ParquetGraph
+
+        rng = np.random.default_rng(5)
+        src = rng.integers(0, 3000, 9000)
+        dst = rng.integers(0, 3000, 9000)
+        g = Graph.from_edges(src, dst, n=3000)
+        d = str(tmp_path / "layout")
+        g.save(d, num_partitions=4)
+
+        pg = ParquetGraph(d)
+        assert pg._shard_ref_cache == {}
+        r1 = wcc(pg, execution="ray", num_partitions=4)
+        assert len(pg._shard_ref_cache) == 1  # populated by the first run
+        entries = next(iter(pg._shard_ref_cache.values()))
+        ref0, spec0 = entries[0]
+        shard = ray.get(ref0)
+        assert shard.lo == spec0.lo and shard.hi == spec0.hi
+        r2 = wcc(pg, execution="ray", num_partitions=4)  # cache hit
+        c1 = r1.table.column("component").to_numpy(zero_copy_only=False)
+        c2 = r2.table.column("component").to_numpy(zero_copy_only=False)
+        assert np.array_equal(c1, c2)
+        # local-mode oracle still matches
+        r3 = wcc(pg, execution="local")
+        c3 = r3.table.column("component").to_numpy(zero_copy_only=False)
+        assert np.array_equal(c1, c3)
+
+    def test_lost_ref_falls_back_to_layout(self, tmp_path):
+        import ray
+
+        from graph_data_science_ray.pipelines.pregel import _resolve_shard
+        from graph_data_science_ray.state.graph import Graph, ParquetGraph
+
+        rng = np.random.default_rng(6)
+        g = Graph.from_edges(rng.integers(0, 100, 400),
+                             rng.integers(0, 100, 400), n=100)
+        d = str(tmp_path / "layout")
+        g.save(d, num_partitions=2)
+        pg = ParquetGraph(d)
+        bounds = pg.bounds(2)
+        spec = pg.shard_spec(0, bounds)
+
+        @ray.remote
+        def _fail():
+            raise RuntimeError("simulated lost object")
+
+        bad_ref = _fail.remote()
+        shard = _resolve_shard((bad_ref, spec))  # must rebuild from layout
+        assert shard.lo == spec.lo and shard.hi == spec.hi
+        assert shard.indices.shape[0] > 0
