@@ -103,6 +103,37 @@ def _q_wcc_chain(sf_dir: str):
     return pa.table({"vid": custkeys, "component": comp[custkeys]})
 
 
+def _q_wcc_threshold_chain(sf_dir: str):
+    """WCC with an edge-weight threshold (wcc.py threshold=, ref
+    WccBaseConfig.java:28-44): the per-nation custkey chains weighted with a
+    deterministic (src+dst)%7 weight; threshold>3 prunes edges, splitting each
+    chain into maximal runs — SQL-expressible with window functions, so the
+    threshold path gets a value-level oracle."""
+    from graph_data_science_ray import wcc
+    from graph_data_science_ray.pipelines.tpch_graph import chain_graph
+    from graph_data_science_ray.state.graph import Graph
+    g, custkeys = chain_graph(sf_dir)
+    w = ((g.src + g.dst) % 7).astype(np.float64)
+    gw = Graph.from_edges(g.src, g.dst, w, n=g.n, name="cust_chain_w")
+    res = wcc(gw, threshold=3.0, execution="ray")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": custkeys, "component": comp[custkeys]})
+
+
+def _q_degree_minmax_scaled(sf_dir: str):
+    """MinMax ScalerVariant (functions/scalers.py, ref
+    scaling/ScalarScaler.java MINMAX) over supplier out-degrees of the
+    bipartite supplier→part graph — degrees vary by supplier, so the scale
+    range is non-degenerate at every sf."""
+    from graph_data_science_ray.functions.scalers import scale
+    from graph_data_science_ray.pipelines.tpch_graph import supplier_part_graph
+    g = supplier_part_graph(sf_dir)
+    deg = g.out_degrees()
+    present = np.nonzero(deg)[0]  # suppliers (parts have no out-edges)
+    scaled = scale(deg[present].astype(np.float64), "minmax")
+    return pa.table({"vid": present, "scaled": _round6(scaled)})
+
+
 def _q_dag_longest_chain(sf_dir: str):
     """DAG longest path over the per-nation customer chains: the longest path
     ending at a customer is its 0-based rank within its nation's custkey
@@ -658,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_grouped_hierarchy": _q_pagerank_grouped_hierarchy,
         "wcc_hierarchy": _q_wcc_hierarchy,
         "wcc_chain": _q_wcc_chain,
+        "wcc_threshold_chain": _q_wcc_threshold_chain,
+        "degree_minmax_scaled": _q_degree_minmax_scaled,
         "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
         "triangle_cosupply": _q_triangle_cosupply,
@@ -744,6 +777,37 @@ UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regio
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer
+""",
+        # threshold WCC: chain edge (prev, cur) kept iff ((prev+cur)%7) > 3 —
+        # maximal kept runs via a window cumulative-sum over broken edges
+        "wcc_threshold_chain": """
+WITH s AS (
+  SELECT c_custkey, c_nationkey,
+         LAG(c_custkey) OVER (PARTITION BY c_nationkey
+                              ORDER BY c_custkey) AS pk
+  FROM customer),
+b AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN pk IS NULL THEN 1
+              WHEN ((pk + c_custkey) % 7) > 3 THEN 0 ELSE 1 END AS brk
+  FROM s),
+r AS (
+  SELECT c_custkey, c_nationkey,
+         SUM(brk) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM b)
+SELECT c_custkey AS vid,
+       MIN(c_custkey) OVER (PARTITION BY c_nationkey, run) AS component
+FROM r
+""",
+        "degree_minmax_scaled": """
+WITH d AS (SELECT l_suppkey AS vid,
+                  count(DISTINCT l_partkey)::DOUBLE AS degree
+           FROM lineitem GROUP BY l_suppkey)
+SELECT vid, round((degree - (SELECT min(degree) FROM d))
+                  / ((SELECT max(degree) FROM d) - (SELECT min(degree) FROM d)),
+             6) AS scaled
+FROM d
 """,
         "dag_longest_chain": """
 -- longest path ending at a customer in the per-nation consecutive-custkey
