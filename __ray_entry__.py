@@ -103,6 +103,19 @@ def _q_wcc_chain(sf_dir: str):
     return pa.table({"vid": custkeys, "component": comp[custkeys]})
 
 
+def _q_articlerank_hierarchy(sf_dir: str):
+    """ArticleRank (pagerank.py ArticleRankComputation, ref
+    ArticleRankComputation.java:79-104): delta / (outdeg + avgOutDeg).  On the
+    2-level hierarchy DAG the scores close over two iterations, so the oracle
+    is the same closed form as pagerank_hierarchy with (1 + m/n) denominators."""
+    from graph_data_science_ray import article_rank
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    res = article_rank(g, tolerance=0.0, max_iterations=20, execution="ray")
+    scores = res.table.column("score").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "score": _round6(scores[present])})
+
+
 def _q_wcc_threshold_chain(sf_dir: str):
     """WCC with an edge-weight threshold (wcc.py threshold=, ref
     WccBaseConfig.java:28-44): the per-nation custkey chains weighted with a
@@ -689,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_grouped_hierarchy": _q_pagerank_grouped_hierarchy,
         "wcc_hierarchy": _q_wcc_hierarchy,
         "wcc_chain": _q_wcc_chain,
+        "articlerank_hierarchy": _q_articlerank_hierarchy,
         "wcc_threshold_chain": _q_wcc_threshold_chain,
         "degree_minmax_scaled": _q_degree_minmax_scaled,
         "dag_longest_chain": _q_dag_longest_chain,
@@ -777,6 +791,31 @@ UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regio
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer
+""",
+        "articlerank_hierarchy": """
+WITH consts AS (
+  SELECT (SELECT count(*) FROM supplier) + (SELECT count(*) FROM customer)
+         + (SELECT count(*) FROM nation) AS m,
+         31 + (SELECT max(s_suppkey) FROM supplier)
+            + (SELECT max(c_custkey) FROM customer) + 1 AS n),
+nat AS (
+  SELECT nt.n_nationkey, nt.n_regionkey,
+         0.15 + 0.85 * 0.15 / (1 + (SELECT m::DOUBLE / n FROM consts)) * (
+           (SELECT count(*) FROM supplier s WHERE s.s_nationkey = nt.n_nationkey) +
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey = nt.n_nationkey)
+         ) AS r
+  FROM nation nt),
+reg AS (
+  SELECT r_regionkey,
+         0.15 + 0.85 * COALESCE((SELECT sum(nat.r) FROM nat
+                                 WHERE nat.n_regionkey = r_regionkey), 0)
+                     / (1 + (SELECT m::DOUBLE / n FROM consts)) AS r
+  FROM region)
+SELECT r_regionkey AS vid, round(r, 6) AS score FROM reg
+UNION ALL SELECT 5 + n_nationkey, round(r, 6) FROM nat
+UNION ALL SELECT 30 + s_suppkey, 0.15 FROM supplier
+UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, 0.15
+          FROM customer
 """,
         # threshold WCC: chain edge (prev, cur) kept iff ((prev+cur)%7) > 3 —
         # maximal kept runs via a window cumulative-sum over broken edges
