@@ -147,6 +147,18 @@ def _q_degree_minmax_scaled(sf_dir: str):
     return pa.table({"vid": present, "scaled": _round6(scaled)})
 
 
+def _q_wcc_consecutive_chain(sf_dir: str):
+    """WCC with consecutiveIds (wcc.py consecutive_ids=True, ref
+    ConsecutiveIdsConfigTrait): components densely renumbered 0..k-1 in
+    ascending min-vid order — SQL dense_rank over the chain components."""
+    from graph_data_science_ray import wcc
+    from graph_data_science_ray.pipelines.tpch_graph import chain_graph
+    g, custkeys = chain_graph(sf_dir)
+    res = wcc(g, execution="ray", consecutive_ids=True)
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": custkeys, "component": comp[custkeys]})
+
+
 def _q_dag_longest_chain(sf_dir: str):
     """DAG longest path over the per-nation customer chains: the longest path
     ending at a customer is its 0-based rank within its nation's custkey
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_chain": _q_wcc_chain,
         "articlerank_hierarchy": _q_articlerank_hierarchy,
         "wcc_threshold_chain": _q_wcc_threshold_chain,
+        "wcc_consecutive_chain": _q_wcc_consecutive_chain,
         "degree_minmax_scaled": _q_degree_minmax_scaled,
         "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
@@ -838,6 +851,23 @@ r AS (
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey, run) AS component
 FROM r
+""",
+        # consecutiveIds: dense 0..k-1 renumbering in ascending component-id
+        # (= min member vid) order over the FULL id space 0..max-vid: a chain
+        # component c ranks as (#gap singletons < c) + (#chain components < c),
+        # and gap singletons below c are exactly c minus the custkeys below c
+        "wcc_consecutive_chain": """
+WITH comp AS (
+  SELECT c_custkey AS vid,
+         MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+  FROM customer),
+comps AS (SELECT DISTINCT component FROM comp)
+SELECT v.vid,
+       (v.component
+        - (SELECT count(*) FROM customer c2 WHERE c2.c_custkey < v.component)
+        + (SELECT count(*) FROM comps k WHERE k.component < v.component)
+       )::BIGINT AS component
+FROM comp v
 """,
         "degree_minmax_scaled": """
 WITH d AS (SELECT l_suppkey AS vid,
