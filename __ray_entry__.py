@@ -159,6 +159,23 @@ def _q_wcc_consecutive_chain(sf_dir: str):
     return pa.table({"vid": custkeys, "component": comp[custkeys]})
 
 
+def _q_wcc_seeded_chain(sf_dir: str):
+    """Seeded WCC (wcc.py seed_property=, ref
+    HugeAtomicDisjointSetStruct.setIdOf:131-149): every vertex carries seed
+    2*vid+1; a component's id becomes its ROOT's (min-vid member's) seed, so
+    the oracle is 2*min(custkey per nation)+1.  Gap vids carry no row."""
+    from graph_data_science_ray import wcc
+    from graph_data_science_ray.pipelines.tpch_graph import chain_graph
+    from graph_data_science_ray.state.graph import Graph
+    g, custkeys = chain_graph(sf_dir)
+    seeds = (2 * np.arange(g.n, dtype=np.int64) + 1).astype(np.float64)
+    gs = Graph.from_edges(g.src, g.dst, n=g.n, name="cust_chain_seeded",
+                          node_props={"seed": seeds})
+    res = wcc(gs, execution="ray", seed_property="seed")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": custkeys, "component": comp[custkeys]})
+
+
 def _q_dag_longest_chain(sf_dir: str):
     """DAG longest path over the per-nation customer chains: the longest path
     ending at a customer is its 0-based rank within its nation's custkey
@@ -717,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "articlerank_hierarchy": _q_articlerank_hierarchy,
         "wcc_threshold_chain": _q_wcc_threshold_chain,
         "wcc_consecutive_chain": _q_wcc_consecutive_chain,
+        "wcc_seeded_chain": _q_wcc_seeded_chain,
         "degree_minmax_scaled": _q_degree_minmax_scaled,
         "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
@@ -868,6 +886,12 @@ SELECT v.vid,
         + (SELECT count(*) FROM comps k WHERE k.component < v.component)
        )::BIGINT AS component
 FROM comp v
+""",
+        "wcc_seeded_chain": """
+SELECT c_custkey AS vid,
+       (2 * MIN(c_custkey) OVER (PARTITION BY c_nationkey) + 1)::BIGINT
+         AS component
+FROM customer
 """,
         "degree_minmax_scaled": """
 WITH d AS (SELECT l_suppkey AS vid,
