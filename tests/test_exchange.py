@@ -282,3 +282,27 @@ class TestSmallInputFastPath:
         out = exchange(ds, hash_parts("k", P=3), 3)
         assert out.count() == 300
         assert sorted(out.schema().names) == ["k", "v"]
+
+
+def test_bytes_gate_keeps_large_payload_rows_distributed():
+    """A small-ROW table of large payloads (long strings) must not ride the
+    one-task fast path: exchange() reports rows as unknown above 64 MB
+    (metadata size_bytes), forcing the distributed split/combine shape.
+    Output equality is what we assert — the gate must not change results."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.stages.blocks import metadata_total_bytes
+
+    big = pa.table({"k": pa.array(np.arange(2_000, dtype=np.int64) % 7),
+                    "payload": pa.array(["x" * 40_000] * 2_000)})  # ~80 MB
+    ds = ray.data.from_arrow(big).repartition(4).materialize()
+    tb = metadata_total_bytes(ds)
+    assert tb is not None and tb > 64 * 1024 * 1024
+    out = exchange(ds, hash_parts("k", P=3), 3)
+    assert out.count() == 2_000
+    small = pa.table({"k": pa.array(np.arange(100, dtype=np.int64) % 7)})
+    ds2 = ray.data.from_arrow(small).materialize()
+    tb2 = metadata_total_bytes(ds2)
+    assert tb2 is not None and tb2 < 64 * 1024 * 1024
+    out2 = exchange(ds2, hash_parts("k", P=3), 3)
+    assert out2.count() == 100
