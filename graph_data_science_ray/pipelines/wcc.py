@@ -97,6 +97,10 @@ def wcc(graph: Graph, *, threshold: Optional[float] = None,
         if not graph.is_weighted:
             raise ValueError("threshold requires a weighted graph "
                              "(ref WccBaseConfig.java:28-44)")
+        if not hasattr(graph, "weight"):
+            raise NotImplementedError(
+                "threshold on a parquet-backed graph: load it first "
+                "(Graph.load) or filter at projection time")
         keep = graph.weight > threshold
         g = Graph(graph.n, graph.src[keep], graph.dst[keep], graph.weight[keep],
                   keys=graph.keys, node_props=graph.node_props)
