@@ -566,6 +566,15 @@ def _q_lang_id(sf_dir: str):
                      .map_batches(LanguageId(), batch_format="pyarrow"))
 
 
+def _q_documents_sha256(sf_dir: str):
+    """Per-row sha256(text) over the documents table — the north-rule content
+    conformance invariant, here DuckDB-oracle-checked (sha256() is ANSI-SQL
+    expressible in DuckDB >= 0.10); corpus_sha256 covers the corpus variant."""
+    from graph_data_science_ray.functions.text import Sha256
+    return _to_table(_docs(sf_dir, ["doc_id", "text"])
+                     .map_batches(Sha256(), batch_format="pyarrow"))
+
+
 def _q_near_dup_minhash(sf_dir: str):
     from graph_data_science_ray.functions.dedup import minhash_near_dups
     docs = _docs(sf_dir, ["doc_id", "text"]).repartition(32)
@@ -769,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "documents_sha256": _q_documents_sha256,
         "near_dup_minhash": _q_near_dup_minhash,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
@@ -1121,6 +1131,9 @@ SELECT doc_id,
              + 0.3 * least(greatest(1 - abs(mean_len - 5) / 10, 0), 1)
              + 0.3 * least(stop_ratio * 4, 1.0), 6) AS quality_score
 FROM m
+""",
+        "documents_sha256": """
+SELECT doc_id, sha256(text) AS sha256 FROM documents
 """,
         "lang_id": """
 WITH w AS (

@@ -112,6 +112,24 @@ class LanguageId:
                          "lang_pred": pa.array(langs)})
 
 
+class Sha256:
+    """Per-row ``sha256(text)`` hex digest — the north-rule per-row content
+    conformance invariant, applied to an arbitrary document table (the corpus
+    variant is pipelines/graph_build.compute_sha_table).  Exact SQL equivalent
+    ``sha256(text)`` (DuckDB >= 0.10 lowercase hex)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.__name__ = "sha256"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        shas = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "sha256": pa.array(shas)})
+
+
 class Fingerprint:
     """Document fingerprint: md5 of lower(trim(text)) — exact SQL equivalent
     ``md5(lower(trim(text)))``; used as the exact-dedup key."""

@@ -188,6 +188,22 @@ class TestTextOps:
         # DuckDB semantics: split('') = [''] → 1
         assert out.column("n_tokens").to_pylist() == [3, 1, 1]
 
+    def test_sha256_matches_hashlib_and_duckdb(self):
+        import duckdb
+
+        from graph_data_science_ray.functions.text import Sha256
+        t = pa.table({"doc_id": np.arange(3, dtype=np.int64),
+                      "text": ["abc", "", "héllo wörld"]})
+        out = Sha256()(t)
+        import hashlib
+        want = [hashlib.sha256(s.encode()).hexdigest()
+                for s in t.column("text").to_pylist()]
+        assert out.column("sha256").to_pylist() == want
+        sql = duckdb.connect().execute(
+            "SELECT sha256(x) FROM (VALUES ('abc'), (''), ('héllo wörld')) "
+            "t(x)").fetchall()
+        assert [r[0] for r in sql] == want
+
     def test_lang_id(self):
         from graph_data_science_ray.functions.text import LanguageId
         t = pa.table({"doc_id": np.arange(3, dtype=np.int64),
