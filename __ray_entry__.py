@@ -53,6 +53,23 @@ def _to_table(ds) -> pa.Table:
     return pa.concat_tables(tabs)
 
 
+def _ensure_corpus_q() -> str:
+    """Deterministic 2000-file corpus shared by the corpus queries AND their
+    oracles (generated driver-side without Ray — setup, not the measured
+    pipeline; gen_corpus_batch is a pure function of (id, seed), so the Ray and
+    non-Ray writers produce identical rows)."""
+    import os
+    import tempfile
+
+    from graph_data_science_ray.sources.corpus import generate_corpus
+    d = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_q")
+    if not os.path.exists(os.path.join(d, "_done")):
+        generate_corpus(d, num_repos=200, files_per_repo=10, seed=42,
+                        use_ray=False)
+        open(os.path.join(d, "_done"), "w").write("1")
+    return d
+
+
 # ---------------------------------------------------------------------------
 # graph queries
 # ---------------------------------------------------------------------------
@@ -668,18 +685,12 @@ def _q_node2vec(sf_dir: str):
 
 def _q_corpus_sha(sf_dir: str):
     """Per-row sha256(content) invariant over the deterministic corpus — the
-    north-rule row conformance surface (pytest cross-checks it against an
-    independent driver-side recompute in tests/test_graph_build.py)."""
-    import os
-    import tempfile
-
+    north-rule row conformance surface, DuckDB-oracle-checked (the oracle runs
+    sha256() over the same corpus parquet via read_parquet; pytest additionally
+    cross-checks an independent driver-side recompute in
+    tests/test_graph_build.py)."""
     from graph_data_science_ray.pipelines.graph_build import compute_sha_table
-    from graph_data_science_ray.sources.corpus import generate_corpus
-    d = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_q")
-    if not os.path.exists(os.path.join(d, "_done")):
-        generate_corpus(d, num_repos=200, files_per_repo=10, seed=42)
-        open(os.path.join(d, "_done"), "w").write("1")
-    return _to_table(compute_sha_table(d))
+    return _to_table(compute_sha_table(_ensure_corpus_q()))
 
 
 def _q_image_features(sf_dir: str):
@@ -1268,4 +1279,9 @@ FROM y GROUP BY user_id, sid
     # grouped-payload PageRank computes the same scores through the per-node
     # exchange shape — same oracle as the shared-mode query
     sql["pagerank_grouped_hierarchy"] = sql["pagerank_hierarchy"]
+    # the corpus is a /tmp table, not a pre-registered view: generate it here
+    # (deterministic, Ray-free) so the oracle is valid whichever side runs first
+    sql["corpus_sha256"] = (
+        "SELECT repo, path, sha256(content) AS sha256 FROM read_parquet('"
+        + _ensure_corpus_q() + "/*.parquet')")
     return sql
