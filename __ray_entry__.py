@@ -709,18 +709,16 @@ def _q_image_features(sf_dir: str):
 def _q_corpus_pagerank(sf_dir: str):
     """Flagship: deterministic code corpus → STREAMING graph projection
     (canonical parquet layout; driver holds only the manifest) → distributed
-    PageRank over shard actors that load their own partitions."""
+    PageRank over shard actors that load their own partitions.  DuckDB-oracle-
+    checked end to end: _corpus_pagerank_sql replicates the regex extraction
+    AND the truncated delta iteration in pure SQL."""
     import os
     import tempfile
 
     from graph_data_science_ray import pagerank
     from graph_data_science_ray.pipelines.graph_build import (
         build_graph_layout_from_corpus)
-    from graph_data_science_ray.sources.corpus import generate_corpus
-    d = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_q")
-    if not os.path.exists(os.path.join(d, "_done")):
-        generate_corpus(d, num_repos=200, files_per_repo=10, seed=42)
-        open(os.path.join(d, "_done"), "w").write("1")
+    d = _ensure_corpus_q()
     layout = os.path.join(tempfile.gettempdir(), "gds_ray_corpus_layout_q")
     pg = build_graph_layout_from_corpus(d, layout, num_partitions=4)
     res = pagerank(pg, tolerance=1e-7, max_iterations=20, weighted=True,
@@ -1284,4 +1282,48 @@ FROM y GROUP BY user_id, sid
     sql["corpus_sha256"] = (
         "SELECT repo, path, sha256(content) AS sha256 FROM read_parquet('"
         + _ensure_corpus_q() + "/*.parquet')")
+    sql["corpus_pagerank"] = _corpus_pagerank_sql()
     return sql
+
+
+def _corpus_pagerank_sql(damping: float = 0.85, tol: float = 1e-07,
+                         max_iterations: int = 20) -> str:
+    """Unrolled delta-formulation weighted PageRank over the corpus, in pure
+    SQL — the flagship projection pipeline's oracle.  Replicates the engine's
+    exact semantics (pipelines/pagerank.py: superstep 0 sends rank/wdeg
+    unconditionally; superstep k>=1 applies delta = damping * Σ_in
+    (delta_src / wdeg_src * w) and re-sends only where delta > tolerance),
+    truncated at the same max_iterations the query uses: ``ran_iterations``
+    supersteps = 1 init + (max_iterations - 1) message applies.  CTEs are
+    MATERIALIZED — DuckDB otherwise inlines the 19-deep chain into an
+    exponential plan."""
+    d = _ensure_corpus_q()
+    alpha = round(1.0 - damping, 15)
+    parts = [f"""WITH files AS MATERIALIZED (
+  SELECT repo, content FROM read_parquet('{d}/*.parquet')),
+dep AS MATERIALIZED (
+  SELECT repo AS src_key,
+         unnest(regexp_extract_all(content, '(?m)^import\\s+(\\S+)', 1)) AS dst_key
+  FROM files),
+edges AS MATERIALIZED (
+  SELECT src_key, dst_key, count(*)::DOUBLE AS w
+  FROM dep WHERE dst_key <> src_key GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT src_key AS key FROM edges UNION SELECT dst_key FROM edges),
+outdeg AS MATERIALIZED (SELECT src_key AS key, sum(w) AS wd FROM edges GROUP BY 1),
+it0 AS MATERIALIZED (SELECT n.key, {alpha}::DOUBLE AS rank, {alpha}::DOUBLE AS delta FROM nodes n)"""]
+    n_apply = max_iterations - 1
+    for k in range(1, n_apply + 1):
+        tolf = "" if k == 1 else f" WHERE i.delta > {tol}"
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst_key AS key, sum(i.delta / o.wd * e.w) AS msum
+  FROM it{k-1} i JOIN outdeg o ON o.key = i.key
+       JOIN edges e ON e.src_key = i.key{tolf}
+  GROUP BY 1)""")
+        parts.append(
+            f"""it{k} AS MATERIALIZED (
+  SELECT n.key, n.rank + {damping} * COALESCE(m.msum, 0) AS rank,
+         {damping} * COALESCE(m.msum, 0) AS delta
+  FROM it{k-1} n LEFT JOIN m{k} m ON m.key = n.key)""")
+    return (",\n".join(parts)
+            + f"\nSELECT key AS repo, round(rank, 6) AS score FROM it{n_apply}")
