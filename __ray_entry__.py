@@ -275,8 +275,9 @@ def _q_louvain_dist_hierarchy(sf_dir: str):
     undirected hierarchy graph, equality-asserted against the sequential kernel
     run under the SAME color schedule — any louvain_dist.py regression raises
     here and fails the driver query (round-4 VERDICT Wrong #3: the distributed
-    path was previously invisible to the contract).  No SQL oracle: the
-    distributed color schedule is an implementation trajectory."""
+    path was previously invisible to the contract).  DuckDB-oracle-checked: the
+    hierarchy graph converges in one Louvain level, so the level-0 communities
+    equal the multi-level louvain_hierarchy oracle's."""
     import numpy as np
 
     from graph_data_science_ray import Graph
@@ -1277,6 +1278,9 @@ FROM y GROUP BY user_id, sid
     # grouped-payload PageRank computes the same scores through the per-node
     # exchange shape — same oracle as the shared-mode query
     sql["pagerank_grouped_hierarchy"] = sql["pagerank_hierarchy"]
+    # the hierarchy graph converges in one Louvain level, so the distributed
+    # level-0 kernel's communities equal the full multi-level oracle's
+    sql["louvain_dist_hierarchy"] = sql["louvain_hierarchy"]
     # the corpus is a /tmp table, not a pre-registered view: generate it here
     # (deterministic, Ray-free) so the oracle is valid whichever side runs first
     sql["corpus_sha256"] = (
