@@ -434,7 +434,8 @@ def run_scaling() -> dict:
     # canary (see _vm_canary); a rep whose canaries exceed 0.5s ran inside a
     # memory-provisioning burst and is retried (bounded), because burst runs
     # are 10-50x off and poison even a min-of-N.
-    from graph_data_science_ray.stages.memory import provisioning_probe
+    from graph_data_science_ray.stages.memory import (cpu_scaling_control,
+                                                      provisioning_probe)
 
     out = {}
     canaries = {8: [], 32: []}
@@ -523,6 +524,10 @@ def run_scaling() -> dict:
         "saturation_ns_per_edge_32": sat[32]["ns_per_edge_by_p"],
         "fixed_p8_ns_per_edge_8": sat[8]["ns_per_edge_by_p"].get("8"),
         "fixed_p8_ns_per_edge_32": sat[32]["ns_per_edge_by_p"].get("8"),
+        # pure-CPU 8-vs-32 control: the host's best-case 4x-parallelism
+        # efficiency for ANY workload at measurement time (CPU steal /
+        # overcommit caps it below 1.0 independent of the engine)
+        "cpu_control": cpu_scaling_control(),
     }
 
 

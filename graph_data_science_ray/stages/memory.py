@@ -96,3 +96,35 @@ def _probe_touch(mb: int) -> float:
     a = np.empty(mb * 131_072)  # 1 MB = 131072 float64
     a[:] = 1.0
     return float(a[0])
+
+
+def cpu_scaling_control(levels=(8, 32)) -> dict:
+    """Host-ceiling control: throughput efficiency of a PURE-CPU workload (no
+    fresh memory, no object store) between the two concurrency levels — the
+    best 4x-parallelism efficiency ANY workload can reach on this host at
+    measurement time.  Virtualized hosts with CPU steal/overcommit cap this
+    well below 1.0 regardless of engine design; recording it alongside the
+    suite efficiency separates the host ceiling from engine overhead."""
+    import multiprocessing as mp
+    import time
+
+    ctx = mp.get_context("fork")
+    out = {}
+    for n in levels:
+        with ctx.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_burn_cpu, range(n))
+            wall = time.perf_counter() - t0
+        out[str(n)] = {"wall_sec": round(wall, 3),
+                       "tasks_per_sec": round(n / wall, 2)}
+    lo, hi = (str(levels[0]), str(levels[-1]))
+    ratio = out[hi]["tasks_per_sec"] / out[lo]["tasks_per_sec"]
+    out["efficiency"] = round(ratio / (levels[-1] / levels[0]), 3)
+    return out
+
+
+def _burn_cpu(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
