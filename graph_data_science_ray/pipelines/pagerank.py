@@ -35,6 +35,9 @@ from .pregel import Computation, PregelResult, run_pregel
 class _PageRankBase(Computation):
     reducer = "sum"
     idempotent_on_empty = True  # halted vertex + no messages ⇒ no-op superstep
+    positive_messages = True    # deltas are >= 0; apply is a no-op on zero delta,
+    # so the dense exchange may derive has = (sum != 0) (drops one full-range
+    # bincount per producer per superstep + n payload bytes)
     state_spec = [("rank", np.float64), ("delta", np.float64)]
     output_cols = {"score": "rank"}
 
