@@ -102,6 +102,21 @@ def _q_pagerank_grouped_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "score": _round6(scores[present])})
 
 
+def _q_eigenvector_hierarchy(sf_dir: str):
+    """Eigenvector centrality ((A+I) power iteration, per-superstep master L2
+    normalization) on the hierarchy forest, truncated at max_iterations=8 with
+    tolerance=0 — DuckDB-oracle-checked via an unrolled SQL power iteration
+    (_eigenvector_hierarchy_sql) that replicates the engine's exact scaling
+    trajectory: messages carry the UN-normalized next-rank (master runs after
+    the scatter), so u_k = r_{k-1} + A·u_{k-1}, r_k = u_k/||u_k||_2."""
+    from graph_data_science_ray import eigenvector
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    res = eigenvector(g, tolerance=0.0, max_iterations=8, execution="ray")
+    scores = res.table.column("score").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "score": _round6(scores[present])})
+
+
 def _q_wcc_hierarchy(sf_dir: str):
     from graph_data_science_ray import wcc
     from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
@@ -751,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_hierarchy": _q_wcc_hierarchy,
         "wcc_chain": _q_wcc_chain,
         "articlerank_hierarchy": _q_articlerank_hierarchy,
+        "eigenvector_hierarchy": _q_eigenvector_hierarchy,
         "wcc_threshold_chain": _q_wcc_threshold_chain,
         "wcc_consecutive_chain": _q_wcc_consecutive_chain,
         "wcc_seeded_chain": _q_wcc_seeded_chain,
@@ -1287,7 +1303,47 @@ FROM y GROUP BY user_id, sid
         "SELECT repo, path, sha256(content) AS sha256 FROM read_parquet('"
         + _ensure_corpus_q() + "/*.parquet')")
     sql["corpus_pagerank"] = _corpus_pagerank_sql()
+    sql["eigenvector_hierarchy"] = _eigenvector_hierarchy_sql()
     return sql
+
+
+def _eigenvector_hierarchy_sql(max_iterations: int = 8) -> str:
+    """Unrolled (A+I) power iteration with per-step L2 normalization, matching
+    EigenvectorComputation's exact trajectory (pipelines/pagerank.py): the
+    scatter at superstep k ships the UN-normalized ``u_k`` (masterCompute runs
+    after the scatter — same position as GDS), so
+    ``u_k = r_{k-1} + A·u_{k-1}``, ``r_k = u_k / ||u_k||_2``, with
+    ``u_0 = 1/n``, ``r_0 = 1/sqrt(n)`` over the FULL vid space n (the id space
+    has gaps; gap vids carry rank mass through the norm exactly like the
+    engine's).  Truncation: max_iterations supersteps = 1 init +
+    (max_iterations - 1) applies."""
+    parts = ["""WITH consts AS MATERIALIZED (
+  SELECT 31 + (SELECT max(s_suppkey) FROM supplier)
+       + (SELECT max(c_custkey) FROM customer) + 1 AS n),
+edges AS MATERIALIZED (
+  SELECT 5 + n_nationkey AS src, n_regionkey AS dst FROM nation
+  UNION ALL SELECT 30 + s_suppkey, 5 + s_nationkey FROM supplier
+  UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey,
+            5 + c_nationkey FROM customer),
+nodes AS MATERIALIZED (
+  SELECT unnest(generate_series(0, n - 1))::BIGINT AS vid FROM consts),
+u0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM consts) AS u FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT vid, 1.0 / sqrt((SELECT n FROM consts)) AS r FROM nodes)"""]
+    n_apply = max_iterations - 1
+    for k in range(1, n_apply + 1):
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(u.u) AS s
+  FROM u{k-1} u JOIN edges e ON e.src = u.vid GROUP BY 1)""")
+        parts.append(f"""u{k} AS MATERIALIZED (
+  SELECT r.vid, r.r + COALESCE(m.s, 0) AS u
+  FROM r{k-1} r LEFT JOIN m{k} m ON m.vid = r.vid)""")
+        parts.append(f"""n{k} AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nm FROM u{k})""")
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT vid, u / (SELECT nm FROM n{k}) AS r FROM u{k})""")
+    return (",\n".join(parts) + f"""
+SELECT vid, round(r, 6) AS score FROM r{n_apply}
+WHERE vid IN (SELECT src FROM edges UNION SELECT dst FROM edges)""")
 
 
 def _corpus_pagerank_sql(damping: float = 0.85, tol: float = 1e-07,
