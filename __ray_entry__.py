@@ -619,6 +619,24 @@ def _q_simhash(sf_dir: str):
     return _to_table(simhash_table(_docs(sf_dir, ["doc_id", "text"])))
 
 
+def _q_simhash_md5(sf_dir: str):
+    """SimHash with the DuckDB-matchable md5 token hash — the bit-majority
+    construction itself is oracle-checked (the default blake2b variant stays
+    rows-only because blake2b has no SQL equivalent)."""
+    from graph_data_science_ray.functions.dedup import simhash_table
+    return _to_table(simhash_table(_docs(sf_dir, ["doc_id", "text"]),
+                                   hash_fn="md5"))
+
+
+def _q_minhash_md5_signatures(sf_dir: str):
+    """MinHash signature table from the md5 (perm, shingle)-pair family —
+    min-over-permutations oracle-checked in SQL (the splitmix64 production
+    family in minhash_near_dups stays rows-only: wrapping u64 multiplies)."""
+    from graph_data_science_ray.functions.dedup import minhash_md5_signatures
+    return _to_table(minhash_md5_signatures(_docs(sf_dir, ["doc_id", "text"]),
+                                            num_perms=16))
+
+
 def _q_simhash_near_dups(sf_dir: str):
     """Banded-hamming-join near-dup pairs (exact dups land at distance 0, so
     this is non-empty on the documents table, which plants exact dups)."""
@@ -812,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hierarchy": _q_sssp_hierarchy,
         "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
         "simhash_docs": _q_simhash,
+        "simhash_md5_docs": _q_simhash_md5,
+        "minhash_md5_signatures": _q_minhash_md5_signatures,
         "simhash_near_dups": _q_simhash_near_dups,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
@@ -1160,6 +1180,48 @@ FROM m
 """,
         "documents_sha256": """
 SELECT doc_id, sha256(text) AS sha256 FROM documents
+""",
+        "simhash_md5_docs": """
+WITH w AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM w),
+b AS (SELECT unnest(generate_series(0, 63))::UBIGINT AS bit),
+acc AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS a
+  FROM h CROSS JOIN b GROUP BY 1, 2),
+sh AS (
+  -- the query publishes simhash >> 1 (int64 convention), so assemble bits
+  -- 1..63 pre-shifted (also sidesteps DuckDB's 1 << 63 overflow guard)
+  SELECT doc_id,
+         bit_or(CASE WHEN a > 0 AND bit >= 1::UBIGINT
+                     THEN 1::UBIGINT << (bit - 1::UBIGINT)
+                     ELSE 0::UBIGINT END) AS s
+  FROM acc GROUP BY 1)
+SELECT d.doc_id, COALESCE(sh.s, 0::UBIGINT)::BIGINT AS simhash
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+""",
+        "minhash_md5_signatures": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS shingles
+  FROM t WHERE len(toks) > 0),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM g),
+perms AS (SELECT unnest(generate_series(0, 15)) AS perm)
+SELECT doc_id, perm,
+       (min(md5_number_lower(perm::VARCHAR || ':' || s)) >> 1::UBIGINT)::BIGINT AS minhash
+FROM sh CROSS JOIN perms GROUP BY 1, 2
 """,
         "lang_id": """
 WITH w AS (

@@ -34,6 +34,15 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+def _hash64_md5(s: str) -> int:
+    """64-bit token hash equal to DuckDB's ``md5_number_lower`` (little-endian
+    u64 of md5 bytes 8..16) — the SQL-oracle-checkable hash family.  blake2b
+    (_hash64) stays the default: it is ~2x faster per token and the hash family
+    is irrelevant to {Sim,Min}Hash semantics; the md5 variants exist so the
+    ALGORITHM (bit-majority / min-over-permutations) is DuckDB-verifiable."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
 class MinHasher:
     """num_perms independent minhashes per document.  Each permutation is a
     seeded splitmix64 finalizer over the shingle hash — fully vectorized uint64
@@ -97,16 +106,20 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 class SimHasher:
-    """64-bit simhash over token hashes; near-dup = hamming distance ≤ t."""
+    """64-bit simhash over token hashes; near-dup = hamming distance ≤ t.
 
-    def __init__(self):
+    ``hash_fn="md5"`` selects the DuckDB-matchable token hash (_hash64_md5) so
+    the bit-majority construction is SQL-oracle-checkable; default blake2b."""
+
+    def __init__(self, hash_fn: str = "blake2b"):
         self.__name__ = "simhash"
+        self._h = _hash64_md5 if hash_fn == "md5" else _hash64
 
     def simhash(self, text: str) -> int:
         toks = set(text.split())
         if not toks:
             return 0
-        hv = np.fromiter((_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        hv = np.fromiter((self._h(t) for t in toks), dtype=np.uint64, count=len(toks))
         bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         acc = np.where(bits == 1, 1, -1).sum(axis=0)
         # vectorized bit assembly: sign bits dotted with powers of two
@@ -356,8 +369,48 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     return joined.map_batches(_verify, batch_format="pyarrow")
 
 
-def simhash_table(docs_ds):
-    return docs_ds.map_batches(SimHasher(), batch_format="pyarrow")
+def simhash_table(docs_ds, hash_fn: str = "blake2b"):
+    return docs_ds.map_batches(SimHasher(hash_fn), batch_format="pyarrow")
+
+
+class _MinHashMd5Signatures:
+    """MinHash signatures from the DuckDB-matchable permutation family
+    ``perm_i(shingle) = md5_number_lower(i || ':' || shingle)`` — hashing the
+    (permutation, shingle) pair is an equally valid min-wise family and, unlike
+    the default splitmix64 finalizer (wrapping u64 multiplies), is expressible
+    in ANSI SQL.  Emits one (doc_id, perm, minhash) row per permutation per
+    non-empty document."""
+
+    def __init__(self, num_perms: int = 16, shingle_k: int = 3):
+        self.num_perms = int(num_perms)
+        self.k = int(shingle_k)
+        self.__name__ = "minhash_md5"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_perm, out_min = [], [], []
+        for did, text in zip(ids, texts):
+            sh = _token_shingles(text, self.k)
+            if not sh:
+                continue
+            for i in range(self.num_perms):
+                pre = f"{i}:"
+                out_id.append(did)
+                out_perm.append(i)
+                out_min.append(min(_hash64_md5(pre + s) for s in sh))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "perm": pa.array(out_perm, pa.int64()),
+            # >> 1 keeps the uint64 hash in int64 range (same convention as
+            # SimHasher's fingerprint column)
+            "minhash": pa.array([m >> 1 for m in out_min], pa.int64())})
+
+
+def minhash_md5_signatures(docs_ds, *, num_perms: int = 16, shingle_k: int = 3):
+    """SQL-oracle-checkable MinHash signature table (see _MinHashMd5Signatures)."""
+    return docs_ds.map_batches(_MinHashMd5Signatures(num_perms, shingle_k),
+                               batch_format="pyarrow")
 
 
 def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
