@@ -645,6 +645,29 @@ def _q_simhash_near_dups(sf_dir: str):
     return _to_table(simhash_near_dups(docs, max_hamming=3, num_bands=4))
 
 
+def _q_simhash_near_dups_md5(sf_dir: str):
+    """The full SimHash near-dup pipeline on the md5 hash family — banding,
+    candidate generation and the XOR-popcount verify are all oracle-checked:
+    with max_hamming < num_bands the pigeonhole guarantee makes the banded
+    join EXACTLY equal to brute-force all-pairs hamming ≤ d, which DuckDB
+    expresses as bit_count(xor(...)) over the md5 fingerprints."""
+    from graph_data_science_ray.functions.dedup import simhash_near_dups
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    return _to_table(simhash_near_dups(docs, max_hamming=3, num_bands=4,
+                                       hash_fn="md5"))
+
+
+def _q_near_dup_minhash_md5(sf_dir: str):
+    """The full MinHash-LSH near-dup pipeline on the md5 permutation/band
+    family — signatures, band keys, LSH candidates and the exact-Jaccard
+    verify all reproduce in ANSI SQL, so the driver hash-checks the whole
+    pipeline end-to-end (the blake2b production variant stays rows-only)."""
+    from graph_data_science_ray.functions.dedup import minhash_md5_near_dups
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    return minhash_md5_near_dups(docs, num_perms=16, num_bands=4,
+                                 threshold=0.5)
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (id1 < id2, cosine >= 0.3) —
     distributed block-nested-loop, float32-sequential arithmetic matching
@@ -833,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_md5_docs": _q_simhash_md5,
         "minhash_md5_signatures": _q_minhash_md5_signatures,
         "simhash_near_dups": _q_simhash_near_dups,
+        "simhash_near_dups_md5": _q_simhash_near_dups_md5,
+        "near_dup_minhash_md5": _q_near_dup_minhash_md5,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
     }
@@ -1222,6 +1247,88 @@ perms AS (SELECT unnest(generate_series(0, 15)) AS perm)
 SELECT doc_id, perm,
        (min(md5_number_lower(perm::VARCHAR || ':' || s)) >> 1::UBIGINT)::BIGINT AS minhash
 FROM sh CROSS JOIN perms GROUP BY 1, 2
+""",
+        # End-to-end SimHash near-dup oracle.  With max_hamming (3) <
+        # num_bands (4) the pigeonhole guarantee makes the engine's banded
+        # join EXACTLY the brute-force all-pairs hamming <= d set, which SQL
+        # expresses directly as bit_count(xor(...)) over the md5 fingerprints
+        # (same construction as the simhash_md5_docs oracle, bits 1..63
+        # pre-shifted to the stored int64 convention).
+        "simhash_near_dups_md5": """
+WITH w AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM w),
+b AS (SELECT unnest(generate_series(0, 63))::UBIGINT AS bit),
+acc AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS a
+  FROM h CROSS JOIN b GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN a > 0 AND bit >= 1::UBIGINT
+                     THEN 1::UBIGINT << (bit - 1::UBIGINT)
+                     ELSE 0::UBIGINT END) AS s
+  FROM acc GROUP BY 1),
+sig AS (
+  SELECT d.doc_id, COALESCE(fp.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # End-to-end MinHash-LSH near-dup oracle: md5 signatures (same CTEs
+        # as minhash_md5_signatures), SQL-expressible band keys
+        # (md5_number_lower over the comma-joined stored minhashes in perm
+        # order), LSH candidate pairs on shared (band, band_hash), and the
+        # exact-Jaccard verify over distinct shingles.  Engine params:
+        # num_perms=16, num_bands=4 (rows of 4), threshold=0.5.
+        "near_dup_minhash_md5": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS shingles
+  FROM t WHERE len(toks) > 0),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM g),
+perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         (min(md5_number_lower(perm::VARCHAR || ':' || s)) >> 1::UBIGINT)::BIGINT AS minhash
+  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         (md5_number_lower(string_agg(minhash::VARCHAR, ',' ORDER BY perm))
+          >> 1::UBIGINT)::BIGINT AS band_hash
+  FROM sig GROUP BY doc_id, perm // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
+  FROM cand c
+  JOIN ssize sa ON sa.doc_id = c.doc_a
+  JOIN ssize sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
 """,
         "lang_id": """
 WITH w AS (

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .compat import round_half_away
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -236,6 +238,20 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
     sigs = docs_ds.map_batches(hasher, batch_format="pyarrow", batch_size=64)
     bands = sigs.map_batches(lambda t: bands_table(t, num_bands),
                              batch_format="pyarrow", batch_size=256)
+    return _banded_jaccard_pairs(bands, docs_ds, num_bands=num_bands,
+                                 shingle_k=shingle_k, threshold=threshold)
+
+
+def _banded_jaccard_pairs(bands, docs_ds, *, num_bands: int,
+                          shingle_k: int, threshold: float):
+    """Shared LSH downstream: (band, band_hash, doc_id) rows → verified
+    (doc_a, doc_b, jaccard ≥ threshold) pairs.  Used by both the blake2b
+    (`minhash_near_dups`) and the SQL-oracle-checkable md5
+    (`minhash_md5_near_dups`) band constructions — banding family is
+    irrelevant to the candidate/verify machinery."""
+    import ray.data
+
+    from .joins import hash_join
 
     # hash-bucket the band key: one vectorized map_groups call per BUCKET
     # (segment pair-expansion over all the bucket's band groups at once) —
@@ -328,7 +344,7 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
             keep = jac >= threshold
             return pa.table({"doc_a": a[keep].astype(np.int64),
                              "doc_b": b[keep].astype(np.int64),
-                             "jaccard": np.round(jac[keep], 6)})
+                             "jaccard": round_half_away(jac[keep])})
 
         t_refs, _ = nonempty_arrow_refs(texts)
         out = _verify_small.remote(_ray.put(pair_tab), *t_refs)
@@ -364,7 +380,7 @@ def minhash_near_dups(docs_ds, *, num_perms: int = 64, num_bands: int = 16,
         keep = jac >= threshold
         return pa.table({"doc_a": a_ids[keep].astype(np.int64),
                          "doc_b": b_ids[keep].astype(np.int64),
-                         "jaccard": np.round(jac[keep], 6)})
+                         "jaccard": round_half_away(jac[keep])})
 
     return joined.map_batches(_verify, batch_format="pyarrow")
 
@@ -413,7 +429,65 @@ def minhash_md5_signatures(docs_ds, *, num_perms: int = 16, shingle_k: int = 3):
                                batch_format="pyarrow")
 
 
-def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
+class _Md5Bands:
+    """LSH band rows (band, band_hash, doc_id) from the md5 permutation
+    family, with a band hash that is ALSO SQL-expressible:
+    ``band_hash = md5_number_lower(','.join(stored minhashes in perm order))
+    >> 1`` — DuckDB's ``md5_number_lower(string_agg(minhash, ',' ORDER BY
+    perm))``.  Every stage of the near-dup pipeline built on these rows
+    (signature → band → candidate → exact-Jaccard verify) is therefore
+    checkable end-to-end against an ANSI-SQL oracle, unlike the default
+    blake2b/splitmix64 construction where only the *planted-pair recovery*
+    is testable."""
+
+    def __init__(self, num_perms: int = 16, num_bands: int = 4,
+                 shingle_k: int = 3):
+        if num_perms % num_bands:
+            raise ValueError("num_perms must divide evenly into num_bands")
+        self.num_perms = int(num_perms)
+        self.num_bands = int(num_bands)
+        self.r = self.num_perms // self.num_bands
+        self.k = int(shingle_k)
+        self.__name__ = "minhash_md5_bands"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_band, out_hash, out_doc = [], [], []
+        for did, text in zip(ids, texts):
+            sh = _token_shingles(text, self.k)
+            if not sh:
+                continue
+            mins = [min(_hash64_md5(f"{i}:" + s) for s in sh) >> 1
+                    for i in range(self.num_perms)]
+            for b in range(self.num_bands):
+                key = ",".join(str(m) for m in mins[b * self.r:(b + 1) * self.r])
+                out_band.append(b)
+                out_hash.append(_hash64_md5(key) >> 1)
+                out_doc.append(did)
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.int64()),
+                         "doc_id": pa.array(out_doc, pa.int64())})
+
+
+def minhash_md5_near_dups(docs_ds, *, num_perms: int = 16, num_bands: int = 4,
+                          shingle_k: int = 3, threshold: float = 0.7):
+    """MinHash-LSH near-duplicate pairs, SQL-oracle-checkable end-to-end.
+
+    Same distributed shape as `minhash_near_dups` (shared downstream:
+    bucketed band exchange → distributed pair dedup → exact-Jaccard verify)
+    but built on the md5 permutation/band family so signatures, banding,
+    candidate generation AND verification all reproduce in DuckDB — the
+    driver hash-checks the whole pipeline, not just signatures."""
+    bands = docs_ds.map_batches(
+        _Md5Bands(num_perms, num_bands, shingle_k),
+        batch_format="pyarrow", batch_size=64)
+    return _banded_jaccard_pairs(bands, docs_ds, num_bands=num_bands,
+                                 shingle_k=shingle_k, threshold=threshold)
+
+
+def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
+                      hash_fn: str = "blake2b"):
     """SimHash near-duplicate pairs via the banded Hamming join.
 
     Pigeonhole: two 64-bit fingerprints within Hamming distance d share at
@@ -435,7 +509,7 @@ def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4):
     if max_hamming >= num_bands:
         raise ValueError(f"banded hamming join needs max_hamming < num_bands "
                          f"(got d={max_hamming}, bands={num_bands})")
-    sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow",
+    sigs = docs_ds.map_batches(SimHasher(hash_fn), batch_format="pyarrow",
                                batch_size=256).materialize()
     chunk_bits = 64 // num_bands
 

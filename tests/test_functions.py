@@ -41,6 +41,44 @@ class TestMinHash:
         j = out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "jaccard"]
         assert j == pytest.approx(exact_jaccard(base, near), abs=1e-6)
 
+    def test_md5_pipeline_matches_bruteforce_banding(self):
+        """minhash_md5_near_dups must emit exactly the pairs a brute-force
+        replay of the md5 banding + exact-Jaccard verify produces (the same
+        invariant the DuckDB oracle checks at sf0.01, here self-contained)."""
+        from graph_data_science_ray.functions.dedup import (_hash64_md5,
+                                                            _token_shingles,
+                                                            exact_jaccard,
+                                                            minhash_md5_near_dups)
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(400)]
+        texts = [" ".join(rng.choice(vocab, 50)) for _ in range(20)]
+        texts.append(texts[0])                      # exact dup
+        texts.append(texts[3] + " q1 q2")           # near dup
+        ds = _docs_ds(texts)
+        out = minhash_md5_near_dups(ds, num_perms=16, num_bands=4,
+                                    threshold=0.5).to_pandas()
+        got = {(a, b): j for a, b, j in
+               zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+
+        def bands(text):
+            sh = _token_shingles(text, 3)
+            mins = [min(_hash64_md5(f"{i}:" + s) for s in sh) >> 1
+                    for i in range(16)]
+            return [tuple(mins[b * 4:(b + 1) * 4]) for b in range(4)]
+
+        bb = [bands(t) for t in texts]
+        exp = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if any(x == y for x, y in zip(bb[i], bb[j])):
+                    jac = exact_jaccard(texts[i], texts[j])
+                    if jac >= 0.5:
+                        exp[(i, j)] = round(jac, 6)
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-6)
+        assert (0, 20) in got and got[(0, 20)] == 1.0  # planted exact dup
+
     def test_signature_similarity_estimates_jaccard(self):
         from graph_data_science_ray.functions.dedup import MinHasher, exact_jaccard
         mh = MinHasher(num_perms=128)
@@ -62,9 +100,11 @@ class TestSimHash:
         assert hamming64(ha, hb)[0] < hamming64(ha, hc)[0]
         assert hamming64(ha, hb)[0] <= 12
 
-    def test_banded_hamming_join_matches_bruteforce(self):
+    @pytest.mark.parametrize("hash_fn", ["blake2b", "md5"])
+    def test_banded_hamming_join_matches_bruteforce(self, hash_fn):
         """simhash_near_dups must find EXACTLY the pairs brute-force all-pairs
-        hamming ≤ d finds (pigeonhole guarantee: d < num_bands)."""
+        hamming ≤ d finds (pigeonhole guarantee: d < num_bands) — for both
+        the production blake2b and the SQL-oracle md5 token-hash families."""
         from graph_data_science_ray.functions.dedup import (SimHasher,
                                                             hamming64,
                                                             simhash_near_dups)
@@ -75,10 +115,11 @@ class TestSimHash:
         texts.append(texts[1] + " extra1")           # near dup
         texts.append(texts[2] + " extra1 extra2")    # near dup
         ds = _docs_ds(texts)
-        out = simhash_near_dups(ds, max_hamming=3, num_bands=4).to_pandas()
+        out = simhash_near_dups(ds, max_hamming=3, num_bands=4,
+                                hash_fn=hash_fn).to_pandas()
         got = {(a, b): h for a, b, h in
                zip(out["doc_a"], out["doc_b"], out["hamming"])}
-        sh = SimHasher()
+        sh = SimHasher(hash_fn)
         sig = np.asarray([sh.simhash(t) >> 1 for t in texts], dtype=np.uint64)
         exp = {}
         for i in range(len(texts)):
