@@ -551,6 +551,24 @@ def _q_knn_cosine_lsh(sf_dir: str):
                          zero_copy_only=False))})
 
 
+def _q_knn_cosine_ivf(sf_dir: str):
+    """IVF-partitioned ANN top-k (coarse k-means quantizer, nprobe lists
+    scored) — approximate, so rows-only; recall-vs-exact is pytest-pinned."""
+    from graph_data_science_ray.functions.similarity import ivf_topk
+    rd = _ray_data()
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    first = next(iter(emb.iter_batches(batch_format="pyarrow", batch_size=1024)))
+    ids = first.column("vec_id").to_numpy(zero_copy_only=False)
+    q = np.asarray(first.column("embedding").to_pylist()[int(np.argmin(ids))],
+                   dtype=np.float64)
+    out = ivf_topk(emb, q, k=10, num_lists=16, nprobe=4)
+    t = _to_table(out)
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "cos_sim": _round6(t.column("cos_sim").to_numpy(
+                         zero_copy_only=False))})
+
+
 def _q_embedding_norms(sf_dir: str):
     from graph_data_science_ray.functions.similarity import L2Norm
     rd = _ray_data()
@@ -840,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": _q_lang_distribution,
         "knn_cosine": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_cosine_lsh,
+        "knn_cosine_ivf": _q_knn_cosine_ivf,
         "embedding_norms": _q_embedding_norms,
         "events_hourly": _q_events_hourly,
         "sessionize_events": _q_sessionize,

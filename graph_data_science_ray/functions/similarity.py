@@ -131,3 +131,102 @@ def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *, dim=None,
         .drop_columns(["bucket"]),
         batch_format="pyarrow")
     return cosine_topk(cand_ds, q, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(emb_ds, num_lists: int = 16, *,
+                        sample_rows: int = 4096, iters: int = 8,
+                        seed: int = 29) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer over a bounded sample.
+
+    The sample is a streaming ``limit(sample_rows)`` — the corpus itself is
+    never materialized; Lloyd iterations run driver-side on the
+    (sample_rows × d) matrix, which is small by construction.  Centroids are
+    unit-norm (cosine assignment = argmax dot).  Init is a seeded choice of
+    distinct sample rows; an emptied list is re-seeded with the sample point
+    farthest from its assigned centroid, keeping the quantizer total
+    (every list non-degenerate) deterministically."""
+    tab = pa.concat_tables(
+        b for b in emb_ds.limit(sample_rows)
+        .iter_batches(batch_format="pyarrow", batch_size=sample_rows))
+    x = _stack(tab.column("embedding"))
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    num_lists = min(num_lists, n)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(n, num_lists, replace=False)].copy()
+    for _ in range(iters):
+        sims = xn @ cent.T                      # (n, lists)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        for c in range(num_lists):
+            members = assign == c
+            if not members.any():               # re-seed an emptied list
+                far = int(np.argmin(best))
+                cent[c] = xn[far]
+                assign[far] = c
+                best[far] = 1.0
+                continue
+            m = xn[members].sum(axis=0)
+            cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cent
+
+
+def ivf_partition(emb_ds, centroids: np.ndarray):
+    """Assign each vector to its nearest-centroid inverted list (one streaming
+    map_batches pass, centroids broadcast once).  Returns the dataset with an
+    ``ivf_list`` column — at 100 TB this feeds
+    ``write_parquet(partition_cols=["ivf_list"])`` so queries read only the
+    probed lists' files (partition pruning at the storage layer)."""
+    import ray
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class _Assign:
+        def __init__(self):
+            self.c = None
+            self.__name__ = "ivf_assign"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.c is None:
+                self.c = ray.get(cref)
+            v = _stack(t.column("embedding"))
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            return t.append_column(
+                "ivf_list", pa.array(np.argmax(vn @ self.c.T, axis=1)
+                                     .astype(np.int64)))
+
+    return emb_ds.map_batches(_Assign(), batch_format="pyarrow")
+
+
+def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *,
+             num_lists: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None,
+             sample_rows: int = 4096, seed: int = 29):
+    """IVF-partitioned approximate top-k (the classic coarse-quantizer ANN
+    shape: Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11 — here with exact in-list scoring instead of PQ codes).
+
+    Score only vectors whose inverted list is among the ``nprobe`` lists whose
+    centroids are closest to the query.  Like `lsh_topk` this is ONE streaming
+    pass (assign → filter → score in-stream); pass a pre-trained ``centroids``
+    matrix to reuse a quantizer across queries (the index-build shape —
+    see `ivf_partition` for the persistent layout)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    if centroids is None:
+        centroids = train_ivf_centroids(emb_ds, num_lists,
+                                        sample_rows=sample_rows, seed=seed)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    nprobe = min(nprobe, centroids.shape[0])
+    probed = np.sort(np.argpartition(-(centroids @ qn), nprobe - 1)[:nprobe]
+                     .astype(np.int64))
+    cand = ivf_partition(emb_ds, centroids).map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column("ivf_list").to_numpy(zero_copy_only=False), probed)))
+        .drop_columns(["ivf_list"]),
+        batch_format="pyarrow")
+    return cosine_topk(cand, q, k)

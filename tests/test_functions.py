@@ -168,6 +168,55 @@ class TestSimilarity:
         recall = len(set(out["vec_id"]) & exact_top) / 10
         assert recall >= 0.5  # approximate, but must find a decent fraction
 
+    def _clustered_emb_ds(self, clusters=8, per=50, d=16, seed=12):
+        import ray.data
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((clusters, d)) * 3.0
+        v = np.concatenate([centers[c] + rng.standard_normal((per, d)) * 0.3
+                            for c in range(clusters)])
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": np.arange(len(v), dtype=np.int64),
+            "embedding": pa.array(list(v.astype(np.float32)),
+                                  pa.list_(pa.float32())),
+        })), v
+
+    def test_ivf_topk_high_recall_on_clustered_data(self):
+        """On cluster-structured embeddings the true neighbors live in the
+        query's (few nearest) inverted lists — the regime IVF is built for."""
+        from graph_data_science_ray.functions.similarity import ivf_topk
+        ds, v = self._clustered_emb_ds()
+        q = v[3]
+        out = ivf_topk(ds, q, k=10, num_lists=8, nprobe=2).to_pandas()
+        sims = v.astype(np.float64) @ q
+        exact_top = set(np.argsort(-sims)[:10])
+        recall = len(set(out["vec_id"]) & exact_top) / 10
+        assert recall >= 0.9
+
+    def test_ivf_partition_covers_every_row_once(self):
+        from graph_data_science_ray.functions.similarity import (
+            ivf_partition, train_ivf_centroids)
+        ds, v = self._clustered_emb_ds(clusters=4, per=30)
+        cent = train_ivf_centroids(ds, num_lists=4, sample_rows=120)
+        part = ivf_partition(ds, cent).to_pandas()
+        assert sorted(part["vec_id"]) == list(range(len(v)))
+        lists = part.set_index("vec_id")["ivf_list"]
+        assert set(lists.unique()) <= set(range(4))
+        # assignment is the argmax-cosine of the trained centroids
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        exp = np.argmax(vn @ cent.T, axis=1)
+        assert list(lists.loc[np.arange(len(v))]) == list(exp)
+
+    def test_ivf_centroids_deterministic_and_total(self):
+        from graph_data_science_ray.functions.similarity import \
+            train_ivf_centroids
+        ds, _ = self._clustered_emb_ds(clusters=3, per=20)
+        c1 = train_ivf_centroids(ds, num_lists=6, sample_rows=60, seed=29)
+        c2 = train_ivf_centroids(ds, num_lists=6, sample_rows=60, seed=29)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (6, 16)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
 
 class TestMultimodal:
     def test_image_feature_plumbing(self):
