@@ -373,6 +373,32 @@ def run_scaling_suite() -> dict:
         scdir, f"/tmp/gds_scaling_layout_{NUM_CPUS}",
         num_partitions=max(4, min(NUM_CPUS, 16))))
 
+    # ENGINE CPU-ceiling control (diagnostic, outside the suite total): a
+    # compute-dominated map_batches stage — chained sha256 per doc, near-zero
+    # per-batch allocation — through the same Ray Data task path as every
+    # suite workload.  Its 8-vs-32 efficiency should match cpu_control (the
+    # host's pure-CPU 4x ceiling); if it does, the engine's task fan-out adds
+    # nothing, and the suite's efficiency deficit is the workloads'
+    # DRAM/allocation intensity on this one box, not engine overhead.
+    import hashlib
+
+    import pyarrow as pa
+    docs_cpu = ray.data.from_arrow(_synthetic_docs(48_000, seed=11)) \
+        .repartition(NUM_CPUS * 4).materialize()
+
+    def _sha_chain(t: "pa.Table") -> "pa.Table":
+        out = []
+        for s in t.column("text").to_pylist():
+            h = s.encode()
+            for _ in range(600):
+                h = hashlib.sha256(h).digest()
+            out.append(h.hex())
+        return pa.table({"doc_id": t.column("doc_id"), "sha": out})
+
+    t0 = time.perf_counter()
+    docs_cpu.map_batches(_sha_chain, batch_format="pyarrow").count()
+    extra["engine_cpu_bound_sec"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     extra["vm_canary_sec_after"] = _vm_canary()
     total = sum(timings.values())
@@ -528,6 +554,16 @@ def run_scaling() -> dict:
         # efficiency for ANY workload at measurement time (CPU steal /
         # overcommit caps it below 1.0 independent of the engine)
         "cpu_control": cpu_scaling_control(),
+        # engine CPU-ceiling control: the same comparison THROUGH the engine
+        # (a compute-dominated map_batches stage) — reading ≈ cpu_control
+        # means Ray Data's task path adds no scaling overhead of its own
+        "engine_cpu_bound_sec_8": out[8].get("engine_cpu_bound_sec"),
+        "engine_cpu_bound_sec_32": out[32].get("engine_cpu_bound_sec"),
+        "engine_cpu_bound_efficiency": (
+            round((out[8]["engine_cpu_bound_sec"]
+                   / out[32]["engine_cpu_bound_sec"]) / 4, 3)
+            if out[8].get("engine_cpu_bound_sec")
+            and out[32].get("engine_cpu_bound_sec") else None),
     }
 
 

@@ -76,13 +76,19 @@ def hash_join(left_ds, right_ds, key: str, *, num_buckets: int = 64,
     rt = _with_bucket(right_ds, key, num_buckets, 1)
 
     # pad to a common schema for the union — nulls must carry the REAL column
-    # type (an untyped null column breaks downstream schema unification)
+    # type (an untyped null column breaks downstream schema unification), and
+    # both sides must emit the SAME column order (schema equality is
+    # order-sensitive: mismatched orders make every union block a "different
+    # schema" that Ray Data warns about per block)
+    union_order = ([key] + [c for c in left_cols if c != key] + right_cols
+                   + [_BUCKET_COL, _SIDE_COL])
+
     def pad(cols_missing, types):
         def f(t: pa.Table) -> pa.Table:
             for c in cols_missing:
                 t = t.append_column(
                     pa.field(c, types[c]), _pa.nulls(t.num_rows, type=types[c]))
-            return t
+            return t.select(union_order)
         return f
 
     lt = lt.map_batches(pad(right_cols, rtypes), batch_format="pyarrow")
