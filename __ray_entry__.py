@@ -726,6 +726,35 @@ def _q_sssp_hierarchy(sf_dir: str):
                      "distance": d[finite]})
 
 
+def _q_bfs_hierarchy(sf_dir: str):
+    """BFS visit order from the min-key region over the REVERSED hierarchy
+    (region → its nations → their suppliers/customers).  The kernel visits
+    levels in order and smaller vids first within a level, so visit_order is
+    exactly row_number() over (depth, vid) — closed-form SQL on the fixed
+    depth-2 forest (ref: alpha BfsStreamProc traversal semantics)."""
+    from graph_data_science_ray.pipelines.spanning import bfs
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    from graph_data_science_ray.state.graph import Graph
+    g, _ = hierarchy_graph(sf_dir)
+    rev = Graph.from_edges(g.dst, g.src, n=g.n, name="tpch_hierarchy_rev")
+    source = int(g.dst[g.dst < 5].min())  # min region vid (region keys < 5)
+    return bfs(rev, source)
+
+
+def _q_dfs_hierarchy(sf_dir: str):
+    """Preorder DFS from the min-key region over the reversed hierarchy.
+    On a forest with smaller-vid-first expansion, preorder sorts by
+    (parent nation vid, nation-before-its-leaves, leaf vid) — closed-form
+    SQL, no recursion needed."""
+    from graph_data_science_ray.pipelines.spanning import dfs
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    from graph_data_science_ray.state.graph import Graph
+    g, _ = hierarchy_graph(sf_dir)
+    rev = Graph.from_edges(g.dst, g.src, n=g.n, name="tpch_hierarchy_rev")
+    source = int(g.dst[g.dst < 5].min())
+    return dfs(rev, source)
+
+
 def _q_dijkstra_path_hierarchy(sf_dir: str):
     """Source-target shortest path WITH reconstruction: lowest-vid customer →
     its region (depth-2).  The path rows (seq, vid, agg_cost) are the expanded
@@ -870,6 +899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "corpus_sha256": _q_corpus_sha,
         "sssp_hierarchy": _q_sssp_hierarchy,
+        "bfs_hierarchy": _q_bfs_hierarchy,
+        "dfs_hierarchy": _q_dfs_hierarchy,
         "dijkstra_path_hierarchy": _q_dijkstra_path_hierarchy,
         "simhash_docs": _q_simhash,
         "simhash_md5_docs": _q_simhash_md5,
@@ -1111,6 +1142,43 @@ SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey AS vid,
 UNION ALL SELECT 5 + c_nationkey, 1.0 FROM c
 UNION ALL SELECT n_regionkey, 2.0
           FROM c JOIN nation ON n_nationkey = c.c_nationkey
+""",
+        "bfs_hierarchy": """
+WITH src AS (SELECT min(n_regionkey) AS r FROM nation),
+mx AS (SELECT max(s_suppkey) AS ms FROM supplier),
+v AS (
+  SELECT (SELECT r FROM src)::BIGINT AS vid, 0 AS depth
+  UNION ALL
+  SELECT 5 + n_nationkey, 1 FROM nation WHERE n_regionkey = (SELECT r FROM src)
+  UNION ALL
+  SELECT 30 + s_suppkey, 2
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = (SELECT r FROM src)
+  UNION ALL
+  SELECT 31 + (SELECT ms FROM mx) + c_custkey, 2
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_regionkey = (SELECT r FROM src))
+SELECT row_number() OVER (ORDER BY depth, vid) - 1 AS visit_order, vid FROM v
+""",
+        "dfs_hierarchy": """
+WITH src AS (SELECT min(n_regionkey) AS r FROM nation),
+mx AS (SELECT max(s_suppkey) AS ms FROM supplier),
+v AS (
+  SELECT (SELECT r FROM src)::BIGINT AS vid,
+         -1::BIGINT AS k1, -1 AS k2, -1::BIGINT AS k3
+  UNION ALL
+  SELECT 5 + n_nationkey, 5 + n_nationkey, 0, 0
+  FROM nation WHERE n_regionkey = (SELECT r FROM src)
+  UNION ALL
+  SELECT 30 + s_suppkey, 5 + s_nationkey, 1, 30 + s_suppkey
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = (SELECT r FROM src)
+  UNION ALL
+  SELECT 31 + (SELECT ms FROM mx) + c_custkey, 5 + c_nationkey, 1,
+         31 + (SELECT ms FROM mx) + c_custkey
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_regionkey = (SELECT r FROM src))
+SELECT row_number() OVER (ORDER BY k1, k2, k3) - 1 AS visit_order, vid FROM v
 """,
         "conductance_nations": """
 WITH members AS (
