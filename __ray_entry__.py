@@ -126,6 +126,29 @@ def _q_wcc_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "component": comp[present]})
 
 
+def _q_wcc_stats_hierarchy(sf_dir: str):
+    """The `stats` execution mode, oracle-checked: one summary row of WCC
+    community-size percentiles.  community_stats uses np.percentile's default
+    linear interpolation (Hyndman-Fan R-7), the same definition as DuckDB's
+    quantile_cont — so the stats surface (modes.community_stats, the
+    AbstractCommunityResultBuilder analogue) hash-compares exactly."""
+    from graph_data_science_ray import wcc
+    from graph_data_science_ray.pipelines.modes import community_stats
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    res = wcc(g, execution="ray")
+    comp = res.table.column("component").to_numpy(zero_copy_only=False)[present]
+    st = community_stats(comp)
+    cols = {"communityCount": pa.array([st["communityCount"]], pa.int64()),
+            "min": pa.array([st["min"]], pa.int64()),
+            "max": pa.array([st["max"]], pa.int64()),
+            "mean": pa.array(_round6([st["mean"]]), pa.float64())}
+    for p in ("p1", "p5", "p10", "p25", "p50", "p75", "p90", "p95", "p99",
+              "p999"):
+        cols[p] = pa.array(_round6([st[p]]), pa.float64())
+    return pa.table(cols)
+
+
 def _q_wcc_chain(sf_dir: str):
     from graph_data_science_ray import wcc
     from graph_data_science_ray.pipelines.tpch_graph import chain_graph
@@ -852,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hierarchy": _q_pagerank_hierarchy,
         "pagerank_grouped_hierarchy": _q_pagerank_grouped_hierarchy,
         "wcc_hierarchy": _q_wcc_hierarchy,
+        "wcc_stats_hierarchy": _q_wcc_stats_hierarchy,
         "wcc_chain": _q_wcc_chain,
         "articlerank_hierarchy": _q_articlerank_hierarchy,
         "eigenvector_hierarchy": _q_eigenvector_hierarchy,
@@ -953,6 +977,33 @@ UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regio
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer
+""",
+        # stats mode: community-size percentiles.  quantile_cont is the same
+        # Hyndman-Fan R-7 linear interpolation as np.percentile's default.
+        "wcc_stats_hierarchy": """
+WITH comp AS (
+  SELECT r_regionkey AS vid, r_regionkey::BIGINT AS component FROM region
+  UNION ALL SELECT 5 + n_nationkey, n_regionkey FROM nation
+  UNION ALL SELECT 30 + s_suppkey, n_regionkey
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey,
+                   n_regionkey
+            FROM customer JOIN nation ON n_nationkey = c_nationkey),
+sizes AS (SELECT component, count(*)::DOUBLE AS c FROM comp GROUP BY 1)
+SELECT count(*)::BIGINT AS "communityCount",
+       min(c)::BIGINT AS "min", max(c)::BIGINT AS "max",
+       round(avg(c), 6) AS "mean",
+       round(quantile_cont(c, 0.01), 6) AS "p1",
+       round(quantile_cont(c, 0.05), 6) AS "p5",
+       round(quantile_cont(c, 0.10), 6) AS "p10",
+       round(quantile_cont(c, 0.25), 6) AS "p25",
+       round(quantile_cont(c, 0.50), 6) AS "p50",
+       round(quantile_cont(c, 0.75), 6) AS "p75",
+       round(quantile_cont(c, 0.90), 6) AS "p90",
+       round(quantile_cont(c, 0.95), 6) AS "p95",
+       round(quantile_cont(c, 0.99), 6) AS "p99",
+       round(quantile_cont(c, 0.999), 6) AS "p999"
+FROM sizes
 """,
         "articlerank_hierarchy": """
 WITH consts AS (
