@@ -38,6 +38,16 @@ from .pipelines.wcc import wcc
 from .state.catalog import GraphCatalog, degree_distribution, filter_subgraph
 from .state.graph import Graph, ParquetGraph
 from .state.store import GraphStore as TypedGraphStore
+# training-data pipeline operators (the 100 TB corpus surface)
+from .functions.dedup import (exact_dedup, minhash_near_dups,
+                              minhash_md5_near_dups, simhash_table,
+                              simhash_near_dups, embedding_dup_pairs,
+                              embedding_dup_pairs_lsh)
+from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
+                                   train_ivf_centroids, ivf_partition)
+from .functions.text import (TokenCounter, TextStats, QualityScorer,
+                             LanguageId, Sha256, Fingerprint)
+from .pipelines.windows import tumbling_window, sessionize
 
 __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
@@ -53,6 +63,13 @@ __all__ = [
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",
     "graphsage_train", "graphsage_embeddings", "GraphSageModel",
+    # training-data pipeline operators
+    "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
+    "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh", "cosine_topk", "lsh_topk", "ivf_topk",
+    "train_ivf_centroids", "ivf_partition", "TokenCounter", "TextStats",
+    "QualityScorer", "LanguageId", "Sha256", "Fingerprint",
+    "tumbling_window", "sessionize",
 ]
 
 __version__ = "0.1.0"

@@ -42,3 +42,15 @@ def test_stats_mode(tmp_path):
     s = main(["run", "--algo", "wcc", "--graph", str(tmp_path / "g"),
               "--out", "unused", "--mode", "stats"])
     assert "communityCount" in s
+
+
+def test_public_surface_exports_resolve():
+    """Every name in __all__ must be importable from the package root — the
+    public surface a reference user switches to (graph algorithms AND the
+    training-data pipeline operators)."""
+    import graph_data_science_ray as g
+    missing = [n for n in g.__all__ if not hasattr(g, n)]
+    assert missing == []
+    for n in ("exact_dedup", "minhash_near_dups", "ivf_topk", "cosine_topk",
+              "tumbling_window", "LanguageId"):
+        assert n in g.__all__
