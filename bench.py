@@ -374,29 +374,35 @@ def run_scaling_suite() -> dict:
         num_partitions=max(4, min(NUM_CPUS, 16))))
 
     # ENGINE CPU-ceiling control (diagnostic, outside the suite total): a
-    # compute-dominated map_batches stage — chained sha256 per doc, near-zero
-    # per-batch allocation — through the same Ray Data task path as every
-    # suite workload.  Its 8-vs-32 efficiency should match cpu_control (the
-    # host's pure-CPU 4x ceiling); if it does, the engine's task fan-out adds
-    # nothing, and the suite's efficiency deficit is the workloads'
-    # DRAM/allocation intensity on this one box, not engine overhead.
+    # compute-dominated map_batches stage — per row, a 600-round sha256
+    # chain seeded from the row id (8 packed bytes; NO text/string
+    # materialization, near-zero per-batch allocation) — through the same
+    # Ray Data task path as every suite workload.  Its 8-vs-32 efficiency
+    # should match cpu_control (the host's pure-CPU 4x ceiling); if it does,
+    # the engine's task fan-out adds nothing, and the suite's efficiency
+    # deficit is the workloads' DRAM/allocation intensity on this one box,
+    # not engine overhead.
     import hashlib
+    import struct
 
+    import numpy as np
     import pyarrow as pa
-    docs_cpu = ray.data.from_arrow(_synthetic_docs(48_000, seed=11)) \
+    ids_cpu = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(48_000, dtype=np.int64)})) \
         .repartition(NUM_CPUS * 4).materialize()
 
     def _sha_chain(t: "pa.Table") -> "pa.Table":
-        out = []
-        for s in t.column("text").to_pylist():
-            h = s.encode()
+        out = np.empty(t.num_rows, dtype=np.int64)
+        for i, did in enumerate(
+                t.column("doc_id").to_numpy(zero_copy_only=False)):
+            h = struct.pack("<q", did)
             for _ in range(600):
                 h = hashlib.sha256(h).digest()
-            out.append(h.hex())
-        return pa.table({"doc_id": t.column("doc_id"), "sha": out})
+            out[i] = int.from_bytes(h[:8], "little", signed=True)
+        return pa.table({"doc_id": t.column("doc_id"), "sha64": out})
 
     t0 = time.perf_counter()
-    docs_cpu.map_batches(_sha_chain, batch_format="pyarrow").count()
+    ids_cpu.map_batches(_sha_chain, batch_format="pyarrow").count()
     extra["engine_cpu_bound_sec"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
