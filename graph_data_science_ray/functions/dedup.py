@@ -24,6 +24,11 @@ from .compat import round_half_away
 
 _MERSENNE = (1 << 61) - 1
 
+# candidate-pair count at or below which the near-dup verify gathers only the
+# candidate texts and verifies in one task; above it, two partitioned hash
+# joins ship texts to the pairs (the 100 TB path — patchable in tests)
+_VERIFY_SMALL_GATE = 100_000
+
 
 def _token_shingles(text: str, k: int = 3) -> set:
     toks = text.split()
@@ -310,7 +315,7 @@ def _banded_jaccard_pairs(bands, docs_ds, *, num_bands: int,
     # docs and verify in a single task, instead of shuffling every document
     # through two partitioned hash joins.  Above the gate the join path runs
     # (a huge pair set must not concentrate on the driver or one worker).
-    if n_pairs <= 100_000:
+    if n_pairs <= _VERIFY_SMALL_GATE:
         import ray as _ray
 
         from ..stages.blocks import concat_nonempty, nonempty_arrow_refs

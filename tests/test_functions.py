@@ -79,6 +79,26 @@ class TestMinHash:
             assert got[k] == pytest.approx(exp[k], abs=1e-6)
         assert (0, 20) in got and got[(0, 20)] == 1.0  # planted exact dup
 
+    def test_verify_join_path_equals_small_path(self, monkeypatch):
+        """The >gate verify path (two partitioned hash joins — the 100 TB
+        shape) must produce exactly the small-path result; forced by dropping
+        the gate to 0 so every candidate set takes the join path."""
+        from graph_data_science_ray.functions import dedup as dd
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(400)]
+        texts = [" ".join(rng.choice(vocab, 50)) for _ in range(15)]
+        texts += [texts[0], texts[2] + " x1", texts[4] + " x1 x2"]
+        ds = _docs_ds(texts)
+        small = dd.minhash_near_dups(ds, threshold=0.5).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        monkeypatch.setattr(dd, "_VERIFY_SMALL_GATE", 0)
+        join = dd.minhash_near_dups(ds, threshold=0.5).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        assert len(small) > 0
+        assert small[["doc_a", "doc_b"]].equals(join[["doc_a", "doc_b"]])
+        np.testing.assert_allclose(small["jaccard"], join["jaccard"],
+                                   atol=1e-12)
+
     def test_signature_similarity_estimates_jaccard(self):
         from graph_data_science_ray.functions.dedup import MinHasher, exact_jaccard
         mh = MinHasher(num_perms=128)
