@@ -592,6 +592,30 @@ def _q_knn_cosine_ivf(sf_dir: str):
                          zero_copy_only=False))})
 
 
+def _q_knn_cosine_ivf_full(sf_dir: str):
+    """IVF top-k with nprobe == num_lists: every inverted list is probed, so
+    the result is EXACT (== cosine_topk == the knn_cosine SQL oracle) while
+    still running the full IVF assign → filter → score path — this converts
+    the IVF machinery from rows-only to oracle-checked."""
+    from graph_data_science_ray.functions.similarity import ivf_topk
+    rd = _ray_data()
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=1024):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if hit.shape[0]:
+            q = np.asarray(b.column("embedding").to_pylist()[int(hit[0])],
+                           dtype=np.float64)
+            break
+    out = ivf_topk(emb, q, k=10, num_lists=16, nprobe=16, exclude_id=0)
+    t = _to_table(out)
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "cos_sim": _round6(t.column("cos_sim").to_numpy(
+                         zero_copy_only=False))})
+
+
 def _q_embedding_norms(sf_dir: str):
     from graph_data_science_ray.functions.similarity import L2Norm
     rd = _ray_data()
@@ -912,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_cosine_lsh,
         "knn_cosine_ivf": _q_knn_cosine_ivf,
+        "knn_cosine_ivf_full": _q_knn_cosine_ivf_full,
         "embedding_norms": _q_embedding_norms,
         "events_hourly": _q_events_hourly,
         "sessionize_events": _q_sessionize,
@@ -1566,6 +1591,15 @@ FROM documents
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
 """,
         "knn_cosine": """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+LIMIT 10
+""",
+        # exhaustive-probe IVF is exact, so it shares the brute-force oracle
+        "knn_cosine_ivf_full": """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS cos_sim

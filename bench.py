@@ -455,9 +455,23 @@ def run_saturation_suite() -> dict:
             "ns_per_edge_by_p": curve}
 
 
+def _scaling_levels() -> tuple[int, int]:
+    """The two CPU levels of the N-vs-4N proxy.  Default 8,32; override with
+    GDS_SCALING_LEVELS="2,8" to measure the regime where one box is NOT yet
+    DRAM-bandwidth-saturated (the saturation curve shows the suite workloads
+    pin memory bandwidth from ~8 concurrent actors up on this host, so 8→32
+    measures the host ceiling, while 2→8 measures the engine)."""
+    lo, hi = (int(x) for x in
+              os.environ.get("GDS_SCALING_LEVELS", "8,32").split(","))
+    if lo >= hi:
+        raise ValueError(f"GDS_SCALING_LEVELS must be low,high — got {lo},{hi}")
+    return lo, hi
+
+
 def run_scaling() -> dict:
-    """Same suite at num_cpus=8 and 32 in fresh processes (the two-cluster-size
-    proxy).  efficiency = (T_8 / T_32) / (32/8); 1.0 = linear scaling.
+    """Same suite at two num_cpus levels (default 8 and 32) in fresh processes
+    (the two-cluster-size proxy).  efficiency = (T_lo / T_hi) / (hi/lo);
+    1.0 = linear scaling.
     Each level is run twice and the faster run kept — this sandbox VM shows large
     run-to-run variance (CPU steal), and min-of-N isolates engine behavior."""
     # interleave the two levels and keep the per-level minimum: this VM shows
@@ -469,20 +483,22 @@ def run_scaling() -> dict:
     from graph_data_science_ray.stages.memory import (cpu_scaling_control,
                                                       provisioning_probe)
 
+    LO, HI = _scaling_levels()
     out = {}
-    canaries = {8: [], 32: []}
-    probes = {8: [], 32: []}
-    clean = {8: False, 32: False}
+    canaries = {LO: [], HI: []}
+    probes = {LO: [], HI: []}
+    clean = {LO: False, HI: False}
     # concurrent first-touch probe: the single-process canary can read
     # healthy while the CONCURRENT provisioning path (what a 32-CPU run
     # actually exercises) is degraded — record both dimensions, and gate
     # each rep on BOTH (a 32-proc probe >1s means any 32-way stage inside
     # the rep may hit the provisioning collapse even with clean canaries)
-    prov_before = {"8": provisioning_probe(8), "32": provisioning_probe(32)}
+    prov_before = {str(LO): provisioning_probe(LO),
+                   str(HI): provisioning_probe(HI)}
     reps = 0
-    while reps < 2 or (reps < 6 and not (clean[8] and clean[32])):
+    while reps < 2 or (reps < 6 and not (clean[LO] and clean[HI])):
         reps += 1
-        for ncpu in (8, 32):
+        for ncpu in (LO, HI):
             if reps > 2 and clean[ncpu]:
                 continue
             pp = provisioning_probe(ncpu)
@@ -511,65 +527,69 @@ def run_scaling() -> dict:
     # bandwidth-control diagnostic (untimed): ns/edge-vs-P saturation curve at
     # both CPU counts — identical fixed-pool PageRank jobs, P = 4/8/16/32
     sat = {}
-    for ncpu in (8, 32):
+    for ncpu in (LO, HI):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         r = subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--saturation-suite"], env=env,
                            capture_output=True, text=True, check=True)
         sat[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
-    q8, q32 = out[8]["queries"], out[32]["queries"]
-    per_query_eff = {k: round((q8[k] / q32[k]) / 4, 3) for k in q8 if q32.get(k)}
+    ratio = HI / LO
+    t_lo, t_hi = out[LO]["value"], out[HI]["value"]
+    eff = (t_lo / t_hi) / ratio
+    q_lo, q_hi = out[LO]["queries"], out[HI]["queries"]
+    per_query_eff = {k: round((q_lo[k] / q_hi[k]) / ratio, 3)
+                     for k in q_lo if q_hi.get(k)}
     return {
-        "metric": "scaling efficiency, num_cpus 8 vs 32 (N vs 4N proxy)",
-        "sec_8": t8, "sec_32": t32,
-        "throughput_ratio": round(t8 / t32, 3),
+        "metric": (f"scaling efficiency, num_cpus {LO} vs {HI} "
+                   f"(N vs {ratio:g}N proxy)"),
+        f"sec_{LO}": t_lo, f"sec_{HI}": t_hi,
+        "throughput_ratio": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "per_query_efficiency": per_query_eff,
-        "queries_8": q8, "queries_32": q32,
+        f"queries_{LO}": q_lo, f"queries_{HI}": q_hi,
         # first-touch canaries ([before, after] per rep, per level): reps with
         # values >0.5s ran inside a VM memory-provisioning burst (10-50x slow)
-        "vm_canaries_8": canaries[8], "vm_canaries_32": canaries[32],
+        f"vm_canaries_{LO}": canaries[LO], f"vm_canaries_{HI}": canaries[HI],
         # per-rep CONCURRENT provisioning probe, taken just before each rep —
         # a rep is accepted as clean only when canaries < 0.5s AND probe < 1s
-        "provisioning_probes_8": probes[8], "provisioning_probes_32": probes[32],
-        "clean_rep_8": clean[8], "clean_rep_32": clean[32],
+        f"provisioning_probes_{LO}": probes[LO],
+        f"provisioning_probes_{HI}": probes[HI],
+        f"clean_rep_{LO}": clean[LO], f"clean_rep_{HI}": clean[HI],
         # sec for N procs to each first-touch 50MB (healthy: <1s even at 32;
-        # a large 32-value with a small 8-value = the host slows CONCURRENT
-        # page provisioning, which penalizes exactly the 32-CPU level)
+        # a large high-level value with a small low-level value = the host
+        # slows CONCURRENT page provisioning, penalizing the high CPU level)
         "provisioning_probe_before": prov_before,
-        "provisioning_probe_after": {"8": provisioning_probe(8),
-                                     "32": provisioning_probe(32)},
-        "pagerank_edges_per_sec_8": out[8].get("pagerank_edges_per_sec"),
-        "pagerank_edges_per_sec_32": out[32].get("pagerank_edges_per_sec"),
+        "provisioning_probe_after": {str(LO): provisioning_probe(LO),
+                                     str(HI): provisioning_probe(HI)},
+        f"pagerank_edges_per_sec_{LO}": out[LO].get("pagerank_edges_per_sec"),
+        f"pagerank_edges_per_sec_{HI}": out[HI].get("pagerank_edges_per_sec"),
         # sliced-payload diagnostic (O(P^2) objects single-box price of the
         # multi-node wire shape) — measured alongside, outside the suite total
-        "pagerank_1m_sliced_sec_8": out[8].get("pagerank_1m_sliced_sec"),
-        "pagerank_1m_sliced_sec_32": out[32].get("pagerank_1m_sliced_sec"),
-        "pagerank_1m_grouped_sec_8": out[8].get("pagerank_1m_grouped_sec"),
-        "pagerank_1m_grouped_sec_32": out[32].get("pagerank_1m_grouped_sec"),
+        f"pagerank_1m_sliced_sec_{LO}": out[LO].get("pagerank_1m_sliced_sec"),
+        f"pagerank_1m_sliced_sec_{HI}": out[HI].get("pagerank_1m_sliced_sec"),
+        f"pagerank_1m_grouped_sec_{LO}": out[LO].get("pagerank_1m_grouped_sec"),
+        f"pagerank_1m_grouped_sec_{HI}": out[HI].get("pagerank_1m_grouped_sec"),
         # identical fixed-pool PageRank at P=4/8/16/32 under each CPU count:
         # matching ns/edge at equal P across CPU counts = the efficiency gap is
         # DRAM saturation on this one box, which added cluster NODES restore
-        "saturation_ns_per_edge_8": sat[8]["ns_per_edge_by_p"],
-        "saturation_ns_per_edge_32": sat[32]["ns_per_edge_by_p"],
-        "fixed_p8_ns_per_edge_8": sat[8]["ns_per_edge_by_p"].get("8"),
-        "fixed_p8_ns_per_edge_32": sat[32]["ns_per_edge_by_p"].get("8"),
-        # pure-CPU 8-vs-32 control: the host's best-case 4x-parallelism
+        f"saturation_ns_per_edge_{LO}": sat[LO]["ns_per_edge_by_p"],
+        f"saturation_ns_per_edge_{HI}": sat[HI]["ns_per_edge_by_p"],
+        f"fixed_p8_ns_per_edge_{LO}": sat[LO]["ns_per_edge_by_p"].get("8"),
+        f"fixed_p8_ns_per_edge_{HI}": sat[HI]["ns_per_edge_by_p"].get("8"),
+        # pure-CPU low-vs-high control: the host's best-case 4x-parallelism
         # efficiency for ANY workload at measurement time (CPU steal /
         # overcommit caps it below 1.0 independent of the engine)
-        "cpu_control": cpu_scaling_control(),
+        "cpu_control": cpu_scaling_control((LO, HI)),
         # engine CPU-ceiling control: the same comparison THROUGH the engine
         # (a compute-dominated map_batches stage) — reading ≈ cpu_control
         # means Ray Data's task path adds no scaling overhead of its own
-        "engine_cpu_bound_sec_8": out[8].get("engine_cpu_bound_sec"),
-        "engine_cpu_bound_sec_32": out[32].get("engine_cpu_bound_sec"),
+        f"engine_cpu_bound_sec_{LO}": out[LO].get("engine_cpu_bound_sec"),
+        f"engine_cpu_bound_sec_{HI}": out[HI].get("engine_cpu_bound_sec"),
         "engine_cpu_bound_efficiency": (
-            round((out[8]["engine_cpu_bound_sec"]
-                   / out[32]["engine_cpu_bound_sec"]) / 4, 3)
-            if out[8].get("engine_cpu_bound_sec")
-            and out[32].get("engine_cpu_bound_sec") else None),
+            round((out[LO]["engine_cpu_bound_sec"]
+                   / out[HI]["engine_cpu_bound_sec"]) / ratio, 3)
+            if out[LO].get("engine_cpu_bound_sec")
+            and out[HI].get("engine_cpu_bound_sec") else None),
     }
 
 

@@ -206,7 +206,8 @@ def ivf_partition(emb_ds, centroids: np.ndarray):
 def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *,
              num_lists: int = 16, nprobe: int = 4,
              centroids: np.ndarray | None = None,
-             sample_rows: int = 4096, seed: int = 29):
+             sample_rows: int = 4096, seed: int = 29,
+             exclude_id: int | None = None):
     """IVF-partitioned approximate top-k (the classic coarse-quantizer ANN
     shape: Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI'11 — here with exact in-list scoring instead of PQ codes).
@@ -215,7 +216,11 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *,
     centroids are closest to the query.  Like `lsh_topk` this is ONE streaming
     pass (assign → filter → score in-stream); pass a pre-trained ``centroids``
     matrix to reuse a quantizer across queries (the index-build shape —
-    see `ivf_partition` for the persistent layout)."""
+    see `ivf_partition` for the persistent layout).
+
+    ``nprobe >= num_lists`` probes every list, making the result EXACT
+    (identical to `cosine_topk`) while still exercising the full
+    assign → filter → score path — the oracle-checkable configuration."""
     q = np.asarray(query_vec, dtype=np.float64)
     if centroids is None:
         centroids = train_ivf_centroids(emb_ds, num_lists,
@@ -229,4 +234,4 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *,
             t.column("ivf_list").to_numpy(zero_copy_only=False), probed)))
         .drop_columns(["ivf_list"]),
         batch_format="pyarrow")
-    return cosine_topk(cand, q, k)
+    return cosine_topk(cand, q, k, exclude_id=exclude_id)

@@ -213,6 +213,21 @@ class TestSimilarity:
         recall = len(set(out["vec_id"]) & exact_top) / 10
         assert recall >= 0.9
 
+    def test_ivf_topk_exhaustive_probe_is_exact(self):
+        """nprobe == num_lists scores every vector → identical to the exact
+        brute-force top-k (the oracle-checkable configuration of
+        `knn_cosine_ivf_full`), incl. the exclude_id pass-through."""
+        from graph_data_science_ray.functions.similarity import (cosine_topk,
+                                                                  ivf_topk)
+        ds, v = self._clustered_emb_ds()
+        q = v[3]
+        got = ivf_topk(ds, q, k=10, num_lists=8, nprobe=8,
+                       exclude_id=3).to_pandas()
+        exp = cosine_topk(ds, q, k=10, exclude_id=3).to_pandas()
+        assert list(got["vec_id"]) == list(exp["vec_id"])
+        assert np.allclose(got["cos_sim"], exp["cos_sim"], atol=0)
+        assert 3 not in set(got["vec_id"])
+
     def test_ivf_partition_covers_every_row_once(self):
         from graph_data_science_ray.functions.similarity import (
             ivf_partition, train_ivf_centroids)
