@@ -93,6 +93,13 @@ def compute_sha_table(corpus_dir: str):
 def _assign_dense_ids(keys_ds):
     """Distinct sorted keys -> (vid, key) Dataset with dense rank ids.
 
+    ``keys_ds``: one Dataset or a LIST of Datasets whose single "key" columns
+    are unioned ref-wise.  (A list avoids ``Dataset.union`` before
+    ``materialize`` — measured 2.2x slower than materializing the branches
+    back-to-back and concatenating block refs, 1.39s vs 0.64s on the
+    400k-file bench corpus: union's serialized branch scheduling, not the
+    data, was the cost.)
+
     Scale path (no Ray Data sampled sort): per-block pre-dedup → range
     exchange on string boundaries sampled from a bounded subset of blocks
     (stages/exchange.py) → per-partition sort+unique (ascending ranges, so
@@ -113,9 +120,13 @@ def _assign_dense_ids(keys_ds):
         import pyarrow.compute as pc
         return pa.table({"key": pc.unique(t.column("key"))})
 
-    distinct = keys_ds.map_batches(_local_distinct,
-                                   batch_format="pyarrow").materialize()
-    refs, counts = nonempty_arrow_refs(distinct)
+    refs, counts = [], []
+    for ds in (keys_ds if isinstance(keys_ds, list) else [keys_ds]):
+        distinct = ds.map_batches(_local_distinct,
+                                  batch_format="pyarrow").materialize()
+        r, c = nonempty_arrow_refs(distinct)
+        refs.extend(r)
+        counts.extend(int(x) for x in c)
     if not refs:
         return (ray.data.from_arrow(
             pa.table({"vid": pa.array([], pa.int64()),
@@ -299,7 +310,7 @@ def build_graph_layout_from_corpus(corpus_dir: str, out_dir: str, *,
             [t.column("src_key").combine_chunks(),
              t.column("dst_key").combine_chunks()])}),
         batch_format="pyarrow")
-    vertices_ds, n = _assign_dense_ids(repo_keys.union(dep_keys))
+    vertices_ds, n = _assign_dense_ids([repo_keys, dep_keys])
     vertices_ds = vertices_ds.materialize()  # id map reused by both join sides
     _mark("dense ids")
 
@@ -462,7 +473,7 @@ def build_graph_from_corpus(corpus_dir: str, *, save_dir: Optional[str] = None,
             [t.column("src_key").combine_chunks(),
              t.column("dst_key").combine_chunks()])}),
         batch_format="pyarrow")
-    vertices_ds, n = _assign_dense_ids(repo_keys.union(dep_keys))
+    vertices_ds, n = _assign_dense_ids([repo_keys, dep_keys])
 
     # broadcast the (sorted) key array once; resolve ids per batch via searchsorted
     from ..stages.blocks import concat_nonempty
