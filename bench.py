@@ -465,7 +465,7 @@ def run_saturation_suite() -> dict:
     os.environ["GDS_ACTOR_POOL_CACHE"] = "1"
     g = random_graph(1_000_000, 32, weighted=False, seed=3)
     curve = {}
-    for P in (4, 8, 16, 32):
+    for P in (2, 4, 8, 16, 32):
         if P > NUM_CPUS:  # a P-actor BSP pool needs P concurrent 1-CPU actors
             continue
         g.shard_refs(P)  # publish the P-way sharding untimed
