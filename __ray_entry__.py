@@ -878,6 +878,91 @@ def _q_corpus_pagerank(sf_dir: str):
                      "score": _round6(res.table.column("score").to_numpy(zero_copy_only=False))})
 
 
+def _q_asof_click(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each event attributed to
+    the most recent at-or-before 'click' event of the same user — the event-
+    log enrichment shape; hash-bucketed exchange + per-bucket sorted merge."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray import asof_join
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "value"])
+    clicks = _rpc(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "ts", "user_id", "event_type"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+            .select(["event_id", "ts", "user_id"]), batch_format="pyarrow")
+    t = _to_table(asof_join(ev, clicks, on="user_id", left_ts="ts",
+                            right_ts="ts", right_cols=["event_id", "ts"]))
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df["click_ts_us"] = df["ts_r"].astype("datetime64[us]").astype("int64")
+    df["value"] = _round6(df["value"].to_numpy())
+    df = df.rename(columns={"event_id_r": "click_event_id"})
+    return pa.Table.from_pandas(
+        df[["event_id", "ts_us", "user_id", "value", "click_event_id",
+            "click_ts_us"]], preserve_index=False)
+
+
+def _q_orders_price_bands(sf_dir: str):
+    """Broadcast range join: orders bucketed into price bands (small side
+    published once with ray.put), then a tiny per-band aggregate."""
+    from graph_data_science_ray import range_join
+    bands = pa.table({"band": ["low", "mid", "high", "lux"],
+                      "lo": [0.0, 100000.0, 200000.0, 300000.0],
+                      "hi": [100000.0, 200000.0, 300000.0, 1e12]})
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_totalprice"])
+    t = _to_table(range_join(orders, bands, "o_totalprice"))
+    agg = t.group_by(["band"]).aggregate([("o_orderkey", "count"),
+                                          ("o_totalprice", "sum")])
+    agg = agg.rename_columns(["band", "n_orders", "sum_price"])
+    return pa.table({"band": agg.column("band"),
+                     "n_orders": agg.column("n_orders"),
+                     "sum_price": _round6(
+                         agg.column("sum_price").to_numpy())})
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 3 longest documents per language (deterministic doc_id
+    tiebreak); partial top-k per batch, O(groups·k) shuffle."""
+    from graph_data_science_ray import top_k_per_group
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    t = _to_table(top_k_per_group(docs, "lang", "n_chars", 3,
+                                  tiebreak="doc_id"))
+    return t.select(["doc_id", "lang", "n_chars"])
+
+
+def _q_event_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (R-7 == DuckDB quantile_cont)."""
+    from graph_data_science_ray import grouped_quantiles
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    t = _to_table(grouped_quantiles(ev, "event_type", "value",
+                                    (0.25, 0.5, 0.75, 0.99)))
+    return pa.table({"event_type": t.column("event_type"),
+                     "q": t.column("q"),
+                     "value": _round6(t.column("value").to_numpy())})
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping windows (1h size / 30min slide): replicate-and-pre-aggregate
+    partials, window-hash final combine."""
+    from graph_data_science_ray import hopping_window
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    t = _to_table(hopping_window(ev, 3600, 1800))
+    return pa.table({"window_us": t.column("window_us"),
+                     "n_events": t.column("n_events"),
+                     "sum_value": _round6(t.column("sum_value").to_numpy())})
+
+
+def _q_vocab_top_terms(sf_dir: str):
+    """Corpus vocabulary top-100: Arrow C-kernel partial term counts, term-
+    hash exchange, per-partition top-k (globally correct — a term lives in
+    exactly one partition), driver merge of partitions×k rows."""
+    from graph_data_science_ray import vocab_top_terms
+    return vocab_top_terms(_docs(sf_dir, ["text"]), 100)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -959,6 +1044,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_minhash_md5": _q_near_dup_minhash_md5,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
+        # relational custom operators (as-of / range joins, grouped top-k,
+        # grouped quantiles, hopping windows, corpus vocabulary)
+        "asof_click_attribution": _q_asof_click,
+        "orders_price_bands": _q_orders_price_bands,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "events_hopping": _q_events_hopping,
+        "vocab_top_terms": _q_vocab_top_terms,
     }
 
 
@@ -1630,6 +1723,53 @@ SELECT user_id, epoch_us(MIN(ts))::BIGINT AS session_start,
        epoch_us(MAX(ts))::BIGINT AS session_end,
        COUNT(*)::BIGINT AS n_events, round(SUM(value), 6) AS sum_value
 FROM y GROUP BY user_id, sid
+""",
+        "asof_click_attribution": """
+SELECT e.event_id, epoch_us(e.ts)::BIGINT AS ts_us, e.user_id,
+       round(e.value, 6) AS value,
+       r.event_id AS click_event_id, epoch_us(r.ts)::BIGINT AS click_ts_us
+FROM events e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+ON e.user_id = r.user_id AND e.ts >= r.ts
+""",
+        "orders_price_bands": """
+SELECT b.band, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 6) AS sum_price
+FROM (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 200000.0),
+             ('high', 200000.0, 300000.0), ('lux', 300000.0, 1e12))
+     b(band, lo, hi)
+JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY 1
+""",
+        "top_docs_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+""",
+        "event_value_quantiles": """
+SELECT event_type, q::DOUBLE AS q, round(v, 6) AS value FROM (
+  SELECT event_type, 0.25 AS q, quantile_cont(value, 0.25) AS v
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.5, quantile_cont(value, 0.5) FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.75, quantile_cont(value, 0.75) FROM events GROUP BY 1
+  UNION ALL
+  SELECT event_type, 0.99, quantile_cont(value, 0.99) FROM events GROUP BY 1)
+""",
+        "events_hopping": """
+SELECT ((epoch_us(ts) // 1800000000) - i) * 1800000000 AS window_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events, range(2) r(i)
+GROUP BY 1
+""",
+        "vocab_top_terms": """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS cnt FROM toks WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term LIMIT 100
 """,
     }
     # grouped-payload PageRank computes the same scores through the per-node

@@ -46,8 +46,11 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
-                             LanguageId, Sha256, Fingerprint)
-from .pipelines.windows import tumbling_window, sessionize
+                             LanguageId, Sha256, Fingerprint, vocab_top_terms)
+from .functions.relational import (asof_join, range_join, top_k_per_group,
+                                   grouped_quantiles)
+from .functions.joins import hash_join, semi_join_filter
+from .pipelines.windows import tumbling_window, sessionize, hopping_window
 
 __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
@@ -69,7 +72,9 @@ __all__ = [
     "embedding_dup_pairs_lsh", "cosine_topk", "lsh_topk", "ivf_topk",
     "train_ivf_centroids", "ivf_partition", "TokenCounter", "TextStats",
     "QualityScorer", "LanguageId", "Sha256", "Fingerprint",
-    "tumbling_window", "sessionize",
+    "tumbling_window", "sessionize", "hopping_window",
+    "asof_join", "range_join", "top_k_per_group", "grouped_quantiles",
+    "hash_join", "semi_join_filter", "vocab_top_terms",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,357 @@
+"""Relational operators Ray Data lacks, built on the known-partitioner
+exchange (stages/exchange.py): as-of join, range join, grouped top-k and
+grouped quantiles.
+
+These are the "custom operator" tier of the build plan: each is expressed as
+a composition of per-batch partials + an explicit hash exchange (never Ray
+Data's sampled-sort groupby), with the partitioning assumption documented on
+each function.  The reference has no streaming/temporal machinery at all
+(SURVEY.md §1.3); these cover the training-data-pipeline shapes (event-log
+enrichment, banded bucketing, per-group selection/statistics) a 100 TB
+corpus pipeline needs around the graph algorithms.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+_SIDE = "__asof_side"
+_BUCKET = "__rel_bucket"
+
+
+def _col_bucket_values(col: pa.ChunkedArray, P: int) -> np.ndarray:
+    """Bucket ids for an int or string column (crc32 for strings — Python's
+    str hash is per-process salted and would split keys across workers)."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38))
+                % np.uint64(P)).astype(np.int64)
+    from zlib import crc32
+    return np.asarray([crc32(x.encode()) % P for x in col.to_pylist()],
+                      dtype=np.int64)
+
+
+def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
+              right_ts: str = "ts", right_cols: Optional[Sequence[str]] = None,
+              direction: str = "backward", num_buckets: Optional[int] = None,
+              suffix: str = "_r"):
+    """As-of join: for each left row, attach the right row with the same
+    ``on`` key and the greatest ``right_ts`` <= ``left_ts`` (``backward``;
+    ``forward`` = smallest right_ts >= left_ts).  Inner semantics — left rows
+    with no match are dropped — matching DuckDB's default ``ASOF JOIN``.
+
+    Shape: both sides are tagged with ``hash(on) % B`` and routed through one
+    grouped exchange; each bucket task runs a single vectorized
+    ``pandas.merge_asof`` (the sorted-merge kernel itself — per PARTITION,
+    not per batch, so the pandas conversion amortizes over the whole bucket).
+
+    Partitioning assumption: all rows of one key land in one bucket (hash
+    partitioning guarantees it); a bucket pair must fit a worker — size
+    ``num_buckets`` accordingly for skewed keys.
+
+    Determinism: if several right rows tie on (key, right_ts) exactly, the
+    match among them is unspecified (DuckDB's ASOF documents the same) —
+    pre-deduplicate the right side for bit-stable output.
+    """
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction}")
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rnames = list(rschema.names)
+    if right_cols is None:
+        right_cols = [c for c in rnames if c not in (on,)]
+    # right ts column must ride along for the merge even if not requested
+    carry = list(dict.fromkeys([*right_cols, right_ts]))
+    out_right = [(c, c + suffix if c in lcols else c) for c in right_cols]
+
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(left_ds))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        dt = np.dtype(t)
+        if dt.kind in ("U", "S", "O"):
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    union_order = ([on] + [c for c in lcols if c != on]
+                   + [f"__r_{c}" for c in carry] + [_BUCKET, _SIDE])
+
+    def _pad_left(t: pa.Table) -> pa.Table:
+        for c in carry:
+            t = t.append_column(pa.field(f"__r_{c}", rtypes[c]),
+                                pa.nulls(t.num_rows, type=rtypes[c]))
+        t = t.append_column(_SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.select(union_order)
+
+    def _pad_right(t: pa.Table) -> pa.Table:
+        for c in carry:
+            t = t.append_column(pa.field(f"__r_{c}", rtypes[c]),
+                                t.column(c))
+        keep = [on] + [f"__r_{c}" for c in carry] + [_BUCKET]
+        t = t.select(keep)
+        for c in lcols:
+            if c != on:
+                t = t.append_column(pa.field(c, ltypes[c]),
+                                    pa.nulls(t.num_rows, type=ltypes[c]))
+        t = t.append_column(_SIDE, pa.array(np.ones(t.num_rows, np.int8)))
+        return t.select(union_order)
+
+    def _tag_key(t: pa.Table) -> pa.Table:
+        b = _col_bucket_values(t.column(on), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    lt = left_ds.map_batches(_tag_key, batch_format="pyarrow") \
+        .map_batches(_pad_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(_tag_key, batch_format="pyarrow") \
+        .map_batches(_pad_right, batch_format="pyarrow")
+
+    out_fields = ([pa.field(on, ltypes[on])]
+                  + [pa.field(c, ltypes[c]) for c in lcols if c != on]
+                  + [pa.field(nm, rtypes[c]) for c, nm in out_right])
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_fields})
+
+    def _join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        l = g.filter(lmask).select([on] + [c for c in lcols if c != on])
+        r = g.filter(pa.compute.invert(lmask)) \
+            .select([on] + [f"__r_{c}" for c in carry])
+        if l.num_rows == 0 or r.num_rows == 0:
+            return empty
+        ldf = l.to_pandas()
+        rdf = r.to_pandas()
+        merged = pd.merge_asof(
+            ldf.sort_values(left_ts, kind="stable"),
+            rdf.sort_values(f"__r_{right_ts}", kind="stable"),
+            left_on=left_ts, right_on=f"__r_{right_ts}",
+            left_by=on, right_by=on, direction=direction,
+            allow_exact_matches=True)
+        matched = merged[merged[f"__r_{right_ts}"].notna()]
+        cols = {on: matched[on].to_numpy()}
+        for c in lcols:
+            if c != on:
+                cols[c] = matched[c].to_numpy()
+        arrs = [pa.array(cols[on]).cast(ltypes[on])] + [
+            pa.array(cols[c]).cast(ltypes[c]) for c in lcols if c != on]
+        for c, nm in out_right:
+            # matched rows only: restore the right column's true type (the
+            # merge floats int columns that carried NaNs pre-filter)
+            v = matched[f"__r_{c}"]
+            arrs.append(pa.array(v).cast(rtypes[c]))
+        return pa.table({f.name: a for f, a in zip(out_fields, arrs)})
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(lt.union(rt), _BUCKET, num_buckets, _join_bucket,
+                            empty_result=empty)
+
+
+def range_join(ds, bands: pa.Table, value_col: str, *, lo_col: str = "lo",
+               hi_col: str = "hi"):
+    """Broadcast range (interval) join: keep rows where some band's
+    ``lo <= value < hi``, appending that band's label columns.  Overlapping
+    bands emit one output row per matching band.
+
+    The band table is the SMALL side (published once with ``ray.put``, read
+    per batch — never re-shipped, never shuffled).  Disjoint ascending bands
+    take a single vectorized ``searchsorted`` per batch; overlapping bands
+    fall back to one vectorized mask per band (#bands is small by contract).
+    """
+    import ray
+
+    lo = np.asarray(bands.column(lo_col).to_pylist(), dtype=np.float64)
+    hi = np.asarray(bands.column(hi_col).to_pylist(), dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    band_cols = [c for c in bands.column_names if c not in (lo_col, hi_col)]
+    btab = bands.take(pa.array(order, type=pa.int64())).select(band_cols)
+    disjoint = bool(np.all(hi[:-1] <= lo[1:])) if lo.shape[0] > 1 else True
+    ref = ray.put((lo, hi, btab, disjoint))
+
+    class _RangeJoin:
+        def __init__(self):
+            self.state = None
+            self.__name__ = "range_join"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.state is None:
+                self.state = ray.get(ref)
+            lo, hi, btab, disjoint = self.state
+            v = t.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            if disjoint:
+                idx = np.searchsorted(lo, v, side="right") - 1
+                ok = idx >= 0
+                ok[ok] &= v[ok] < hi[idx[ok]]
+                rows = np.nonzero(ok)[0]
+                bidx = idx[rows]
+            else:
+                rows_l, bidx_l = [], []
+                for b in range(lo.shape[0]):
+                    m = np.nonzero((v >= lo[b]) & (v < hi[b]))[0]
+                    rows_l.append(m)
+                    bidx_l.append(np.full(m.shape[0], b, dtype=np.int64))
+                rows = np.concatenate(rows_l) if rows_l else \
+                    np.array([], dtype=np.int64)
+                bidx = np.concatenate(bidx_l) if bidx_l else \
+                    np.array([], dtype=np.int64)
+            out = t.take(pa.array(rows, type=pa.int64()))
+            bsel = btab.take(pa.array(bidx, type=pa.int64()))
+            for c in band_cols:
+                out = out.append_column(c, bsel.column(c))
+            return out
+
+    return ds.map_batches(_RangeJoin(), batch_format="pyarrow")
+
+
+def _topk_kernel(t: pa.Table, group_col: str, order_col: str, k: int,
+                 largest: bool, tiebreak: Optional[str]) -> pa.Table:
+    """Vectorized per-table top-k per group: one lexsort + run-length ranks."""
+    if t.num_rows == 0:
+        return t
+    gcol = t.column(group_col)
+    if pa.types.is_integer(gcol.type):
+        g = gcol.to_numpy(zero_copy_only=False)
+    else:
+        # dense-rank string groups for the sort (order value irrelevant)
+        g = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
+                      return_inverse=True)[1]
+    v = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    keys = [v if not largest else -v]
+    if tiebreak is not None:
+        keys.insert(0, t.column(tiebreak).to_numpy(zero_copy_only=False))
+    order = np.lexsort(tuple(keys) + (g,))
+    gs = g[order]
+    starts = np.ones(gs.shape[0], dtype=bool)
+    starts[1:] = gs[1:] != gs[:-1]
+    start_idx = np.nonzero(starts)[0]
+    rank = np.arange(gs.shape[0]) - np.repeat(
+        start_idx, np.diff(np.append(start_idx, gs.shape[0])))
+    keep = order[rank < k]
+    return t.take(pa.array(np.sort(keep), type=pa.int64()))
+
+
+def top_k_per_group(ds, group_col: str, order_col: str, k: int, *,
+                    largest: bool = True, tiebreak: Optional[str] = None,
+                    num_buckets: Optional[int] = None):
+    """Top-k rows per group by ``order_col`` (ties broken by ``tiebreak``
+    ascending — pass one for deterministic output).
+
+    Partial/final: each batch keeps at most k rows per group (one lexsort),
+    then groups route through a hash exchange and the same kernel runs once
+    per bucket — the shuffle moves O(groups·k) rows, never the input.
+    """
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+
+    partial = ds.map_batches(
+        lambda t: _topk_kernel(t, group_col, order_col, k, largest, tiebreak),
+        batch_format="pyarrow")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = _col_bucket_values(t.column(group_col), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    def _final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return None  # replaced by empty_result
+        g = g.drop_columns([_BUCKET])
+        return _topk_kernel(g, group_col, order_col, k, largest, tiebreak)
+
+    from ..stages.exchange import grouped_exchange
+    schema = ds.schema()
+    empty = pa.table({n: pa.array([], t if isinstance(t, pa.DataType)
+                                  else pa.from_numpy_dtype(np.dtype(t)))
+                      for n, t in zip(schema.names, schema.types)})
+
+    def _final_safe(g: pa.Table) -> pa.Table:
+        out = _final(g)
+        return empty if out is None else out
+
+    return grouped_exchange(partial, _BUCKET, num_buckets, _final_safe,
+                            map_fn=_tag, empty_result=empty)
+
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      qs: Sequence[float] = (0.25, 0.5, 0.75, 0.99), *,
+                      num_buckets: Optional[int] = None):
+    """Exact per-group quantiles (NumPy linear interpolation — the R-7
+    estimator, identical to DuckDB/Postgres ``quantile_cont``).
+
+    Rows hash-route to their group's bucket and every group's values are
+    ranked in one partition — exact, like the reference's percentile
+    summaries (HistogramUtils.java / wcc stats mode).  Partitioning
+    assumption: one GROUP's values fit a worker (groups per bucket may be
+    many).  For heavy-hitter groups beyond worker memory, pre-aggregate to a
+    sketch instead — exactness is this operator's contract.
+    """
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+    qarr = np.asarray(list(qs), dtype=np.float64)
+
+    gtype = None
+    for n, t in zip(ds.schema().names, ds.schema().types):
+        if n == group_col:
+            gtype = t if isinstance(t, pa.DataType) else (
+                pa.string() if t is str or np.dtype(t).kind in ("U", "O")
+                else pa.from_numpy_dtype(np.dtype(t)))
+    empty = pa.table({group_col: pa.array([], gtype),
+                      "q": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.float64())})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        b = _col_bucket_values(t.column(group_col), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    def _quants(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        gcol = g.column(group_col)
+        if pa.types.is_integer(gcol.type):
+            garr = gcol.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(garr, return_inverse=True)
+            labels = pa.array(uniq).cast(gtype)
+        else:
+            garr = np.asarray(gcol.to_pylist(), dtype=object)
+            uniq, inv = np.unique(garr, return_inverse=True)
+            labels = pa.array(list(uniq), type=gtype)
+        v = g.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.argsort(inv, kind="stable")
+        vi, gi = v[order], inv[order]
+        starts = np.searchsorted(gi, np.arange(len(uniq) + 1))
+        out_g, out_q, out_v = [], [], []
+        for gidx in range(len(uniq)):
+            vals = np.sort(vi[starts[gidx]:starts[gidx + 1]])
+            out_v.append(np.quantile(vals, qarr))
+            out_q.append(qarr)
+            out_g.append(np.full(qarr.shape[0], gidx, dtype=np.int64))
+        gsel = pa.array(np.concatenate(out_g), type=pa.int64()) \
+            if out_g else pa.array([], pa.int64())
+        return pa.table({
+            group_col: labels.take(gsel),
+            "q": pa.array(np.concatenate(out_q) if out_q else
+                          np.array([], np.float64)),
+            "value": pa.array(np.concatenate(out_v) if out_v else
+                              np.array([], np.float64)),
+        })
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(ds, _BUCKET, num_buckets, _quants, map_fn=_tag,
+                            empty_result=empty)

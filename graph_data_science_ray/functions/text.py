@@ -130,6 +130,67 @@ class Sha256:
                          "sha256": pa.array(shas)})
 
 
+def vocab_top_terms(docs_ds, k: int = 100, *, text_col: str = "text",
+                    num_buckets: int = 0):
+    """Corpus vocabulary: the k most frequent space-separated lowercase terms
+    with counts, ties broken by term ascending.  Exact SQL equivalent:
+    ``unnest(string_split(lower(text), ' '))`` group-count order by
+    (count desc, term) limit k.
+
+    Shape: per-batch partial term counts (Arrow ``utf8_lower`` +
+    ``split_pattern`` + ``value_counts`` — all C kernels), a term-hash
+    exchange of the PARTIALS (each term lives in exactly one partition, so
+    per-partition top-k is globally correct), and a driver-side merge of
+    only partitions × k rows."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(batch.column(text_col)), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks.combine_chunks()
+                             if isinstance(toks, pa.ChunkedArray) else toks)
+        return pa.table({"term": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    partial = docs_ds.map_batches(_partial, batch_format="pyarrow")
+    if num_buckets <= 0:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(docs_ds))
+
+    from zlib import crc32
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = np.asarray([crc32(x.encode()) % num_buckets
+                        for x in t.column("term").to_pylist()],
+                       dtype=np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def _combine(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        summed = g.group_by(["term"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["term", "cnt"])
+        order = pc.sort_indices(summed, sort_keys=[("cnt", "descending"),
+                                                   ("term", "ascending")])
+        return summed.take(order.slice(0, k))
+
+    from ..stages.exchange import grouped_exchange
+    from ..stages.blocks import nonempty_arrow_refs
+    import ray
+
+    out = grouped_exchange(partial, "bucket", num_buckets, _combine,
+                           map_fn=_tag, empty_result=empty).materialize()
+    refs, _ = nonempty_arrow_refs(out)
+    tops = [t for t in ray.get(refs) if t.num_rows]
+    merged = pa.concat_tables(tops) if tops else empty
+    order = pc.sort_indices(merged, sort_keys=[("cnt", "descending"),
+                                               ("term", "ascending")])
+    return merged.take(order.slice(0, k))
+
+
 class Fingerprint:
     """Document fingerprint: md5 of lower(trim(text)) — exact SQL equivalent
     ``md5(lower(trim(text)))``; used as the exact-dedup key."""

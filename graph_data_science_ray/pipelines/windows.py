@@ -76,6 +76,64 @@ def tumbling_window(events_ds, window: str = "h"):
                             map_fn=_user_bucket_fn(nb))
 
 
+def hopping_window(events_ds, size_s: int = 3600, slide_s: int = 1800):
+    """Global hopping (sliding) windows: ``(window_start, n_events,
+    sum_value)`` for every window of ``size_s`` seconds starting each
+    ``slide_s`` seconds.  ``size_s`` must be a multiple of ``slide_s``; each
+    event lands in exactly ``size_s / slide_s`` windows.
+
+    Partial per batch: replicate each event's aligned base window k times
+    (vectorized int64 microsecond math — no temporal kernels needed) and
+    pre-aggregate; final combine hash-routes the tiny (window, partial)
+    rows.  The shuffle moves O(windows · batches), never the events."""
+    if size_s % slide_s != 0:
+        raise ValueError("size_s must be a multiple of slide_s")
+    k = size_s // slide_s
+    slide_us = np.int64(slide_s) * np.int64(1_000_000)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        base = (ts // slide_us) * slide_us
+        ws = (base[None, :] - (np.arange(k, dtype=np.int64)[:, None]
+                               * slide_us)).ravel()
+        vv = np.broadcast_to(v, (k, v.shape[0])).ravel()
+        uniq, inv = np.unique(ws, return_inverse=True)
+        return pa.table({
+            "window_us": uniq,
+            "n_events": np.bincount(inv, minlength=uniq.shape[0])
+            .astype(np.int64),
+            "sum_value": np.bincount(inv, weights=vv,
+                                     minlength=uniq.shape[0]),
+        })
+
+    partial = events_ds.map_batches(_partial, batch_format="pyarrow")
+    nb = max(2, _event_buckets(events_ds) // 4)
+    empty = pa.table({"window_us": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value": pa.array([], pa.float64())})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        w = t.column("window_us").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = ((w * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
+            % np.uint64(nb)
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def _combine(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        out = g.group_by(["window_us"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        return out.rename_columns(["window_us", "n_events", "sum_value"])
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(partial, "bucket", nb, _combine, map_fn=_tag,
+                            empty_result=empty)
+
+
 def sessionize(events_ds, gap_seconds: float = 1800.0):
     """Session windows per user: events sorted by ts within user; a gap > threshold
     starts a new session.  Ordering assumption: per-user event streams fit a group

@@ -1,0 +1,278 @@
+"""Relational custom operators (functions/relational.py, windows.hopping_window,
+text.vocab_top_terms): semantics pinned against DuckDB on synthetic inputs plus
+edge cases the exchange must survive (empty sides, single bucket, overlap)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _to_table(x):
+    import ray
+    if isinstance(x, pa.Table):
+        return x
+    tabs = [t for t in ray.get(x.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    return (pa.concat_tables(tabs, promote_options="permissive")
+            if tabs else pa.table({}))
+
+
+def _sorted_df(t: pa.Table):
+    df = t.to_pandas().sort_index(axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_tables_equal(got: pa.Table, exp: pa.Table, float_cols=()):
+    g, e = _sorted_df(got), _sorted_df(exp)
+    assert g.shape == e.shape, (g.shape, e.shape)
+    assert list(g.columns) == list(e.columns)
+    for c in g.columns:
+        a, b = g[c].to_numpy(), e[c].to_numpy()
+        if c in float_cols or a.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(float), b.astype(float),
+                                       atol=1e-9)
+        else:
+            assert (a == b).all(), c
+
+
+def _events(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000  # us, second-aligned-ish
+    return pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "event_type": pa.array(rng.choice(["click", "view", "buy"], n)),
+        "value": np.round(rng.random(n) * 100, 3),
+    })
+
+
+class TestAsofJoin:
+    def _run(self, left, right, direction="backward", num_buckets=None):
+        import ray.data as rd
+        from graph_data_science_ray import asof_join
+        res = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="user_id", left_ts="ts", right_ts="ts",
+                        right_cols=["event_id", "ts"], direction=direction,
+                        num_buckets=num_buckets)
+        return _to_table(res)
+
+    def _oracle(self, left, right, op):
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        return con.execute(f"""
+            SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value,
+                   r.event_id AS event_id_r, r.ts AS ts_r
+            FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts {op} r.ts
+        """).arrow()
+
+    def test_backward_matches_duckdb(self):
+        ev = _events()
+        right = ev.filter(pa.compute.equal(ev.column("event_type"), "click")) \
+            .select(["event_id", "ts", "user_id"])
+        got = self._run(ev, right)
+        exp = self._oracle(ev, right, ">=")
+        _assert_tables_equal(got, exp)
+
+    def test_forward_matches_duckdb(self):
+        ev = _events(seed=11)
+        right = ev.filter(pa.compute.equal(ev.column("event_type"), "buy")) \
+            .select(["event_id", "ts", "user_id"])
+        got = self._run(ev, right, direction="forward")
+        exp = self._oracle(ev, right, "<=")
+        _assert_tables_equal(got, exp)
+
+    def test_bucket_count_invariance(self):
+        ev = _events(seed=3)
+        right = ev.filter(pa.compute.equal(ev.column("event_type"), "view")) \
+            .select(["event_id", "ts", "user_id"])
+        a = self._run(ev, right, num_buckets=1)
+        b = self._run(ev, right, num_buckets=7)
+        _assert_tables_equal(a, b)
+
+    def test_empty_right_side(self):
+        import ray.data as rd
+        from graph_data_science_ray import asof_join
+        ev = _events(n=50)
+        right = ev.slice(0, 0).select(["event_id", "ts", "user_id"])
+        res = asof_join(rd.from_arrow(ev), rd.from_arrow(right),
+                        on="user_id", right_cols=["event_id", "ts"])
+        assert _to_table(res).num_rows == 0  # inner semantics
+
+
+class TestRangeJoin:
+    def test_disjoint_bands(self):
+        import ray.data as rd
+        from graph_data_science_ray import range_join
+        rng = np.random.default_rng(5)
+        t = pa.table({"k": np.arange(1000, dtype=np.int64),
+                      "v": rng.random(1000) * 10})
+        bands = pa.table({"band": ["a", "b", "c"],
+                          "lo": [0.0, 2.0, 5.0], "hi": [2.0, 5.0, 8.0]})
+        got = _to_table(range_join(rd.from_arrow(t), bands, "v"))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT t.k, t.v, b.band
+            FROM t JOIN (VALUES ('a',0.0,2.0),('b',2.0,5.0),('c',5.0,8.0))
+                        b(band, lo, hi)
+            ON t.v >= b.lo AND t.v < b.hi""").arrow()
+        _assert_tables_equal(got, exp)
+
+    def test_overlapping_bands_emit_multiple(self):
+        import ray.data as rd
+        from graph_data_science_ray import range_join
+        t = pa.table({"k": np.arange(100, dtype=np.int64),
+                      "v": np.linspace(0, 9.99, 100)})
+        bands = pa.table({"band": ["wide", "narrow"],
+                          "lo": [0.0, 4.0], "hi": [10.0, 6.0]})
+        got = _to_table(range_join(rd.from_arrow(t), bands, "v"))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT t.k, t.v, b.band
+            FROM t JOIN (VALUES ('wide',0.0,10.0),('narrow',4.0,6.0))
+                        b(band, lo, hi)
+            ON t.v >= b.lo AND t.v < b.hi""").arrow()
+        assert got.num_rows > 100  # overlap duplicates rows
+        _assert_tables_equal(got, exp)
+
+
+class TestTopKPerGroup:
+    def test_matches_window_function(self):
+        import ray.data as rd
+        from graph_data_science_ray import top_k_per_group
+        rng = np.random.default_rng(9)
+        t = pa.table({"doc_id": np.arange(500, dtype=np.int64),
+                      "lang": pa.array(rng.choice(["en", "de", "fr", "es"], 500)),
+                      "n": rng.integers(0, 50, 500).astype(np.int64)})
+        got = _to_table(top_k_per_group(rd.from_arrow(t), "lang", "n", 5,
+                                        tiebreak="doc_id"))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT doc_id, lang, n FROM (
+              SELECT *, row_number() OVER
+                 (PARTITION BY lang ORDER BY n DESC, doc_id) rn FROM t)
+            WHERE rn <= 5""").arrow()
+        _assert_tables_equal(got.select(["doc_id", "lang", "n"]), exp)
+
+    def test_smallest_and_int_groups(self):
+        import ray.data as rd
+        from graph_data_science_ray import top_k_per_group
+        rng = np.random.default_rng(2)
+        t = pa.table({"id": np.arange(300, dtype=np.int64),
+                      "g": rng.integers(0, 10, 300).astype(np.int64),
+                      "v": rng.random(300)})
+        got = _to_table(top_k_per_group(rd.from_arrow(t), "g", "v", 2,
+                                        largest=False, tiebreak="id"))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT id, g, v FROM (
+              SELECT *, row_number() OVER
+                 (PARTITION BY g ORDER BY v ASC, id) rn FROM t)
+            WHERE rn <= 2""").arrow()
+        _assert_tables_equal(got.select(["id", "g", "v"]), exp)
+
+    def test_k_exceeds_group_size(self):
+        import ray.data as rd
+        from graph_data_science_ray import top_k_per_group
+        t = pa.table({"id": np.arange(6, dtype=np.int64),
+                      "g": pa.array(["x", "x", "y", "y", "y", "z"]),
+                      "v": np.arange(6, dtype=np.float64)})
+        got = _to_table(top_k_per_group(rd.from_arrow(t), "g", "v", 100,
+                                        tiebreak="id"))
+        assert got.num_rows == 6  # everything survives
+
+
+class TestGroupedQuantiles:
+    def test_matches_quantile_cont(self):
+        import ray.data as rd
+        from graph_data_science_ray import grouped_quantiles
+        rng = np.random.default_rng(4)
+        t = pa.table({"g": pa.array(rng.choice(["a", "b", "c"], 2000)),
+                      "v": rng.random(2000) * 100})
+        got = _to_table(grouped_quantiles(rd.from_arrow(t), "g", "v",
+                                          (0.1, 0.5, 0.9)))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT g, 0.1 AS q, quantile_cont(v, 0.1) AS value FROM t GROUP BY 1
+            UNION ALL
+            SELECT g, 0.5, quantile_cont(v, 0.5) FROM t GROUP BY 1
+            UNION ALL
+            SELECT g, 0.9, quantile_cont(v, 0.9) FROM t GROUP BY 1""").arrow()
+        _assert_tables_equal(got, exp, float_cols=("q", "value"))
+
+    def test_int_group_column(self):
+        import ray.data as rd
+        from graph_data_science_ray import grouped_quantiles
+        rng = np.random.default_rng(8)
+        t = pa.table({"g": rng.integers(0, 5, 500).astype(np.int64),
+                      "v": rng.random(500)})
+        got = _to_table(grouped_quantiles(rd.from_arrow(t), "g", "v", (0.5,)))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("SELECT g, 0.5 AS q, quantile_cont(v, 0.5) AS value "
+                          "FROM t GROUP BY 1").arrow()
+        _assert_tables_equal(got, exp, float_cols=("q", "value"))
+
+
+class TestHoppingWindow:
+    def test_matches_duckdb(self):
+        import ray.data as rd
+        from graph_data_science_ray import hopping_window
+        ev = _events(n=600, seed=13)
+        got = _to_table(hopping_window(rd.from_arrow(ev), 3600, 1800))
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute("""
+            SELECT ((epoch_us(ts)//1800000000) - i) * 1800000000 AS window_us,
+                   count(*)::BIGINT AS n_events, sum(value) AS sum_value
+            FROM events, range(2) r(i) GROUP BY 1""").arrow()
+        _assert_tables_equal(got, exp, float_cols=("sum_value",))
+
+    def test_size_must_align(self):
+        import ray.data as rd
+        from graph_data_science_ray import hopping_window
+        with pytest.raises(ValueError):
+            hopping_window(rd.from_arrow(_events(n=10)), 3600, 1000)
+
+    def test_each_event_in_k_windows(self):
+        import ray.data as rd
+        from graph_data_science_ray import hopping_window
+        ev = _events(n=200, seed=1)
+        got = _to_table(hopping_window(rd.from_arrow(ev), 7200, 1800))  # k=4
+        total = sum(got.column("n_events").to_pylist())
+        assert total == 200 * 4
+
+
+class TestVocabTopTerms:
+    def test_matches_duckdb(self):
+        import ray.data as rd
+        from graph_data_science_ray import vocab_top_terms
+        rng = np.random.default_rng(6)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = [" ".join(rng.choice(words, rng.integers(3, 30)))
+                 for _ in range(300)]
+        docs = pa.table({"text": pa.array(texts)})
+        got = vocab_top_terms(rd.from_arrow(docs), 4)
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute("""
+            WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) term
+                          FROM documents)
+            SELECT term, count(*)::BIGINT AS cnt FROM toks WHERE term <> ''
+            GROUP BY term ORDER BY cnt DESC, term LIMIT 4""").arrow()
+        _assert_tables_equal(got, exp)
+
+    def test_tie_break_is_lexicographic(self):
+        import ray.data as rd
+        from graph_data_science_ray import vocab_top_terms
+        docs = pa.table({"text": pa.array(["b a", "a b", "c c"])})
+        got = vocab_top_terms(rd.from_arrow(docs), 2)
+        # counts: a=2, b=2, c=2 -> keep 'a', 'b' (lexicographic at the cut)
+        assert sorted(got.column("term").to_pylist()) == ["a", "b"]
