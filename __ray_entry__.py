@@ -892,8 +892,15 @@ def _q_asof_click(sf_dir: str):
         .map_batches(
             lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
             .select(["event_id", "ts", "user_id"]), batch_format="pyarrow")
-    t = _to_table(asof_join(ev, clicks, on="user_id", left_ts="ts",
-                            right_ts="ts", right_cols=["event_id", "ts"]))
+    ts_t = pa.timestamp("us")
+    t = _to_table(asof_join(
+        ev, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"],
+        left_schema=pa.schema([("event_id", pa.int64()), ("ts", ts_t),
+                               ("user_id", pa.int64()),
+                               ("value", pa.float64())]),
+        right_schema=pa.schema([("event_id", pa.int64()), ("ts", ts_t),
+                                ("user_id", pa.int64())])))
     df = t.to_pandas()
     df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
     df["click_ts_us"] = df["ts_r"].astype("datetime64[us]").astype("int64")

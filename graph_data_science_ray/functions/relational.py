@@ -37,7 +37,7 @@ def _col_bucket_values(col: pa.ChunkedArray, P: int) -> np.ndarray:
 def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
               right_ts: str = "ts", right_cols: Optional[Sequence[str]] = None,
               direction: str = "backward", num_buckets: Optional[int] = None,
-              suffix: str = "_r"):
+              suffix: str = "_r", left_schema=None, right_schema=None):
     """As-of join: for each left row, attach the right row with the same
     ``on`` key and the greatest ``right_ts`` <= ``left_ts`` (``backward``;
     ``forward`` = smallest right_ts >= left_ts).  Inner semantics — left rows
@@ -55,14 +55,18 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
     Determinism: if several right rows tie on (key, right_ts) exactly, the
     match among them is unspecified (DuckDB's ASOF documents the same) —
     pre-deduplicate the right side for bit-stable output.
+
+    Pass ``left_schema``/``right_schema`` (pyarrow.Schema) when known: without
+    them ``Dataset.schema()`` partially EXECUTES each side's upstream pipeline
+    just to learn the columns (same contract as joins.hash_join).
     """
     import pandas as pd
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction}")
 
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
+    lschema = left_schema if left_schema is not None else left_ds.schema()
+    rschema = right_schema if right_schema is not None else right_ds.schema()
     lcols = list(lschema.names)
     rnames = list(rschema.names)
     if right_cols is None:
@@ -110,14 +114,14 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
         t = t.append_column(_SIDE, pa.array(np.ones(t.num_rows, np.int8)))
         return t.select(union_order)
 
-    def _tag_key(t: pa.Table) -> pa.Table:
-        b = _col_bucket_values(t.column(on), num_buckets)
-        return t.append_column(_BUCKET, pa.array(b))
+    def _prep(pad):
+        def _f(t: pa.Table) -> pa.Table:
+            b = _col_bucket_values(t.column(on), num_buckets)
+            return pad(t.append_column(_BUCKET, pa.array(b)))
+        return _f
 
-    lt = left_ds.map_batches(_tag_key, batch_format="pyarrow") \
-        .map_batches(_pad_left, batch_format="pyarrow")
-    rt = right_ds.map_batches(_tag_key, batch_format="pyarrow") \
-        .map_batches(_pad_right, batch_format="pyarrow")
+    lt = left_ds.map_batches(_prep(_pad_left), batch_format="pyarrow")
+    rt = right_ds.map_batches(_prep(_pad_right), batch_format="pyarrow")
 
     out_fields = ([pa.field(on, ltypes[on])]
                   + [pa.field(c, ltypes[c]) for c in lcols if c != on]
