@@ -878,6 +878,21 @@ def _q_corpus_pagerank(sf_dir: str):
                      "score": _round6(res.table.column("score").to_numpy(zero_copy_only=False))})
 
 
+def _q_hits_hierarchy(sf_dir: str):
+    """HITS hub/authority on the hierarchy forest (ref alpha/.../pregel/
+    Hits.java; trajectory == HitsTest.java PseudoCodeHits).  Sharded fwd+rev
+    CSR actors (the Brandes exchange shape); oracle = unrolled SQL rounds of
+    auth = A'h / ||·||2, hub = A·a / ||·||2."""
+    from graph_data_science_ray import hits
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = hits(g, hits_iterations=8, execution="ray")
+    auth = t.column("auth").to_numpy(zero_copy_only=False)
+    hub = t.column("hub").to_numpy(zero_copy_only=False)
+    return pa.table({"vid": present, "auth": _round6(auth[present]),
+                     "hub": _round6(hub[present])})
+
+
 def _q_asof_click(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event attributed to
     the most recent at-or-before 'click' event of the same user — the event-
@@ -1051,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_minhash_md5": _q_near_dup_minhash_md5,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
+        "hits_hierarchy": _q_hits_hierarchy,
         # relational custom operators (as-of / range joins, grouped top-k,
         # grouped quantiles, hopping windows, corpus vocabulary)
         "asof_click_attribution": _q_asof_click,
@@ -1792,6 +1808,7 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 100
         + _ensure_corpus_q() + "/*.parquet')")
     sql["corpus_pagerank"] = _corpus_pagerank_sql()
     sql["eigenvector_hierarchy"] = _eigenvector_hierarchy_sql()
+    sql["hits_hierarchy"] = _hits_hierarchy_sql()
     return sql
 
 
@@ -1832,6 +1849,44 @@ r0 AS MATERIALIZED (
     return (",\n".join(parts) + f"""
 SELECT vid, round(r, 6) AS score FROM r{n_apply}
 WHERE vid IN (SELECT src FROM edges UNION SELECT dst FROM edges)""")
+
+
+def _hits_hierarchy_sql(hits_iterations: int = 8) -> str:
+    """Unrolled HITS rounds (pipelines/hits.py == HitsTest.java
+    PseudoCodeHits): per round auth(v) = Σ_{u→v} hub(u) then L2-normalize,
+    hub(u) = Σ_{u→v} auth(v) then L2-normalize, starting from hub = 1.
+    Gap vids (the id space has holes) carry no edges, so their initial hub=1
+    never enters a sum and both their scores are 0 from round 1 — the oracle
+    can therefore operate over present vids only."""
+    parts = ["""WITH edges AS MATERIALIZED (
+  SELECT 5 + n_nationkey AS src, n_regionkey::BIGINT AS dst FROM nation
+  UNION ALL SELECT 30 + s_suppkey, 5 + s_nationkey FROM supplier
+  UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey,
+            5 + c_nationkey FROM customer),
+nodes AS MATERIALIZED (
+  SELECT src AS vid FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT vid, 1.0 AS h FROM nodes)"""]
+    for k in range(1, hits_iterations + 1):
+        parts.append(f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(h.h) AS s
+  FROM h{k-1} h JOIN edges e ON e.src = h.vid GROUP BY 1)""")
+        parts.append(f"""an{k} AS MATERIALIZED (
+  SELECT sqrt(sum(s * s)) AS nm FROM ar{k})""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT n.vid, COALESCE(r.s, 0) / (SELECT nm FROM an{k}) AS a
+  FROM nodes n LEFT JOIN ar{k} r ON r.vid = n.vid)""")
+        parts.append(f"""hr{k} AS MATERIALIZED (
+  SELECT e.src AS vid, sum(a.a) AS s
+  FROM a{k} a JOIN edges e ON e.dst = a.vid GROUP BY 1)""")
+        parts.append(f"""hn{k} AS MATERIALIZED (
+  SELECT sqrt(sum(s * s)) AS nm FROM hr{k})""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+  SELECT n.vid, COALESCE(r.s, 0) / (SELECT nm FROM hn{k}) AS h
+  FROM nodes n LEFT JOIN hr{k} r ON r.vid = n.vid)""")
+    K = hits_iterations
+    return (",\n".join(parts) + f"""
+SELECT a.vid, round(a.a, 6) AS auth, round(h.h, 6) AS hub
+FROM a{K} a JOIN h{K} h ON h.vid = a.vid""")
 
 
 def _corpus_pagerank_sql(damping: float = 0.85, tol: float = 1e-07,

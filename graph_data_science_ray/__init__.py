@@ -29,6 +29,7 @@ from .pipelines.alpha_extras import (approx_max_k_cut, collapse_path,
                                      influence_maximization)
 from .pipelines.graphsage import (GraphSageModel, graphsage_embeddings,
                                   graphsage_train)
+from .pipelines.hits import hits
 from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
@@ -62,6 +63,7 @@ __all__ = [
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
+    "hits",
     "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",
