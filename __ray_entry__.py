@@ -893,6 +893,53 @@ def _q_hits_hierarchy(sf_dir: str):
                      "hub": _round6(hub[present])})
 
 
+def _q_linkpred_cosupply(sf_dir: str):
+    """gds.alpha.linkprediction.* pairwise measures over the co-supply
+    graph's own edges (direction both): common/total neighbors, Adamic-Adar,
+    resource allocation, preferential attachment — one SQL oracle via
+    distinct-neighbor joins."""
+    from graph_data_science_ray import link_prediction
+    from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
+    g = cosupply_graph(sf_dir)
+    canon = g.src < g.dst
+    pairs = pa.table({"a": g.src[canon].astype(np.int64),
+                      "b": g.dst[canon].astype(np.int64)})
+    cols = {"a": pairs.column("a"), "b": pairs.column("b")}
+    cn = link_prediction(g, pairs, "common_neighbors")
+    cols["common_neighbors"] = cn.column("score").to_numpy().astype(np.int64)
+    aa = link_prediction(g, pairs, "adamic_adar")
+    cols["adamic_adar"] = _round6(aa.column("score").to_numpy())
+    ra = link_prediction(g, pairs, "resource_allocation")
+    cols["resource_allocation"] = _round6(ra.column("score").to_numpy())
+    pf = link_prediction(g, pairs, "preferential_attachment")
+    cols["pref_attachment"] = pf.column("score").to_numpy().astype(np.int64)
+    tn = link_prediction(g, pairs, "total_neighbors")
+    cols["total_neighbors"] = tn.column("score").to_numpy().astype(np.int64)
+    return pa.table(cols)
+
+
+def _q_delta_stepping_cosupply(sf_dir: str):
+    """Delta-stepping SSSP (scaled-int cost semantics,
+    ShortestPathDeltaStepping.java) over the co-supply graph with
+    deterministic key-derived weights w = ((31·min + max) % 97 + 1) / 16 —
+    exactly representable, so the scaled-int engine path and the unrolled
+    Bellman-Ford SQL oracle agree bit-for-bit.  execution="ray" drives the
+    distributed min-relaxation BSP."""
+    from graph_data_science_ray import Graph, delta_stepping
+    from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
+    g0 = cosupply_graph(sf_dir)
+    lo = np.minimum(g0.src, g0.dst).astype(np.int64)
+    hi = np.maximum(g0.src, g0.dst).astype(np.int64)
+    w = ((lo * 31 + hi) % 97 + 1) / 16.0
+    g = Graph.from_edges(g0.src, g0.dst, w, n=g0.n)
+    source = int(np.min(g0.src))
+    t = delta_stepping(g, source, 2.0, execution="ray")
+    d = t.column("distance").to_numpy(zero_copy_only=False)
+    finite = np.isfinite(d)
+    return pa.table({"vid": np.nonzero(finite)[0].astype(np.int64),
+                     "distance": _round6(d[finite])})
+
+
 def _q_asof_click(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event attributed to
     the most recent at-or-before 'click' event of the same user — the event-
@@ -1067,6 +1114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
         "hits_hierarchy": _q_hits_hierarchy,
+        "linkpred_cosupply": _q_linkpred_cosupply,
+        "delta_stepping_cosupply": _q_delta_stepping_cosupply,
         # relational custom operators (as-of / range joins, grouped top-k,
         # grouped quantiles, hopping windows, corpus vocabulary)
         "asof_click_attribution": _q_asof_click,
@@ -1809,6 +1858,28 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 100
     sql["corpus_pagerank"] = _corpus_pagerank_sql()
     sql["eigenvector_hierarchy"] = _eigenvector_hierarchy_sql()
     sql["hits_hierarchy"] = _hits_hierarchy_sql()
+    sql["linkpred_cosupply"] = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b
+      ON a.p = b.p AND a.s < b.s),
+und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+deg AS (SELECT u AS x, count(*)::BIGINT AS c FROM und GROUP BY 1),
+cn AS (SELECT e.u AS a, e.v AS b, n1.v AS z
+       FROM e JOIN und n1 ON n1.u = e.u
+              JOIN und n2 ON n2.u = e.v AND n2.v = n1.v),
+agg AS (SELECT a, b, count(*)::BIGINT AS cn_,
+               sum(1.0 / ln(dg.c)) AS aa, sum(1.0 / dg.c) AS ra
+        FROM cn JOIN deg dg ON dg.x = cn.z GROUP BY 1, 2)
+SELECT e.u AS a, e.v AS b,
+       COALESCE(agg.cn_, 0) AS common_neighbors,
+       round(COALESCE(agg.aa, 0), 6) AS adamic_adar,
+       round(COALESCE(agg.ra, 0), 6) AS resource_allocation,
+       (da.c * db.c)::BIGINT AS pref_attachment,
+       (da.c + db.c - COALESCE(agg.cn_, 0))::BIGINT AS total_neighbors
+FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
+LEFT JOIN agg ON agg.a = e.u AND agg.b = e.v
+"""
+    sql["delta_stepping_cosupply"] = _delta_stepping_cosupply_sql()
     return sql
 
 
@@ -1849,6 +1920,35 @@ r0 AS MATERIALIZED (
     return (",\n".join(parts) + f"""
 SELECT vid, round(r, 6) AS score FROM r{n_apply}
 WHERE vid IN (SELECT src FROM edges UNION SELECT dst FROM edges)""")
+
+
+def _delta_stepping_cosupply_sql(steps: int = 12) -> str:
+    """Unrolled Bellman-Ford min-relaxation over the weighted co-supply graph
+    (weights ((31·min + max) % 97 + 1)/16 — dyadic rationals, binary-exact on
+    both sides).  ``steps`` must cover the optimal paths' hop count; the
+    co-supply graph is dense (suppliers sharing any part), diameter ~3-4, so
+    12 leaves a wide margin — the fixpoint is reached well before the last
+    step and extra steps are no-ops."""
+    parts = ["""WITH ps AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b
+  ON a.p = b.p AND a.s < b.s),
+und AS MATERIALIZED (
+  SELECT u, v, ((31 * u + v) % 97 + 1) / 16.0 AS w FROM e
+  UNION ALL SELECT v, u, ((31 * u + v) % 97 + 1) / 16.0 FROM e),
+d0 AS MATERIALIZED (
+  SELECT (SELECT min(u) FROM e)::BIGINT AS vid, 0.0::DOUBLE AS d)"""]
+    for k in range(1, steps + 1):
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT vid, min(d) AS d FROM (
+    SELECT vid, d FROM d{k-1}
+    UNION ALL
+    SELECT und.v AS vid, p.d + und.w AS d
+    FROM d{k-1} p JOIN und ON und.u = p.vid)
+  GROUP BY 1)""")
+    return (",\n".join(parts)
+            + f"\nSELECT vid, round(d, 6) AS distance FROM d{steps}")
 
 
 def _hits_hierarchy_sql(hits_iterations: int = 8) -> str:

@@ -28,9 +28,18 @@ def _algo(name):
     return reg
 
 
+class _TableResult:
+    """Adapter for algorithms that return a bare table (hits, delta
+    stepping): gives the dispatcher the ``.table`` surface it consumes."""
+
+    def __init__(self, table):
+        self.table = table
+
+
 def _resolve(algo: str):
     if not _ALGOS:
-        from . import labelprop, louvain, pagerank, paths, triangles, wcc
+        from . import (hits as hits_mod, labelprop, louvain, pagerank, paths,
+                       paths_local, triangles, wcc)
         _ALGOS.update({
             "pagerank": lambda g, **kw: pagerank.pagerank(g, **kw),
             "articlerank": lambda g, **kw: pagerank.article_rank(g, **kw),
@@ -40,6 +49,9 @@ def _resolve(algo: str):
             "trianglecount": lambda g, **kw: triangles.triangle_count(g, **kw),
             "louvain": lambda g, **kw: louvain.louvain(g, **kw),
             "sssp": lambda g, **kw: paths.shortest_paths(g, **kw),
+            "hits": lambda g, **kw: _TableResult(hits_mod.hits(g, **kw)),
+            "deltastepping": lambda g, **kw: _TableResult(
+                paths_local.delta_stepping(g, **kw)),
         })
     if algo not in _ALGOS:
         raise ValueError(f"unknown algorithm {algo!r}; have {sorted(_ALGOS)}")

@@ -161,3 +161,84 @@ def yens(graph: Graph, source: int, target: int, k: int = 3) -> pa.Table:
     rows = [(i, source, target, c, p, _costs_along(indptr, indices, w, p))
             for i, (c, p) in enumerate(accepted)]
     return _path_table(rows)
+
+
+_DS_MULT = 100_000.0  # reference's double→int scaling (ShortestPathDeltaStepping.java:74)
+
+
+def _delta_stepping_local(n, indptr, indices, icost, idelta, source):
+    """Bucketed SSSP over scaled-int costs.  Fixpoint-identical to the
+    reference's relax schedule (any improvement re-buckets its target, and a
+    closed bucket is final: an edge from bucket j > k lands at
+    dist >= j*idelta + cost > bucket k's range)."""
+    INF = np.int64(2**62)
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[source] = 0
+    light = icost <= idelta
+    processed = np.zeros(n, dtype=bool)
+
+    def _relax(frontier, edge_mask):
+        starts = indptr[frontier]
+        lens = indptr[frontier + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        g = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
+        keep = edge_mask[g]
+        tgt = indices[g[keep]].astype(np.int64)
+        cand = np.repeat(dist[frontier], lens)[keep] + icost[g[keep]]
+        np.minimum.at(dist, tgt, cand)
+
+    while True:
+        unproc = (dist < INF) & ~processed
+        if not unproc.any():
+            break
+        k = int(dist[unproc].min()) // int(idelta)
+        members = []
+        frontier = np.nonzero(unproc & (dist // idelta == k))[0]
+        while frontier.shape[0]:
+            members.append(frontier)
+            prev = dist.copy()
+            _relax(frontier, light)
+            changed = dist != prev
+            frontier = np.nonzero(changed & (dist // idelta == k))[0]
+        R = np.unique(np.concatenate(members))
+        _relax(R, ~light)
+        processed[R] = True
+    return dist
+
+
+def delta_stepping(graph: Graph, source: int, delta: float, *,
+                   execution: str = "local",
+                   num_partitions=None) -> pa.Table:
+    """Delta-stepping SSSP (ref alpha/alpha-algo/.../impl/
+    ShortestPathDeltaStepping.java): distances are sums of per-edge
+    ``round(cost * 1e5)`` scaled-int costs divided back by 1e5 (the
+    reference's multiplier), +inf for unreached; ``delta`` buckets edges into
+    light (cost <= delta) and heavy.
+
+    The bucket schedule is a shared-memory scheduling optimization (the
+    reference runs it on a thread pool); ``execution="ray"`` computes the
+    identical scaled-int fixpoint through the distributed min-relaxation BSP
+    (pipelines/paths.shortest_paths) — scaled integer weights are exact in
+    float64, so the two paths are bit-equal."""
+    idelta = int(round(_DS_MULT * delta))
+    if idelta <= 0:
+        raise ValueError("Choose a higher delta value")  # reference message
+    n = graph.n
+    if execution == "ray":
+        from .paths import shortest_paths
+        icost_f = np.round((graph.weight if graph.weight is not None
+                            else np.ones(graph.src.shape[0])) * _DS_MULT)
+        g2 = Graph.from_edges(graph.src, graph.dst, icost_f, n=n)
+        res = shortest_paths(g2, int(source), weighted=True, execution="ray")
+        d = res.table.column("distance").to_numpy(zero_copy_only=False) \
+            / _DS_MULT
+        return pa.table({"vid": np.arange(n, dtype=np.int64), "distance": d})
+    indptr, indices, w = _csr(graph)
+    icost = np.round(w * _DS_MULT).astype(np.int64)
+    dist = _delta_stepping_local(n, indptr, indices, icost,
+                                 np.int64(idelta), int(source))
+    out = np.where(dist >= np.int64(2**62), np.inf, dist / _DS_MULT)
+    return pa.table({"vid": np.arange(n, dtype=np.int64), "distance": out})
