@@ -24,6 +24,7 @@ from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.paths import dag_longest_path, dijkstra, shortest_paths
 from .pipelines.paths_local import astar, delta_stepping, yens
 from .functions.linkpred import link_prediction
+from .functions.scalers import one_hot_encoding, scale
 from .pipelines.scc import scc
 from .pipelines.spanning import bfs, dfs, spanning_tree
 from .pipelines.alpha_extras import (approx_max_k_cut, collapse_path,
@@ -64,7 +65,7 @@ __all__ = [
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
-    "hits", "delta_stepping", "link_prediction",
+    "hits", "delta_stepping", "link_prediction", "one_hot_encoding", "scale",
     "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",

@@ -170,3 +170,24 @@ class TestDeltaStepping:
         g = self._random_weighted(10, 20, seed=1)
         with pytest.raises(ValueError):
             delta_stepping(g, 0, 1e-9)
+
+
+class TestOneHotEncoding:
+    def test_reference_semantics(self):
+        from graph_data_science_ray import one_hot_encoding
+        # OneHotEncodingFuncTest semantics
+        assert one_hot_encoding(["Chinese", "Indian", "Italian"],
+                                ["Italian"]) == [0, 0, 1]
+        assert one_hot_encoding(None, ["x"]) == []
+        assert one_hot_encoding(["a", "b"], None) == [0, 0]
+        assert one_hot_encoding(["a", "b"], ["c"]) == [0, 0]
+        assert one_hot_encoding(["a", "b", "a"], ["a"]) == [1, 0, 1]
+
+    def test_batch_form(self):
+        import pyarrow as pa
+        from graph_data_science_ray.functions.scalers import one_hot_batch
+        t = pa.table({"vid": [0, 1, 2],
+                      "tags": [["a", "c"], None, ["b"]]})
+        out = one_hot_batch(t, list_col="tags", available_values=["a", "b", "c"])
+        assert out.column("one_hot").to_pylist() == [[1, 0, 1], [0, 0, 0],
+                                                     [0, 1, 0]]
