@@ -21,13 +21,14 @@ deviation).  IEEE edge cases follow Java: a common neighbour with degree 1
 contributes 1/ln(1) = +inf to adamic_adar.
 
 Execution shape: the pairs table streams through ``map_batches``; each actor
-reads the direction's CSR ONCE from the object store (``ray.put`` handle in
-``__init__``) and intersects sorted adjacency slices per pair (searchsorted —
-the per-pair set intersection is the irreducible kernel; the reference
-evaluates one DB call per pair).  Scale contract: the graph's CSR must fit a
-worker (the function-call form of the reference assumes a local DB the same
-way); for graphs beyond worker memory, route pairs by vid range and join
-adjacency shard-side as triangles.py does.
+reads the direction's CSR + sorted edge-key index ONCE from the object store
+(``ray.put`` handle in ``__init__``) and scores a whole batch with no
+per-pair Python loop — every pair's adj(a) is expanded in one repeat/gather
+and membership of (b, z) is one global searchsorted (the reference evaluates
+one DB call per pair).  Scale contract: the graph's CSR must fit a worker
+(the function-call form of the reference assumes a local DB the same way);
+for graphs beyond worker memory, route pairs by vid range and join adjacency
+shard-side as triangles.py does.
 """
 
 from __future__ import annotations
@@ -68,29 +69,65 @@ def _distinct_csr(graph, orientation):
     return indptr, d
 
 
-def _pair_scores(indptr, indices, degrees, a_arr, b_arr, method):
-    out = np.zeros(a_arr.shape[0])
+def _edge_keys(indptr, indices):
+    """Sorted (src, dst) keys of the deduped CSR — the membership index the
+    batched kernel probes; build once per call/actor, not per batch."""
+    n = indptr.shape[0] - 1
+    return (np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+            * np.int64(n) + indices)
+
+
+def _pair_scores(indptr, indices, degrees, a_arr, b_arr, method,
+                 edge_keys=None):
+    """Batched scoring with NO per-pair Python loop: expand every pair's
+    adj(a) once (repeat/gather), membership-test (b, z) against the GLOBAL
+    sorted edge-key array with one searchsorted over all pairs' candidates,
+    and reduce per pair with add.reduceat.  O(Σ deg(a)) work per batch."""
+    n_pairs = a_arr.shape[0]
     if method == "preferential_attachment":
         return degrees[a_arr].astype(np.float64) * degrees[b_arr]
-    for i in range(a_arr.shape[0]):
-        a, b = int(a_arr[i]), int(b_arr[i])
-        if a == b:  # reference: common-neighbour sets of a node with itself
-            continue  # are defined empty (NeighborsFinder.java:40-43)
-        na = indices[indptr[a]:indptr[a + 1]]
-        nb = indices[indptr[b]:indptr[b + 1]]
+    a = np.asarray(a_arr, dtype=np.int64)
+    b = np.asarray(b_arr, dtype=np.int64)
+    n = degrees.shape[0]
+    # adj(a) expansion; a == b pairs contribute nothing (reference defines
+    # the common-neighbour set of a node with itself empty,
+    # NeighborsFinder.java:40-43)
+    lens = np.where(a == b, 0, degrees[a])
+    total = int(lens.sum())
+    if total == 0:
         if method == "total_neighbors":
-            out[i] = np.union1d(na, nb).shape[0]
-            continue
-        common = np.intersect1d(na, nb)
-        if method == "common_neighbors":
-            out[i] = common.shape[0]
-        elif method == "adamic_adar":
-            with np.errstate(divide="ignore"):
-                out[i] = (1.0 / np.log(degrees[common])).sum()
-        elif method == "resource_allocation":
-            with np.errstate(divide="ignore"):
-                out[i] = (1.0 / degrees[common].astype(np.float64)).sum()
-    return out
+            return np.where(a == b, degrees[a],
+                            degrees[a] + degrees[b]).astype(np.float64)
+        return np.zeros(n_pairs)
+    starts = indptr[a]
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    g = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
+    z = indices[g]
+    b_rep = np.repeat(b, lens)
+    # membership of (b_rep, z) in the sorted edge-key array == z ∈ adj(b)
+    if edge_keys is None:
+        edge_keys = _edge_keys(indptr, indices)
+    probe = b_rep * np.int64(n) + z
+    pos = np.searchsorted(edge_keys, probe)
+    pos[pos >= edge_keys.shape[0]] = edge_keys.shape[0] - 1
+    is_common = edge_keys[pos] == probe
+    if method == "common_neighbors":
+        w = is_common.astype(np.float64)
+    elif method == "adamic_adar":
+        with np.errstate(divide="ignore"):
+            w = np.where(is_common, 1.0 / np.log(degrees[z]), 0.0)
+    elif method == "resource_allocation":
+        with np.errstate(divide="ignore"):
+            w = np.where(is_common, 1.0 / degrees[z].astype(np.float64), 0.0)
+    else:  # total_neighbors = deg(a) + deg(b) - |common|
+        w = is_common.astype(np.float64)
+    bounds = np.concatenate((offs, [total]))
+    sums = np.add.reduceat(np.concatenate((w, [0.0])), bounds)[:-1]
+    sums[lens == 0] = 0.0
+    if method == "total_neighbors":
+        return np.where(a == b, degrees[a].astype(np.float64),
+                        degrees[a] + degrees[b] - sums)
+    return sums
 
 
 def link_prediction(graph, pairs, method: str, *, direction: str = "both",
@@ -140,7 +177,8 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
                                                a, b, method)})
 
     import ray
-    csr_ref = ray.put((indptr, indices, degrees))
+    csr_ref = ray.put((indptr, indices, degrees,
+                       _edge_keys(indptr, indices)))
 
     class _Scorer:
         def __init__(self):
@@ -150,11 +188,12 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.csr is None:
                 self.csr = ray.get(csr_ref)
-            ip, ix, dg = self.csr
+            ip, ix, dg, ek = self.csr
             a = t.column("a").to_numpy(zero_copy_only=False)
             b = t.column("b").to_numpy(zero_copy_only=False)
             return pa.table({"a": a, "b": b,
-                             "score": _pair_scores(ip, ix, dg, a, b, method)})
+                             "score": _pair_scores(ip, ix, dg, a, b,
+                                                   method, edge_keys=ek)})
 
     return pairs.map_batches(_Scorer(), batch_format="pyarrow",
                              batch_size=batch_size)
