@@ -893,6 +893,20 @@ def _q_hits_hierarchy(sf_dir: str):
                      "hub": _round6(hub[present])})
 
 
+def _q_all_shortest_paths_hierarchy(sf_dir: str):
+    """gds.alpha.allShortestPaths.stream (MSBFSAllShortestPaths.java): one
+    row per reachable ordered pair, via the sharded frontier-exchange MSBFS
+    with per-shard pair emission; the hierarchy forest's pairs are
+    closed-form in SQL."""
+    from graph_data_science_ray import all_shortest_paths
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    g, _ = hierarchy_graph(sf_dir)
+    t = all_shortest_paths(g, weighted=False, execution="ray")
+    if not isinstance(t, pa.Table):
+        t = _to_table(t)
+    return t
+
+
 def _q_linkpred_cosupply(sf_dir: str):
     """gds.alpha.linkprediction.* pairwise measures over the co-supply
     graph's own edges (direction both): common/total neighbors, Adamic-Adar,
@@ -1116,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hierarchy": _q_hits_hierarchy,
         "linkpred_cosupply": _q_linkpred_cosupply,
         "delta_stepping_cosupply": _q_delta_stepping_cosupply,
+        "all_shortest_paths_hierarchy": _q_all_shortest_paths_hierarchy,
         # relational custom operators (as-of / range joins, grouped top-k,
         # grouped quantiles, hopping windows, corpus vocabulary)
         "asof_click_attribution": _q_asof_click,
@@ -1880,6 +1895,20 @@ FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
 LEFT JOIN agg ON agg.a = e.u AND agg.b = e.v
 """
     sql["delta_stepping_cosupply"] = _delta_stepping_cosupply_sql()
+    # hierarchy forest (child→parent): the reachable ordered pairs are
+    # child→nation (1), child→region (2), nation→region (1) — closed form
+    sql["all_shortest_paths_hierarchy"] = """
+WITH mx AS (SELECT max(s_suppkey) AS ms FROM supplier)
+SELECT 5 + n_nationkey AS source, n_regionkey::BIGINT AS target,
+       1.0::DOUBLE AS distance FROM nation
+UNION ALL SELECT 30 + s_suppkey, 5 + s_nationkey, 1.0 FROM supplier
+UNION ALL SELECT 30 + s_suppkey, n_regionkey, 2.0
+          FROM supplier JOIN nation ON n_nationkey = s_nationkey
+UNION ALL SELECT 31 + (SELECT ms FROM mx) + c_custkey, 5 + c_nationkey, 1.0
+          FROM customer
+UNION ALL SELECT 31 + (SELECT ms FROM mx) + c_custkey, n_regionkey, 2.0
+          FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
     return sql
 
 

@@ -21,6 +21,7 @@ from .pipelines.fastrp import fastrp
 from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
+from .pipelines.allpaths import all_shortest_paths
 from .pipelines.paths import dag_longest_path, dijkstra, shortest_paths
 from .pipelines.paths_local import astar, delta_stepping, yens
 from .functions.linkpred import link_prediction
@@ -66,6 +67,7 @@ __all__ = [
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
     "hits", "delta_stepping", "link_prediction", "one_hot_encoding", "scale",
+    "all_shortest_paths",
     "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",

@@ -136,7 +136,8 @@ class _MsbfsShardActor:
     """One actor per vid-range partition: out-CSR shard + [nloc, G] bitmask
     state + O(nloc) accumulators.  Never sees another partition's topology."""
 
-    def __init__(self, shard_ref, bounds, harmonic: bool):
+    def __init__(self, shard_ref, bounds, harmonic: bool,
+                 emit_pairs: bool = False):
         self.shard = _resolve_shard(shard_ref)
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -149,6 +150,11 @@ class _MsbfsShardActor:
         self.frontier_rows = None
         self.G = 1
         self.d = 0
+        # all-shortest-paths mode: buffer (source, local target, depth) rows
+        # this shard discovers (allpaths.all_shortest_paths)
+        self.emit_pairs = emit_pairs
+        self.grp_sources = None
+        self.pair_src, self.pair_tgt, self.pair_d = [], [], []
 
     def start_group(self, sources: np.ndarray, G: int):
         """Bit layout: source i of the group -> column i//64, bit i%64."""
@@ -156,6 +162,8 @@ class _MsbfsShardActor:
         self.G = G
         self.seen = np.zeros((sh.num_nodes, G), dtype=np.uint64)
         self.d = 0
+        if self.emit_pairs:
+            self.grp_sources = np.asarray(sources, dtype=np.int64)
         idx = np.nonzero((sources >= sh.lo) & (sources < sh.hi))[0]
         lids = sources[idx] - sh.lo
         cols = idx // 64
@@ -193,6 +201,16 @@ class _MsbfsShardActor:
                 self.reach[ids] += cnt
                 self.seen[ids] |= new
                 n_new = int(cnt.sum())
+                if self.emit_pairs:
+                    # decode the new-visit bits: little-endian uint64 words →
+                    # bit i of column c is group source c*64+i
+                    bits = np.unpackbits(new.view(np.uint8), axis=1,
+                                         bitorder="little")
+                    r, s = np.nonzero(bits)
+                    self.pair_src.append(self.grp_sources[s])
+                    self.pair_tgt.append(ids[r] + self.shard.lo)
+                    self.pair_d.append(
+                        np.full(r.shape[0], self.d, dtype=np.int64))
         else:
             new = np.empty((0, self.G), dtype=np.uint64)
         self.frontier_ids = ids
@@ -201,6 +219,70 @@ class _MsbfsShardActor:
 
     def finish(self):
         return int(self.shard.lo), self.acc, self.reach
+
+    def pairs_table(self):
+        """One Arrow table of this shard's buffered (source, target,
+        distance) rows — published to the object store by the actor call, so
+        pair rows never transit the driver."""
+        import pyarrow as pa
+        if not self.pair_src:
+            return pa.table({"source": pa.array([], pa.int64()),
+                             "target": pa.array([], pa.int64()),
+                             "distance": pa.array([], pa.float64())})
+        return pa.table({
+            "source": np.concatenate(self.pair_src),
+            "target": np.concatenate(self.pair_tgt),
+            "distance": np.concatenate(self.pair_d).astype(np.float64)})
+
+
+def asp_pairs_sharded(graph, sources, num_partitions: Optional[int] = None,
+                      group_batches: Optional[int] = None):
+    """Distributed all-pairs shortest paths stream: the MSBFS frontier
+    exchange with per-shard pair emission; returns a ray.data.Dataset of
+    (source, target, distance) built from per-shard table refs, or None when
+    the partition bounds collapse (caller runs the local kernel)."""
+    import ray
+    import ray.data
+
+    n = graph.n
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        num_partitions = max(2, min(ncpu, graph.num_edges // 250_000 + 2))
+    P = max(2, num_partitions)
+    bounds = graph.bounds(P, "natural")
+    handles = _shard_handles(graph, P, "natural")
+    nparts = len(bounds) - 1
+    sources = np.asarray(sources, dtype=np.int64)
+    if nparts < 2:
+        return None
+    Worker = ray.remote(num_cpus=1)(_MsbfsShardActor)
+    workers = [Worker.remote(handles[p], bounds, False, True)
+               for p in range(nparts)]
+    max_nloc = int(np.max(np.diff(bounds))) or 1
+    if group_batches is None:
+        group_batches = int(max(1, min(32, (64 << 20) // (16 * max_nloc))))
+    gsz = group_batches * 64
+    try:
+        for base in range(0, sources.shape[0], gsz):
+            grp = sources[base:base + gsz]
+            G = -(-grp.shape[0] // 64)
+            ray.get([w.start_group.remote(grp, G) for w in workers])
+            outbox = [w.expand.options(num_returns=nparts).remote()
+                      for w in workers]
+            while True:
+                res = [workers[q].step.options(num_returns=1 + nparts).remote(
+                    *[outbox[p][q] for p in range(nparts)])
+                    for q in range(nparts)]
+                outbox = [r[1:] for r in res]
+                if sum(ray.get([r[0] for r in res])) == 0:
+                    break
+        refs = [w.pairs_table.remote() for w in workers]
+        ray.wait(refs, num_returns=len(refs))  # tables exist before kill
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        for w in workers:
+            ray.kill(w)
 
 
 def msbfs_accumulate_sharded(graph, sources, harmonic: bool,

@@ -1,0 +1,133 @@
+"""All-pairs shortest paths stream (MSBFSAllShortestPaths.java /
+WeightedAllShortestPaths.java): brute-force BFS/Dijkstra oracles, local vs
+sharded equality, source restriction, no self-pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graph_data_science_ray import Graph, all_shortest_paths
+
+
+def _bfs_pairs(n, edges, sources):
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+    rows = set()
+    for s in sources:
+        dist = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nq.append(v)
+            q = nq
+        for t, d in dist.items():
+            if t != s:
+                rows.add((s, t, float(d)))
+    return rows
+
+
+def _rows(t: pa.Table):
+    return set(zip(t.column("source").to_pylist(),
+                   t.column("target").to_pylist(),
+                   t.column("distance").to_pylist()))
+
+
+def _random_edges(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return list({(int(a), int(b)) for a, b in zip(src[keep], dst[keep])})
+
+
+class TestUnweighted:
+    def test_matches_bfs(self):
+        edges = _random_edges(40, 160, seed=1)
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]), n=40)
+        t = all_shortest_paths(g, execution="local")
+        assert _rows(t) == _bfs_pairs(40, edges, range(40))
+
+    def test_sharded_equals_local(self):
+        edges = _random_edges(150, 500, seed=2)
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]), n=150)
+        a = all_shortest_paths(g, execution="local")
+        b = all_shortest_paths(g, execution="ray", num_partitions=3)
+        assert _rows(a) == _rows(b)
+
+    def test_source_restriction_and_no_self_pairs(self):
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]), n=5)
+        t = all_shortest_paths(g, sources=np.array([0]))
+        got = _rows(t)
+        assert got == {(0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0)}
+        assert all(s != tg for s, tg, _ in got)
+
+    def test_more_than_64_sources(self):
+        # crosses the 64-bit batch boundary in the mask layout
+        edges = [(i, i + 1) for i in range(99)]
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]), n=100)
+        t = all_shortest_paths(g, execution="local")
+        assert t.num_rows == 100 * 99 // 2  # path graph: all ordered pairs i<j
+        b = all_shortest_paths(g, execution="ray", num_partitions=2)
+        assert _rows(t) == _rows(b)
+
+    def test_as_dataset(self):
+        edges = _random_edges(30, 100, seed=4)
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]), n=30)
+        ds = all_shortest_paths(g, execution="local", as_dataset=True)
+        import ray
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        assert _rows(pa.concat_tables(tabs)) == _bfs_pairs(30, edges,
+                                                           range(30))
+
+
+class TestWeighted:
+    def test_matches_per_source_dijkstra(self):
+        import heapq
+        rng = np.random.default_rng(7)
+        edges = _random_edges(35, 140, seed=7)
+        w = {e: float(np.round(rng.random() * 5 + 0.1, 3)) for e in edges}
+        g = Graph.from_edges(np.array([e[0] for e in edges]),
+                             np.array([e[1] for e in edges]),
+                             np.array([w[e] for e in edges]), n=35)
+        t = all_shortest_paths(g, weighted=True)
+        adj = [[] for _ in range(35)]
+        # mirror the engine's parallel-edge handling by reading ITS csr
+        sh = g.shards(1, "natural")[0]
+        for u in range(35):
+            for e in range(sh.indptr[u], sh.indptr[u + 1]):
+                adj[u].append((int(sh.indices[e]), float(sh.weights[e])))
+        exp = set()
+        for s in range(35):
+            dist = {s: 0.0}
+            h = [(0.0, s)]
+            while h:
+                d, u = heapq.heappop(h)
+                if d > dist.get(u, np.inf):
+                    continue
+                for v, wt in adj[u]:
+                    nd = d + wt
+                    if nd < dist.get(v, np.inf) - 1e-15:
+                        dist[v] = nd
+                        heapq.heappush(h, (nd, v))
+            for tgt, d in dist.items():
+                if tgt != s:
+                    exp.add((s, tgt, round(d, 9)))
+        got = {(s, tg, round(d, 9)) for s, tg, d in _rows(t)}
+        assert got == exp
+
+    def test_negative_weight_rejected(self):
+        g = Graph.from_edges(np.array([0]), np.array([1]),
+                             np.array([-1.0]), n=2)
+        with pytest.raises(ValueError):
+            all_shortest_paths(g, weighted=True)
