@@ -907,6 +907,31 @@ def _q_all_shortest_paths_hierarchy(sf_dir: str):
     return t
 
 
+def _q_split_counts_hierarchy(sf_dir: str):
+    """splitRelationships contract check: the count identities (n_pos =
+    int(m·f), n_neg = int(ratio·m·f), train = m − n_pos) are deterministic
+    and SQL-checkable even though per-seed selections are not; the split's
+    set invariants (disjointness, negatives are non-edges) are ASSERTED here
+    so a violation fails the driver run."""
+    from graph_data_science_ray import split_relationships
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_graph
+    g, _ = hierarchy_graph(sf_dir)
+    train, test = split_relationships(g, 0.2, negative_sampling_ratio=1.0,
+                                      seed=42)
+    labels = test.column("label").to_numpy(zero_copy_only=False)
+    s = test.column("source").to_numpy(zero_copy_only=False)
+    t = test.column("target").to_numpy(zero_copy_only=False)
+    edges = set(zip(g.src.tolist(), g.dst.tolist()))
+    neg = labels == 0.0
+    assert all((a, b) not in edges for a, b in zip(s[neg], t[neg]))
+    pos = labels == 1.0
+    assert all((a, b) in edges for a, b in zip(s[pos], t[pos]))
+    return pa.table({"n_edges": pa.array([g.src.shape[0]], pa.int64()),
+                     "n_train": pa.array([train.src.shape[0]], pa.int64()),
+                     "n_test_pos": pa.array([int(pos.sum())], pa.int64()),
+                     "n_test_neg": pa.array([int(neg.sum())], pa.int64())})
+
+
 def _q_linkpred_cosupply(sf_dir: str):
     """gds.alpha.linkprediction.* pairwise measures over the co-supply
     graph's own edges (direction both): common/total neighbors, Adamic-Adar,
@@ -1131,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_cosupply": _q_linkpred_cosupply,
         "delta_stepping_cosupply": _q_delta_stepping_cosupply,
         "all_shortest_paths_hierarchy": _q_all_shortest_paths_hierarchy,
+        "split_counts_hierarchy": _q_split_counts_hierarchy,
         # relational custom operators (as-of / range joins, grouped top-k,
         # grouped quantiles, hopping windows, corpus vocabulary)
         "asof_click_attribution": _q_asof_click,
@@ -1895,6 +1921,18 @@ FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
 LEFT JOIN agg ON agg.a = e.u AND agg.b = e.v
 """
     sql["delta_stepping_cosupply"] = _delta_stepping_cosupply_sql()
+    # split contract: count identities only (per-seed selections are RNG);
+    # the sparse hierarchy forest guarantees enough non-edges for negatives
+    sql["split_counts_hierarchy"] = """
+WITH m AS (SELECT (SELECT count(*) FROM nation)
+                + (SELECT count(*) FROM supplier)
+                + (SELECT count(*) FROM customer) AS m)
+SELECT m AS n_edges,
+       m - CAST(floor(m * 0.2) AS BIGINT) AS n_train,
+       CAST(floor(m * 0.2) AS BIGINT) AS n_test_pos,
+       CAST(floor(1.0 * m * 0.2) AS BIGINT) AS n_test_neg
+FROM m
+"""
     # hierarchy forest (child→parent): the reachable ordered pairs are
     # child→nation (1), child→region (2), nation→region (1) — closed form
     sql["all_shortest_paths_hierarchy"] = """

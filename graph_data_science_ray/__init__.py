@@ -22,6 +22,7 @@ from .pipelines.louvain import louvain, modularity_of
 from .pipelines.modes import run
 from .pipelines.pagerank import article_rank, eigenvector, pagerank
 from .pipelines.allpaths import all_shortest_paths
+from .pipelines.splitting import split_relationships
 from .pipelines.paths import dag_longest_path, dijkstra, shortest_paths
 from .pipelines.paths_local import astar, delta_stepping, yens
 from .functions.linkpred import link_prediction
@@ -67,7 +68,7 @@ __all__ = [
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
     "hits", "delta_stepping", "link_prediction", "one_hot_encoding", "scale",
-    "all_shortest_paths",
+    "all_shortest_paths", "split_relationships",
     "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",
     "approx_max_k_cut", "influence_maximization", "collapse_path",

@@ -131,3 +131,62 @@ class TestWeighted:
                              np.array([-1.0]), n=2)
         with pytest.raises(ValueError):
             all_shortest_paths(g, weighted=True)
+
+
+class TestSplitRelationships:
+    def _graph(self, seed=5):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, 60, 400).astype(np.int64)
+        dst = rng.integers(0, 60, 400).astype(np.int64)
+        keep = src != dst
+        return Graph.from_edges(src[keep], dst[keep],
+                                np.round(rng.random(int(keep.sum())), 3),
+                                n=60)
+
+    def test_counts_and_partition(self):
+        from graph_data_science_ray import split_relationships
+        g = self._graph()
+        m = g.src.shape[0]
+        train, test = split_relationships(g, 0.2,
+                                          negative_sampling_ratio=1.5,
+                                          seed=42)
+        n_pos = int(m * 0.2)
+        n_neg = int(1.5 * m * 0.2)
+        labels = np.asarray(test.column("label").to_pylist())
+        assert (labels == 1.0).sum() == n_pos
+        assert (labels == 0.0).sum() == n_neg
+        assert train.src.shape[0] == m - n_pos
+        # train ∪ positives == original edge multiset
+        orig = sorted(zip(g.src.tolist(), g.dst.tolist()))
+        pos_mask = labels == 1.0
+        s = np.asarray(test.column("source").to_pylist())[pos_mask]
+        t = np.asarray(test.column("target").to_pylist())[pos_mask]
+        recomposed = sorted(zip(np.concatenate([train.src, s]).tolist(),
+                                np.concatenate([train.dst, t]).tolist()))
+        assert recomposed == orig
+
+    def test_negatives_are_non_edges(self):
+        from graph_data_science_ray import split_relationships
+        g = self._graph(seed=9)
+        _, test = split_relationships(g, 0.3, seed=7)
+        labels = np.asarray(test.column("label").to_pylist())
+        s = np.asarray(test.column("source").to_pylist())[labels == 0.0]
+        t = np.asarray(test.column("target").to_pylist())[labels == 0.0]
+        edges = set(zip(g.src.tolist(), g.dst.tolist()))
+        assert all((a, b) not in edges and a != b for a, b in zip(s, t))
+
+    def test_seed_determinism(self):
+        from graph_data_science_ray import split_relationships
+        g = self._graph(seed=2)
+        _, t1 = split_relationships(g, 0.25, seed=11)
+        _, t2 = split_relationships(g, 0.25, seed=11)
+        assert t1.equals(t2)
+        _, t3 = split_relationships(g, 0.25, seed=12)
+        assert not t1.equals(t3)
+
+    def test_train_keeps_weights(self):
+        from graph_data_science_ray import split_relationships
+        g = self._graph(seed=3)
+        train, _ = split_relationships(g, 0.1, seed=1)
+        assert train.weight is not None
+        assert train.weight.shape[0] == train.src.shape[0]
