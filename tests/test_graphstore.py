@@ -93,3 +93,45 @@ def test_seeded_wcc_on_union(union_store):
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == comp[4] == comp[5] == 1
     assert comp[12] == comp[13] == comp[14] > 3  # fresh id above max seed
+
+
+class TestModelCatalog:
+    def test_store_list_exists_drop(self):
+        from graph_data_science_ray.pipelines.graphsage import GraphSageModel
+        from graph_data_science_ray.state.models import ModelCatalog
+        import numpy as np
+        cat = ModelCatalog()
+        m = GraphSageModel(weights=[np.ones((4, 8)), np.ones((4, 8))])
+        cat.store("m1", m)
+        assert cat.exists("m1") and not cat.exists("m2")
+        assert cat.list() == [{"modelName": "m1", "modelType": "graphSage"}]
+        import pytest
+        with pytest.raises(ValueError):
+            cat.store("m1", m)
+        cat.store("m1", m, overwrite=True)
+        assert cat.drop("m1") and not cat.drop("m1")
+        assert cat.list() == []
+
+    def test_save_load_roundtrip_and_inference_equality(self, tmp_path):
+        import numpy as np
+        from graph_data_science_ray import (Graph, graphsage_embeddings,
+                                            graphsage_train)
+        from graph_data_science_ray.state.models import ModelCatalog
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 30, 120)
+        dst = rng.integers(0, 30, 120)
+        keep = src != dst
+        g = Graph.from_edges(src[keep], dst[keep], n=30)
+        feats = rng.random((30, 6))
+        model = graphsage_train(g, feats, embedding_dimension=8,
+                                epochs=1, seed=5)
+        cat = ModelCatalog(str(tmp_path))
+        cat.store("sage", model)
+        cat.save("sage")
+        cat2 = ModelCatalog(str(tmp_path))
+        loaded = cat2.load("sage")
+        e1 = graphsage_embeddings(g, feats, model)
+        e2 = graphsage_embeddings(g, feats, loaded)
+        np.testing.assert_array_equal(
+            np.asarray(e1.column("embedding").to_pylist()),
+            np.asarray(e2.column("embedding").to_pylist()))
