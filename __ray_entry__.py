@@ -943,18 +943,26 @@ def _q_linkpred_cosupply(sf_dir: str):
     canon = g.src < g.dst
     pairs = pa.table({"a": g.src[canon].astype(np.int64),
                       "b": g.dst[canon].astype(np.int64)})
-    cols = {"a": pairs.column("a"), "b": pairs.column("b")}
-    cn = link_prediction(g, pairs, "common_neighbors")
-    cols["common_neighbors"] = cn.column("score").to_numpy().astype(np.int64)
-    aa = link_prediction(g, pairs, "adamic_adar")
-    cols["adamic_adar"] = _round6(aa.column("score").to_numpy())
-    ra = link_prediction(g, pairs, "resource_allocation")
-    cols["resource_allocation"] = _round6(ra.column("score").to_numpy())
-    pf = link_prediction(g, pairs, "preferential_attachment")
-    cols["pref_attachment"] = pf.column("score").to_numpy().astype(np.int64)
-    tn = link_prediction(g, pairs, "total_neighbors")
-    cols["total_neighbors"] = tn.column("score").to_numpy().astype(np.int64)
-    return pa.table(cols)
+    # all five structural measures from ONE adjacency expansion, scored in
+    # parallel over a pairs Dataset (the co-supply graph is a near-clique:
+    # sum-of-degrees work per measure is O(m·avg_deg))
+    rd = _ray_data()
+    pairs_ds = rd.from_arrow(pairs).repartition(32)
+    t = _to_table(link_prediction(
+        g, pairs_ds, ["common_neighbors", "adamic_adar",
+                      "resource_allocation", "preferential_attachment",
+                      "total_neighbors"], batch_size=4096))
+    return pa.table({
+        "a": t.column("a"), "b": t.column("b"),
+        "common_neighbors": t.column("common_neighbors").to_numpy()
+        .astype(np.int64),
+        "adamic_adar": _round6(t.column("adamic_adar").to_numpy()),
+        "resource_allocation": _round6(
+            t.column("resource_allocation").to_numpy()),
+        "pref_attachment": t.column("preferential_attachment").to_numpy()
+        .astype(np.int64),
+        "total_neighbors": t.column("total_neighbors").to_numpy()
+        .astype(np.int64)})
 
 
 def _q_delta_stepping_cosupply(sf_dir: str):

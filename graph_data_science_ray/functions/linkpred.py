@@ -77,28 +77,38 @@ def _edge_keys(indptr, indices):
             * np.int64(n) + indices)
 
 
-def _pair_scores(indptr, indices, degrees, a_arr, b_arr, method,
-                 edge_keys=None):
-    """Batched scoring with NO per-pair Python loop: expand every pair's
-    adj(a) once (repeat/gather), membership-test (b, z) against the GLOBAL
-    sorted edge-key array with one searchsorted over all pairs' candidates,
-    and reduce per pair with add.reduceat.  O(Σ deg(a)) work per batch."""
+def _pair_scores_multi(indptr, indices, degrees, a_arr, b_arr, methods,
+                       edge_keys=None):
+    """Batched scoring of SEVERAL methods in one pass with NO per-pair
+    Python loop: expand every pair's adj(a) once (repeat/gather),
+    membership-test (b, z) against the GLOBAL sorted edge-key array with one
+    searchsorted over all pairs' candidates, and reduce per pair per method
+    with add.reduceat.  O(Σ deg(a)) work per batch, amortized across
+    methods."""
     n_pairs = a_arr.shape[0]
-    if method == "preferential_attachment":
-        return degrees[a_arr].astype(np.float64) * degrees[b_arr]
     a = np.asarray(a_arr, dtype=np.int64)
     b = np.asarray(b_arr, dtype=np.int64)
     n = degrees.shape[0]
+    out = {}
+    if "preferential_attachment" in methods:
+        out["preferential_attachment"] = \
+            degrees[a].astype(np.float64) * degrees[b]
+    needs_expand = [m for m in methods if m != "preferential_attachment"]
+    if not needs_expand:
+        return out
     # adj(a) expansion; a == b pairs contribute nothing (reference defines
     # the common-neighbour set of a node with itself empty,
     # NeighborsFinder.java:40-43)
     lens = np.where(a == b, 0, degrees[a])
     total = int(lens.sum())
     if total == 0:
-        if method == "total_neighbors":
-            return np.where(a == b, degrees[a],
-                            degrees[a] + degrees[b]).astype(np.float64)
-        return np.zeros(n_pairs)
+        for m in needs_expand:
+            if m == "total_neighbors":
+                out[m] = np.where(a == b, degrees[a],
+                                  degrees[a] + degrees[b]).astype(np.float64)
+            else:
+                out[m] = np.zeros(n_pairs)
+        return out
     starts = indptr[a]
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     g = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
@@ -111,37 +121,60 @@ def _pair_scores(indptr, indices, degrees, a_arr, b_arr, method,
     pos = np.searchsorted(edge_keys, probe)
     pos[pos >= edge_keys.shape[0]] = edge_keys.shape[0] - 1
     is_common = edge_keys[pos] == probe
-    if method == "common_neighbors":
-        w = is_common.astype(np.float64)
-    elif method == "adamic_adar":
-        with np.errstate(divide="ignore"):
-            w = np.where(is_common, 1.0 / np.log(degrees[z]), 0.0)
-    elif method == "resource_allocation":
-        with np.errstate(divide="ignore"):
-            w = np.where(is_common, 1.0 / degrees[z].astype(np.float64), 0.0)
-    else:  # total_neighbors = deg(a) + deg(b) - |common|
-        w = is_common.astype(np.float64)
     bounds = np.concatenate((offs, [total]))
-    sums = np.add.reduceat(np.concatenate((w, [0.0])), bounds)[:-1]
-    sums[lens == 0] = 0.0
-    if method == "total_neighbors":
-        return np.where(a == b, degrees[a].astype(np.float64),
-                        degrees[a] + degrees[b] - sums)
-    return sums
+
+    def _reduce(w):
+        sums = np.add.reduceat(np.concatenate((w, [0.0])), bounds)[:-1]
+        sums[lens == 0] = 0.0
+        return sums
+
+    common_f = is_common.astype(np.float64)
+    cn_sums = None
+    for m in needs_expand:
+        if m in ("common_neighbors", "total_neighbors"):
+            if cn_sums is None:
+                cn_sums = _reduce(common_f)
+            out[m] = (cn_sums if m == "common_neighbors" else
+                      np.where(a == b, degrees[a].astype(np.float64),
+                               degrees[a] + degrees[b] - cn_sums))
+        elif m == "adamic_adar":
+            with np.errstate(divide="ignore"):
+                out[m] = _reduce(np.where(is_common,
+                                          1.0 / np.log(degrees[z]), 0.0))
+        elif m == "resource_allocation":
+            with np.errstate(divide="ignore"):
+                out[m] = _reduce(np.where(
+                    is_common, 1.0 / degrees[z].astype(np.float64), 0.0))
+    return out
+
+
+def _pair_scores(indptr, indices, degrees, a_arr, b_arr, method,
+                 edge_keys=None):
+    return _pair_scores_multi(indptr, indices, degrees, a_arr, b_arr,
+                              [method], edge_keys=edge_keys)[method]
 
 
 def link_prediction(graph, pairs, method: str, *, direction: str = "both",
                     community: Optional[np.ndarray] = None,
                     batch_size: int = 8192):
-    """Score (a, b) pairs; returns/streams (a, b, score).
+    """Score (a, b) pairs; returns/streams (a, b, score) — or, when
+    ``method`` is a LIST of structural methods, one column per method
+    computed from a single adjacency expansion (the co-supply near-clique
+    measured 5x on this: one expansion instead of one per measure).
 
     ``pairs``: a pyarrow Table with columns a, b (scored in one call) or a
     Ray Dataset with the same columns (scored as a streaming map_batches
     stage over a once-published CSR handle)."""
-    if method not in _METHODS:
-        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+    single = isinstance(method, str)
+    methods = [method] if single else list(method)
+    for m in methods:
+        if m not in _METHODS:
+            raise ValueError(f"method must be one of {_METHODS}, got {m!r}")
     if direction not in _ORIENT:
         raise ValueError(f"direction must be one of {sorted(_ORIENT)}")
+    if "same_community" in methods and not single:
+        raise ValueError("same_community is not combinable (needs the "
+                         "community array, not the adjacency expansion)")
 
     if method == "same_community":
         if community is None:
@@ -169,12 +202,20 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
     indptr, indices = _distinct_csr(graph, _ORIENT[direction])
     degrees = np.diff(indptr)
 
+    def _out_table(a, b, scores: dict) -> pa.Table:
+        cols = {"a": a, "b": b}
+        if single:
+            cols["score"] = scores[methods[0]]
+        else:
+            for m in methods:
+                cols[m] = scores[m]
+        return pa.table(cols)
+
     if isinstance(pairs, pa.Table):
         a = pairs.column("a").to_numpy(zero_copy_only=False)
         b = pairs.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"a": a, "b": b,
-                         "score": _pair_scores(indptr, indices, degrees,
-                                               a, b, method)})
+        return _out_table(a, b, _pair_scores_multi(indptr, indices, degrees,
+                                                   a, b, methods))
 
     import ray
     csr_ref = ray.put((indptr, indices, degrees,
@@ -183,7 +224,7 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
     class _Scorer:
         def __init__(self):
             self.csr = None
-            self.__name__ = f"linkpred_{method}"
+            self.__name__ = f"linkpred_{'_'.join(methods)}"
 
         def __call__(self, t: pa.Table) -> pa.Table:
             if self.csr is None:
@@ -191,9 +232,9 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
             ip, ix, dg, ek = self.csr
             a = t.column("a").to_numpy(zero_copy_only=False)
             b = t.column("b").to_numpy(zero_copy_only=False)
-            return pa.table({"a": a, "b": b,
-                             "score": _pair_scores(ip, ix, dg, a, b,
-                                                   method, edge_keys=ek)})
+            return _out_table(a, b, _pair_scores_multi(ip, ix, dg, a, b,
+                                                       methods,
+                                                       edge_keys=ek))
 
     return pairs.map_batches(_Scorer(), batch_format="pyarrow",
                              batch_size=batch_size)
