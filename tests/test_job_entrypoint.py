@@ -54,3 +54,17 @@ def test_public_surface_exports_resolve():
     for n in ("exact_dedup", "minhash_near_dups", "ivf_topk", "cosine_topk",
               "tumbling_window", "LanguageId"):
         assert n in g.__all__
+
+
+def test_driver_contract_key_consistency():
+    """Every oracle_sql() key must have a queries() entry (an orphaned
+    oracle is dead weight the driver would never run), and both maps must be
+    non-trivially sized after each round's additions."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+    qs = set(e.queries().keys())
+    sqls = set(e.oracle_sql().keys())
+    assert sqls <= qs, sorted(sqls - qs)
+    assert len(qs) >= 73
+    assert len(sqls) >= 65
