@@ -947,7 +947,8 @@ def _q_linkpred_cosupply(sf_dir: str):
     # parallel over a pairs Dataset (the co-supply graph is a near-clique:
     # sum-of-degrees work per measure is O(m·avg_deg))
     rd = _ray_data()
-    pairs_ds = rd.from_arrow(pairs).repartition(32)
+    nparts = max(1, min(32, pairs.num_rows // 4096))
+    pairs_ds = rd.from_arrow(pairs).repartition(nparts)
     t = _to_table(link_prediction(
         g, pairs_ds, ["common_neighbors", "adamic_adar",
                       "resource_allocation", "preferential_attachment",
