@@ -37,7 +37,8 @@ def _build_parser():
     r = sub.add_parser("run", help="run an algorithm on a saved graph")
     r.add_argument("--algo", required=True,
                    choices=["pagerank", "articlerank", "eigenvector", "wcc",
-                            "labelpropagation", "trianglecount"])
+                            "labelpropagation", "trianglecount", "louvain",
+                            "sssp", "hits", "delta_stepping"])
     r.add_argument("--graph", required=True, help="canonical graph dir (Graph.save)")
     r.add_argument("--out", required=True, help="result parquet path")
     r.add_argument("--mode", default="write", choices=["write", "stats"])
@@ -49,6 +50,9 @@ def _build_parser():
     r.add_argument("--tolerance", type=float)
     r.add_argument("--damping", type=float)
     r.add_argument("--weighted", action="store_true")
+    r.add_argument("--hits-iterations", type=int, help="hits only")
+    r.add_argument("--source", type=int, help="sssp / delta_stepping source vid")
+    r.add_argument("--delta", type=float, help="delta_stepping bucket width")
     return p
 
 
@@ -69,10 +73,11 @@ def main(argv=None) -> dict:
             from .state.graph import Graph
             g = Graph.load(args.graph)
             config = {}
-            for k in ("max_iterations", "tolerance", "damping", "weighted"):
+            for k in ("max_iterations", "tolerance", "damping", "weighted",
+                      "hits_iterations", "source", "delta"):
                 v = getattr(args, k)
-                if v not in (None, False):
-                    config[k] = v
+                if v is not None and v is not False:  # NOT `in (None, False)`
+                    config[k] = v  # — 0 == False would drop --source 0
             if args.execution != "auto":
                 config["execution"] = args.execution
             if args.num_partitions:

@@ -68,3 +68,25 @@ def test_driver_contract_key_consistency():
     assert sqls <= qs, sorted(sqls - qs)
     assert len(qs) >= 73
     assert len(sqls) >= 65
+
+
+def test_cli_new_algos(tmp_path):
+    """hits / delta_stepping / sssp through the ray-job CLI surface."""
+    import pyarrow.parquet as pq
+    from graph_data_science_ray.__main__ import main
+    from graph_data_science_ray.sources.corpus import generate_corpus
+    corpus = tmp_path / "c"
+    generate_corpus(str(corpus), num_repos=25, files_per_repo=3, seed=2)
+    main(["build", "--corpus", str(corpus), "--out", str(tmp_path / "g")])
+    out = main(["run", "--algo", "hits", "--graph", str(tmp_path / "g"),
+                "--out", str(tmp_path / "hits.parquet"),
+                "--hits-iterations", "5"])
+    t = pq.read_table(str(tmp_path / "hits.parquet"))
+    assert {"vid", "auth", "hub"} <= set(t.column_names)
+    assert out["rowsWritten"] == t.num_rows > 0
+    out = main(["run", "--algo", "delta_stepping",
+                "--graph", str(tmp_path / "g"),
+                "--out", str(tmp_path / "ds.parquet"),
+                "--source", "0", "--delta", "2.0"])
+    t = pq.read_table(str(tmp_path / "ds.parquet"))
+    assert {"vid", "distance"} <= set(t.column_names)
