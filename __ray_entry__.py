@@ -253,6 +253,43 @@ def _q_lpa_hierarchy(sf_dir: str):
     return pa.table({"vid": present, "label": lab[present]})
 
 
+def _q_sllpa_hierarchy_t2(sf_dir: str):
+    """gds.alpha.sllpa with max_iterations=2: init + one listen + prune — no
+    speak step runs, so no randomness is consumed and the result is
+    closed-form: each node keeps {own id} ∪ {min in-neighbor id} (all
+    superstep-0 messages are distinct sender ids, so the majority vote is a
+    pure tie resolved to the smallest label — SpeakerListenerLPA.java:104-110).
+    Pins the init / listen / tie-break / prune plumbing to a SQL oracle; the
+    randomized propagation schedule is pinned by the java.util.Random fixture
+    tests (tests/test_sllpa.py) and exercised by sllpa_hierarchy below."""
+    from graph_data_science_ray.pipelines.sllpa import sllpa_exploded
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = sllpa_exploded(g, max_iterations=2, min_association_strength=0.0,
+                       execution="ray")
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    keep = np.isin(vid, present)
+    return pa.table({"vid": vid[keep],
+                     "community_id": t.column("community_id")
+                    .to_numpy(zero_copy_only=False)[keep]})
+
+
+def _q_sllpa_hierarchy(sf_dir: str):
+    """Full SLLPA (10 supersteps, counter-based deterministic schedule) on the
+    hierarchy forest — rows-only (the randomized speaker schedule is not
+    SQL-expressible); the sharded path is bit-equality-tested vs the local
+    kernel in tests/test_sllpa.py."""
+    from graph_data_science_ray.pipelines.sllpa import sllpa_exploded
+    from graph_data_science_ray.pipelines.tpch_graph import hierarchy_vids
+    g, _, present = hierarchy_vids(sf_dir)
+    t = sllpa_exploded(g, max_iterations=10, seed=42, execution="ray")
+    vid = t.column("vid").to_numpy(zero_copy_only=False)
+    keep = np.isin(vid, present)
+    return pa.table({"vid": vid[keep],
+                     "community_id": t.column("community_id")
+                    .to_numpy(zero_copy_only=False)[keep]})
+
+
 def _q_triangle_cosupply(sf_dir: str):
     from graph_data_science_ray import triangle_count
     from graph_data_science_ray.pipelines.tpch_graph import cosupply_graph
@@ -1111,6 +1148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_minmax_scaled": _q_degree_minmax_scaled,
         "dag_longest_chain": _q_dag_longest_chain,
         "lpa_hierarchy": _q_lpa_hierarchy,
+        "sllpa_hierarchy_t2": _q_sllpa_hierarchy_t2,
+        "sllpa_hierarchy": _q_sllpa_hierarchy,
         "triangle_cosupply": _q_triangle_cosupply,
         "triangle_rows": _q_triangle_rows,
         "louvain_hierarchy": _q_louvain_hierarchy,
@@ -1217,6 +1256,29 @@ UNION ALL SELECT 31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey, n_regio
 SELECT c_custkey AS vid,
        MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer
+""",
+        # sllpa, max_iterations=2 (no speak step ⇒ deterministic): every node
+        # keeps its own id; nodes with in-neighbors also keep the smallest
+        # in-neighbor id (all superstep-0 votes are distinct sender ids — the
+        # majority is a pure tie resolved to the smallest label).
+        "sllpa_hierarchy_t2": """
+WITH senders AS (
+  SELECT n_regionkey AS vid, 5 + n_nationkey AS sender FROM nation
+  UNION ALL
+  SELECT 5 + s_nationkey, 30 + s_suppkey FROM supplier
+  UNION ALL
+  SELECT 5 + c_nationkey,
+         31 + (SELECT max(s_suppkey) FROM supplier) + c_custkey FROM customer),
+winners AS (SELECT vid, MIN(sender) AS win FROM senders GROUP BY vid),
+present AS (
+  SELECT DISTINCT vid FROM (
+    SELECT vid FROM senders
+    UNION ALL SELECT sender FROM senders)),
+pairs AS (
+  SELECT vid, vid AS community_id FROM present
+  UNION
+  SELECT w.vid, w.win FROM winners w JOIN present p USING (vid))
+SELECT vid, community_id FROM pairs
 """,
         # stats mode: community-size percentiles.  quantile_cont is the same
         # Hyndman-Fan R-7 linear interpolation as np.percentile's default.

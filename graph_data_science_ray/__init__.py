@@ -34,6 +34,7 @@ from .pipelines.alpha_extras import (approx_max_k_cut, collapse_path,
 from .pipelines.graphsage import (GraphSageModel, graphsage_embeddings,
                                   graphsage_train)
 from .pipelines.hits import hits
+from .pipelines.sllpa import sllpa
 from .pipelines.node2vec import node2vec
 from .pipelines.walks import random_walks
 from .pipelines.pregel import Computation, PregelResult, run_pregel
@@ -67,7 +68,7 @@ __all__ = [
     "k1_coloring", "modularity_optimization", "knn_graph", "fastrp",
     "closeness_centrality", "harmonic_centrality", "scc", "astar", "yens",
     "random_walks", "node2vec", "conductance", "spanning_tree", "bfs", "dfs",
-    "hits", "delta_stepping", "link_prediction", "one_hot_encoding", "scale",
+    "hits", "sllpa", "delta_stepping", "link_prediction", "one_hot_encoding", "scale",
     "all_shortest_paths", "split_relationships",
     "triangle_count_streaming", "triangle_stream",
     "degree_distribution", "filter_subgraph",

@@ -39,7 +39,7 @@ class _TableResult:
 def _resolve(algo: str):
     if not _ALGOS:
         from . import (hits as hits_mod, labelprop, louvain, pagerank, paths,
-                       paths_local, triangles, wcc)
+                       paths_local, sllpa as sllpa_mod, triangles, wcc)
         _ALGOS.update({
             "pagerank": lambda g, **kw: pagerank.pagerank(g, **kw),
             "articlerank": lambda g, **kw: pagerank.article_rank(g, **kw),
@@ -52,6 +52,7 @@ def _resolve(algo: str):
             "hits": lambda g, **kw: _TableResult(hits_mod.hits(g, **kw)),
             "deltastepping": lambda g, **kw: _TableResult(
                 paths_local.delta_stepping(g, **kw)),
+            "sllpa": lambda g, **kw: _TableResult(sllpa_mod.sllpa(g, **kw)),
         })
     if algo not in _ALGOS:
         raise ValueError(f"unknown algorithm {algo!r}; have {sorted(_ALGOS)}")
