@@ -91,6 +91,19 @@ class GraphCatalog:
                        "weighted": g.is_weighted}, f)
 
 
+    def remove_node_property(self, name: str, prop: str) -> bool:
+        """``gds.graph.removeNodeProperties`` analogue: drop a stored node
+        property column and persist the slimmer vertex table.  Returns False
+        when the property is absent (the reference raises; a boolean keeps the
+        surface idempotent for retried jobs)."""
+        g = self.get(name)
+        if prop not in g.node_props:
+            return False
+        del g.node_props[prop]
+        g.save_vertices(self._dir(name))
+        return True
+
+
 def degree_distribution(graph: Graph) -> dict:
     """Degree histogram percentiles — the ``gds.graph.list`` degreeDistribution
     (proc/catalog/.../GraphInfoWithHistogram.java, HdrHistogram percentiles).

@@ -33,6 +33,16 @@ class TestCatalog:
         assert cat.drop("g1") and not cat.exists("g1")
         assert not cat.drop("g1")
 
+    def test_remove_node_property(self, tmp_path, g):
+        """gds.graph.removeNodeProperties analogue: drop + persist."""
+        cat = GraphCatalog(str(tmp_path))
+        cat.create("g1", g)
+        cat.set_node_property("g1", "score", np.arange(40, dtype=np.float64))
+        assert cat.remove_node_property("g1", "score")
+        cat._cache.clear()
+        assert "score" not in cat.get("g1").node_props
+        assert not cat.remove_node_property("g1", "score")  # idempotent
+
     def test_duplicate_name_rejected(self, tmp_path, g):
         cat = GraphCatalog(str(tmp_path))
         cat.create("g1", g)
