@@ -38,7 +38,7 @@ def _build_parser():
     r.add_argument("--algo", required=True,
                    choices=["pagerank", "articlerank", "eigenvector", "wcc",
                             "labelpropagation", "trianglecount", "louvain",
-                            "sssp", "hits", "delta_stepping"])
+                            "sssp", "hits", "delta_stepping", "sllpa"])
     r.add_argument("--graph", required=True, help="canonical graph dir (Graph.save)")
     r.add_argument("--out", required=True, help="result parquet path")
     r.add_argument("--mode", default="write", choices=["write", "stats"])
@@ -53,6 +53,8 @@ def _build_parser():
     r.add_argument("--hits-iterations", type=int, help="hits only")
     r.add_argument("--source", type=int, help="sssp / delta_stepping source vid")
     r.add_argument("--delta", type=float, help="delta_stepping bucket width")
+    r.add_argument("--seed", type=int, help="sllpa random seed")
+    r.add_argument("--min-association-strength", type=float, help="sllpa prune")
     return p
 
 
@@ -74,7 +76,8 @@ def main(argv=None) -> dict:
             g = Graph.load(args.graph)
             config = {}
             for k in ("max_iterations", "tolerance", "damping", "weighted",
-                      "hits_iterations", "source", "delta"):
+                      "hits_iterations", "source", "delta", "seed",
+                      "min_association_strength"):
                 v = getattr(args, k)
                 if v is not None and v is not False:  # NOT `in (None, False)`
                     config[k] = v  # — 0 == False would drop --source 0

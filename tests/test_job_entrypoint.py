@@ -90,3 +90,10 @@ def test_cli_new_algos(tmp_path):
                 "--source", "0", "--delta", "2.0"])
     t = pq.read_table(str(tmp_path / "ds.parquet"))
     assert {"vid", "distance"} <= set(t.column_names)
+    out = main(["run", "--algo", "sllpa", "--graph", str(tmp_path / "g"),
+                "--out", str(tmp_path / "sllpa.parquet"),
+                "--max-iterations", "6", "--seed", "7",
+                "--min-association-strength", "0.1"])
+    t = pq.read_table(str(tmp_path / "sllpa.parquet"))
+    assert {"vid", "community_ids"} <= set(t.column_names)
+    assert out["rowsWritten"] == t.num_rows > 0
