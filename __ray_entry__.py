@@ -661,6 +661,32 @@ def _q_embedding_norms(sf_dir: str):
     return _to_table(emb.map_batches(L2Norm(), batch_format="pyarrow"))
 
 
+def _q_pairwise_sim_embeddings(sf_dir: str):
+    """The gds.alpha.similarity.* user functions (SimilaritiesFunc.java) over
+    consecutive embedding pairs, streamed through the vectorized batch kernel
+    (functions/pairwise.py).  Java quirk preserved and oracle-pinned: cosine
+    is sqrt(cosineSquare) — always non-negative.  DuckDB corr() is the same
+    ratio as the reference's population pearson (the n-1 factors cancel)."""
+    from graph_data_science_ray.functions.pairwise import add_pairwise_similarity
+    rd = _ray_data()
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    t = _to_table(emb).sort_by("vec_id")
+    e = t.column("embedding").combine_chunks()
+    n = t.num_rows
+    pairs = pa.table({"id": t.column("vec_id").slice(0, n - 1),
+                      "e1": e.slice(0, n - 1), "e2": e.slice(1)})
+    ds = rd.from_arrow(pairs)
+    for m in ("cosine", "euclidean", "euclidean_distance", "pearson"):
+        ds = add_pairwise_similarity(ds, "e1", "e2", method=m, out_col=m)
+    out = _to_table(ds)
+    cols = {"id": out.column("id")}
+    for m in ("cosine", "euclidean", "euclidean_distance", "pearson"):
+        cols[m] = pa.array(
+            _round6(out.column(m).to_numpy(zero_copy_only=False)), pa.float64())
+    return pa.table(cols)
+
+
 def _q_events_hourly(sf_dir: str):
     from graph_data_science_ray.pipelines.windows import tumbling_window
     rd = _ray_data()
@@ -1179,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": _q_knn_cosine_ivf,
         "knn_cosine_ivf_full": _q_knn_cosine_ivf_full,
         "embedding_norms": _q_embedding_norms,
+        "pairwise_sim_embeddings": _q_pairwise_sim_embeddings,
         "events_hourly": _q_events_hourly,
         "sessionize_events": _q_sessionize,
         "quality_scores": _q_quality_scores,
@@ -1887,6 +1914,23 @@ LIMIT 10
         "embedding_norms": """
 SELECT vec_id, round(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm
 FROM embeddings
+""",
+        # gds.alpha.similarity.* user functions over consecutive embedding
+        # pairs.  cosine = sqrt(square) per the reference (non-negative);
+        # corr() == the reference's population pearson (n-1 factors cancel).
+        "pairwise_sim_embeddings": """
+WITH p AS (
+  SELECT a.vec_id AS id, a.embedding AS e1, b.embedding AS e2
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+u AS (SELECT id, UNNEST(e1)::DOUBLE AS x, UNNEST(e2)::DOUBLE AS y FROM p)
+SELECT id,
+  round(CASE WHEN sum(x*x) = 0 OR sum(y*y) = 0 THEN 0
+             ELSE sqrt(sum(x*y) * sum(x*y) / sum(x*x) / sum(y*y)) END, 6)
+    AS cosine,
+  round(1.0 / (1.0 + sqrt(sum((x-y)*(x-y)))), 6) AS euclidean,
+  round(sqrt(sum((x-y)*(x-y))), 6) AS euclidean_distance,
+  round(coalesce(corr(x, y), 0), 6) AS pearson
+FROM u GROUP BY id
 """,
         "events_hourly": """
 SELECT user_id, epoch_us(date_trunc('hour', ts))::BIGINT AS window_us,

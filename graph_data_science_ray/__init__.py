@@ -56,6 +56,11 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles)
 from .functions.joins import hash_join, semi_join_filter
+from .functions.pairwise import (add_pairwise_similarity, pairwise_scores,
+                                 similarity_cosine, similarity_euclidean,
+                                 similarity_euclidean_distance,
+                                 similarity_jaccard, similarity_overlap,
+                                 similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
 
 __all__ = [
@@ -83,6 +88,9 @@ __all__ = [
     "tumbling_window", "sessionize", "hopping_window",
     "asof_join", "range_join", "top_k_per_group", "grouped_quantiles",
     "hash_join", "semi_join_filter", "vocab_top_terms",
+    "add_pairwise_similarity", "pairwise_scores", "similarity_cosine",
+    "similarity_euclidean", "similarity_euclidean_distance",
+    "similarity_jaccard", "similarity_overlap", "similarity_pearson",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,216 @@
+"""Pairwise vector-similarity user functions (gds.alpha.similarity.*).
+
+Reference: alpha/alpha-proc/src/main/java/org/neo4j/gds/similarity/
+SimilaritiesFunc.java (the six @UserFunction entry points) with kernels from
+core/src/main/java/org/neo4j/gds/core/utils/Intersections.java.
+
+Java semantics preserved exactly:
+  * cosine   = sqrt(dot² / ‖a‖² / ‖b‖²)  — NOTE the reference takes the square
+    root of the SQUARE, so anti-parallel vectors score +1, not -1
+    (SimilaritiesFunc.java:73 sqrt(Intersections.cosineSquare)); zero-norm → 0.
+  * euclideanDistance = sqrt(Σ(aᵢ-bᵢ)²); euclidean = 1/(1+distance).
+  * pearson  = mean-centered correlation, NaN → 0 (Intersections.java:157-182).
+  * jaccard  = MULTISET intersection/union with duplicate support
+    (SimilaritiesFunc.java jaccard: sorted two-pointer walk; union == 0 → 1;
+    null inputs → 0).
+  * overlap  = |set(a) ∩ set(b)| / min(len(a), len(b)) — intersection is
+    DEDUPLICATED but the denominator keeps raw list lengths
+    (SimilaritiesFunc.java overlapSimilarity); null inputs → 0, min len 0 → 0.
+  * cosine / euclidean / pearson require equal-length non-empty vectors
+    (the reference throws).
+
+Two surfaces: scalar functions mirroring the Cypher signature, and a
+vectorized batch kernel (`pairwise_scores`) for two ``list<float>`` columns —
+segment sums via ``np.add.reduceat`` over the Arrow list offsets, no per-row
+Python in the numeric paths (the deployment shape: ``add_pairwise_similarity``
+maps it over a Dataset).  The multiset jaccard/overlap kernels aggregate
+(row, value) pair counts with one lexsort per side — also loop-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_NUMERIC = ("cosine", "euclidean", "euclidean_distance", "pearson")
+_CATEGORICAL = ("jaccard", "overlap")
+
+
+# --------------------------------------------------------------------------------
+# scalar forms (the Cypher user-function signatures)
+# --------------------------------------------------------------------------------
+
+def _check_numeric(v1, v2):
+    a = np.asarray(v1, dtype=np.float64)
+    b = np.asarray(v2, dtype=np.float64)
+    if a.shape[0] != b.shape[0] or a.shape[0] == 0:
+        raise ValueError("Vectors must be non-empty and of the same size")
+    return a, b
+
+
+def similarity_cosine(v1, v2) -> float:
+    a, b = _check_numeric(v1, v2)
+    x, y, dot = float(a @ a), float(b @ b), float(a @ b)
+    if x == 0.0 or y == 0.0:
+        return 0.0
+    return float(np.sqrt(dot * dot / x / y))
+
+
+def similarity_euclidean_distance(v1, v2) -> float:
+    a, b = _check_numeric(v1, v2)
+    return float(np.sqrt(((a - b) ** 2).sum()))
+
+
+def similarity_euclidean(v1, v2) -> float:
+    return 1.0 / (1.0 + similarity_euclidean_distance(v1, v2))
+
+
+def similarity_pearson(v1, v2) -> float:
+    a, b = _check_numeric(v1, v2)
+    da, db = a - a.mean(), b - b.mean()
+    denom = np.sqrt((da @ da) * (db @ db))
+    if denom == 0.0:
+        return 0.0  # NaN → 0 (Intersections.java:181)
+    return float((da @ db) / denom)
+
+
+def similarity_jaccard(v1, v2) -> float:
+    if v1 is None or v2 is None:
+        return 0.0
+    a = np.sort(np.asarray([x for x in v1 if x is not None], dtype=np.float64))
+    b = np.sort(np.asarray([x for x in v2 if x is not None], dtype=np.float64))
+    inter = _multiset_intersection(a, b)
+    union = a.shape[0] + b.shape[0] - inter
+    return 1.0 if union == 0 else inter / union
+
+
+def similarity_overlap(v1, v2) -> float:
+    if v1 is None or v2 is None:
+        return 0.0
+    a = np.asarray([x for x in v1 if x is not None], dtype=np.float64)
+    b = np.asarray([x for x in v2 if x is not None], dtype=np.float64)
+    denom = min(len(v1), len(v2))
+    if denom == 0:
+        return 0.0
+    inter = np.intersect1d(a, b).shape[0]  # set semantics (HashSet.retainAll)
+    return inter / denom
+
+
+def _multiset_intersection(a_sorted: np.ndarray, b_sorted: np.ndarray) -> int:
+    """Σ_v min(count_a(v), count_b(v)) — the reference's two-pointer walk."""
+    if a_sorted.shape[0] == 0 or b_sorted.shape[0] == 0:
+        return 0
+    va, ca = np.unique(a_sorted, return_counts=True)
+    vb, cb = np.unique(b_sorted, return_counts=True)
+    pos = np.searchsorted(va, vb)
+    ok = pos < va.shape[0]
+    ok[ok] &= va[pos[ok]] == vb[ok]
+    return int(np.minimum(ca[pos[ok]], cb[ok]).sum())
+
+
+# --------------------------------------------------------------------------------
+# vectorized batch kernel over two list<float> columns
+# --------------------------------------------------------------------------------
+
+def _flat(col):
+    """(values: float64[], offsets: int64[]) of a list column (chunk-merged)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64,
+                                                              copy=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
+def _pair_counts(rows: np.ndarray, vals: np.ndarray):
+    """Aggregate (row, value) → count; returns row/value/count sorted."""
+    if rows.shape[0] == 0:
+        return rows, vals, rows
+    order = np.lexsort((vals, rows))
+    r, v = rows[order], vals[order]
+    new = np.empty(r.shape[0], dtype=bool)
+    new[0] = True
+    new[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.append(starts, r.shape[0]))
+    return r[starts], v[starts], cnt
+
+
+def _per_row_set_min_intersection(n, r1, v1, c1, r2, v2, c2, *, set_mode: bool):
+    """Per-row Σ min(c1, c2) (multiset) or matched-distinct count (set) of two
+    already (row, value)-aggregated sides, vectorized by one joint lexsort."""
+    side = np.concatenate((np.zeros(r1.shape[0], dtype=np.int8),
+                           np.ones(r2.shape[0], dtype=np.int8)))
+    rows = np.concatenate((r1, r2))
+    vals = np.concatenate((v1, v2))
+    cnts = np.concatenate((c1, c2))
+    order = np.lexsort((side, vals, rows))
+    rows, vals, cnts = rows[order], vals[order], cnts[order]
+    if rows.shape[0] < 2:
+        return np.zeros(n, dtype=np.float64)
+    match = (rows[1:] == rows[:-1]) & (vals[1:] == vals[:-1])
+    contrib = (np.minimum(cnts[1:], cnts[:-1])[match] if not set_mode
+               else np.ones(int(match.sum())))
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, rows[1:][match], contrib)
+    return out
+
+
+def pairwise_scores(col1, col2, method: str = "cosine") -> np.ndarray:
+    """Row-wise similarity of two list columns (Arrow list arrays)."""
+    v1, o1 = _flat(col1)
+    v2, o2 = _flat(col2)
+    n = o1.shape[0] - 1
+    len1, len2 = np.diff(o1), np.diff(o2)
+    if method in _NUMERIC:
+        if not np.array_equal(len1, len2) or (len1 == 0).any():
+            raise ValueError("Vectors must be non-empty and of the same size")
+        seg = o1[:-1]
+        if method == "pearson":
+            sums1 = np.add.reduceat(v1, seg)
+            sums2 = np.add.reduceat(v2, seg)
+            v1 = v1 - np.repeat(sums1 / len1, len1)
+            v2 = v2 - np.repeat(sums2 / len2, len2)
+        if method in ("euclidean", "euclidean_distance"):
+            d2 = np.add.reduceat((v1 - v2) ** 2, seg)
+            dist = np.sqrt(d2)
+            return dist if method == "euclidean_distance" else 1.0 / (1.0 + dist)
+        dot = np.add.reduceat(v1 * v2, seg)
+        x = np.add.reduceat(v1 * v1, seg)
+        y = np.add.reduceat(v2 * v2, seg)
+        if method == "cosine":
+            out = np.zeros(n)
+            ok = (x != 0) & (y != 0)
+            out[ok] = np.sqrt(dot[ok] * dot[ok] / x[ok] / y[ok])
+            return out
+        # pearson on centered values
+        out = np.zeros(n)
+        denom = np.sqrt(x * y)
+        ok = denom != 0
+        out[ok] = dot[ok] / denom[ok]
+        return out
+    if method not in _CATEGORICAL:
+        raise ValueError(f"unknown method {method!r}")
+    rows1 = np.repeat(np.arange(n, dtype=np.int64), len1)
+    rows2 = np.repeat(np.arange(n, dtype=np.int64), len2)
+    r1, u1, c1 = _pair_counts(rows1, v1)
+    r2, u2, c2 = _pair_counts(rows2, v2)
+    if method == "jaccard":
+        inter = _per_row_set_min_intersection(n, r1, u1, c1, r2, u2, c2,
+                                              set_mode=False)
+        union = len1 + len2 - inter
+        return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    inter = _per_row_set_min_intersection(n, r1, u1, c1, r2, u2, c2,
+                                          set_mode=True)
+    denom = np.minimum(len1, len2)
+    return np.where(denom == 0, 0.0, inter / np.maximum(denom, 1))
+
+
+def add_pairwise_similarity(ds, col1: str, col2: str, *,
+                            method: str = "cosine", out_col: str = "score"):
+    """Dataset form: append the row-wise similarity of two list columns —
+    a streaming map_batches, the deployment shape of the user functions."""
+    def _batch(t: pa.Table) -> pa.Table:
+        scores = pairwise_scores(t.column(col1), t.column(col2), method)
+        return t.append_column(out_col, pa.array(scores, type=pa.float64()))
+    return ds.map_batches(_batch, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""gds.alpha.similarity.* user functions (SimilaritiesFunc.java semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graph_data_science_ray.functions.pairwise import (
+    add_pairwise_similarity, pairwise_scores, similarity_cosine,
+    similarity_euclidean, similarity_euclidean_distance, similarity_jaccard,
+    similarity_overlap, similarity_pearson)
+
+
+class TestScalarSemantics:
+    def test_cosine_known(self):
+        # hand-computed: dot=32, |a|²=14, |b|²=77 → sqrt(32²/14/77)
+        assert similarity_cosine([1, 2, 3], [4, 5, 6]) == pytest.approx(
+            np.sqrt(32 * 32 / 14 / 77))
+
+    def test_cosine_antiparallel_is_positive(self):
+        """Java quirk: sqrt(cosineSquare) — anti-parallel scores +1, not -1
+        (SimilaritiesFunc.java:73)."""
+        assert similarity_cosine([1, 2], [-1, -2]) == pytest.approx(1.0)
+
+    def test_cosine_zero_norm(self):
+        assert similarity_cosine([0, 0], [1, 2]) == 0.0
+
+    def test_cosine_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            similarity_cosine([1, 2], [1])
+        with pytest.raises(ValueError):
+            similarity_cosine([], [])
+
+    def test_euclidean(self):
+        d = similarity_euclidean_distance([1, 2], [4, 6])
+        assert d == pytest.approx(5.0)
+        assert similarity_euclidean([1, 2], [4, 6]) == pytest.approx(1 / 6)
+
+    def test_pearson_exact_and_nan_to_zero(self):
+        assert similarity_pearson([1, 2, 3], [2, 4, 6]) == pytest.approx(1.0)
+        assert similarity_pearson([1, 2, 3], [3, 2, 1]) == pytest.approx(-1.0)
+        # constant vector → zero variance → NaN → 0 (Intersections.java:181)
+        assert similarity_pearson([1, 1, 1], [1, 2, 3]) == 0.0
+
+    def test_jaccard_multiset(self):
+        """Duplicate support (SimilaritiesFunc.java jaccard two-pointer walk):
+        [1,1,2] vs [1,2] → intersection 2, union 3."""
+        assert similarity_jaccard([1, 1, 2], [1, 2]) == pytest.approx(2 / 3)
+
+    def test_jaccard_empty_union_is_one(self):
+        assert similarity_jaccard([], []) == 1.0
+
+    def test_jaccard_null_vector_is_zero(self):
+        assert similarity_jaccard(None, [1]) == 0.0
+
+    def test_overlap_set_numerator_raw_denominator(self):
+        """Intersection is DEDUPED (HashSet) but min() uses raw lengths:
+        [1,1,2] vs [1,2,3] → |{1,2}| / min(3,3) = 2/3."""
+        assert similarity_overlap([1, 1, 2], [1, 2, 3]) == pytest.approx(2 / 3)
+        assert similarity_overlap([], [1]) == 0.0
+        assert similarity_overlap(None, [1]) == 0.0
+
+
+class TestBatchKernel:
+    def _rand_lists(self, rng, n, fixed_len=None, ints=False):
+        out = []
+        for _ in range(n):
+            ln = fixed_len if fixed_len else int(rng.integers(1, 9))
+            v = rng.integers(0, 5, ln).tolist() if ints \
+                else rng.normal(size=ln).round(3).tolist()
+            out.append(v)
+        return out
+
+    @pytest.mark.parametrize("method,scalar", [
+        ("cosine", similarity_cosine),
+        ("euclidean", similarity_euclidean),
+        ("euclidean_distance", similarity_euclidean_distance),
+        ("pearson", similarity_pearson)])
+    def test_numeric_matches_scalar(self, method, scalar):
+        rng = np.random.default_rng(5)
+        a = self._rand_lists(rng, 64, fixed_len=None)
+        b = [rng.normal(size=len(v)).round(3).tolist() for v in a]
+        got = pairwise_scores(pa.array(a), pa.array(b), method)
+        exp = np.array([scalar(x, y) for x, y in zip(a, b)])
+        np.testing.assert_allclose(got, exp, atol=1e-12)
+
+    @pytest.mark.parametrize("method,scalar", [
+        ("jaccard", similarity_jaccard),
+        ("overlap", similarity_overlap)])
+    def test_categorical_matches_scalar(self, method, scalar):
+        rng = np.random.default_rng(6)
+        a = self._rand_lists(rng, 80, ints=True)
+        b = self._rand_lists(rng, 80, ints=True)
+        got = pairwise_scores(pa.array(a, type=pa.list_(pa.float64())),
+                              pa.array(b, type=pa.list_(pa.float64())), method)
+        exp = np.array([scalar(x, y) for x, y in zip(a, b)])
+        np.testing.assert_allclose(got, exp, atol=1e-12)
+
+    def test_numeric_ragged_raises(self):
+        with pytest.raises(ValueError):
+            pairwise_scores(pa.array([[1.0, 2.0]]), pa.array([[1.0]]), "cosine")
+
+    def test_unknown_method(self):
+        with pytest.raises(ValueError):
+            pairwise_scores(pa.array([[1.0]]), pa.array([[1.0]]), "nope")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetForm:
+    def test_add_pairwise_similarity(self):
+        import ray.data
+        t = pa.table({"id": [0, 1],
+                      "e1": [[1.0, 2.0], [1.0, 0.0]],
+                      "e2": [[4.0, 5.0], [0.0, 3.0]]})
+        ds = add_pairwise_similarity(ray.data.from_arrow(t), "e1", "e2",
+                                     method="cosine", out_col="cos")
+        out = ds.to_pandas().sort_values("id")
+        assert out["cos"].iloc[0] == pytest.approx(
+            similarity_cosine([1, 2], [4, 5]))
+        assert out["cos"].iloc[1] == 0.0  # orthogonal
