@@ -570,10 +570,17 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_lang_distribution(sf_dir: str):
-    from ray.data.aggregate import Count
-    ds = _docs(sf_dir, ["lang"])
-    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
-    return _to_table(out).select(["lang", "n_docs"])
+    """Group-count distribution via partial pre-aggregation: per-batch Arrow
+    group_by counts (the shuffle-free combiner — batches×|langs| partial rows)
+    + one tiny final combine, replacing the full Ray groupby whose empty
+    reduce partitions emit schema-less blocks (the round-4 crash class)."""
+    ds = _docs(sf_dir, ["lang"]).map_batches(
+        lambda t: t.group_by("lang").aggregate([("lang", "count")])
+                   .rename_columns(["lang", "n_docs"]),
+        batch_format="pyarrow")
+    partials = _to_table(ds)
+    out = partials.group_by("lang").aggregate([("n_docs", "sum")])
+    return out.rename_columns(["lang", "n_docs"])
 
 
 def _q_knn_cosine(sf_dir: str):
