@@ -103,6 +103,15 @@ class TestBatchKernel:
         with pytest.raises(ValueError):
             pairwise_scores(pa.array([[1.0]]), pa.array([[1.0]]), "nope")
 
+    @pytest.mark.parametrize("method", ["cosine", "euclidean",
+                                        "euclidean_distance", "pearson",
+                                        "jaccard", "overlap"])
+    def test_empty_batch(self, method):
+        """Ray Data can feed zero-row batches — every kernel returns (0,)."""
+        empty = pa.array([], type=pa.list_(pa.float64()))
+        out = pairwise_scores(empty, empty, method)
+        assert out.shape == (0,)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDatasetForm:

@@ -120,6 +120,11 @@ class TestKernels:
                   seed=99, execution="local")
         assert a.equals(b)
 
+    def test_edgeless_graph(self):
+        g = Graph.from_edges([], [], n=3)
+        t = sllpa(g, max_iterations=5, min_association_strength=0.0, seed=1)
+        assert _communities(t) == {0: {0}, 1: {1}, 2: {2}}
+
     def test_validation(self):
         g = _fixture_graph()
         with pytest.raises(ValueError):
