@@ -19,6 +19,10 @@ Java semantics preserved exactly:
   * cosine / euclidean / pearson require equal-length non-empty vectors
     (the reference throws).
 
+Values are compared as float64 — int64 identifiers above 2^53 lose exactness
+in the categorical kernels (the Java reference compares boxed Numbers); list
+ids that large belong in the dedup/nodesim pipelines, not these functions.
+
 Two surfaces: scalar functions mirroring the Cypher signature, and a
 vectorized batch kernel (`pairwise_scores`) for two ``list<float>`` columns —
 segment sums via ``np.add.reduceat`` over the Arrow list offsets, no per-row
@@ -113,12 +117,21 @@ def _multiset_intersection(a_sorted: np.ndarray, b_sorted: np.ndarray) -> int:
 # --------------------------------------------------------------------------------
 
 def _flat(col):
-    """(values: float64[], offsets: int64[]) of a list column (chunk-merged)."""
+    """(values: float64[], offsets: int64[]) of a list column (chunk-merged).
+
+    Handles SLICED arrays: a sliced ListArray's offsets are absolute positions
+    into the parent values buffer, so the values are cut to [offsets[0],
+    offsets[-1]) and the offsets rebased to 0 — otherwise the last row's
+    reduceat segment would run to the end of the parent buffer."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     values = col.values.to_numpy(zero_copy_only=False).astype(np.float64,
                                                               copy=False)
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if offsets.shape[0] and (offsets[0] != 0
+                             or offsets[-1] != values.shape[0]):
+        values = values[offsets[0]:offsets[-1]]
+        offsets = offsets - offsets[0]
     return values, offsets
 
 
@@ -193,17 +206,38 @@ def pairwise_scores(col1, col2, method: str = "cosine") -> np.ndarray:
         raise ValueError(f"unknown method {method!r}")
     rows1 = np.repeat(np.arange(n, dtype=np.int64), len1)
     rows2 = np.repeat(np.arange(n, dtype=np.int64), len2)
-    r1, u1, c1 = _pair_counts(rows1, v1)
-    r2, u2, c2 = _pair_counts(rows2, v2)
+    # null ELEMENTS arrive as NaN after the float64 conversion — strip them
+    # like the scalar forms do (jaccard counts null-filtered lengths; overlap
+    # keeps RAW lengths in its denominator, matching similarity_overlap)
+    keep1, keep2 = ~np.isnan(v1), ~np.isnan(v2)
+    rows1f, v1f = rows1[keep1], v1[keep1]
+    rows2f, v2f = rows2[keep2], v2[keep2]
+    flen1 = np.bincount(rows1f, minlength=n)
+    flen2 = np.bincount(rows2f, minlength=n)
+    r1, u1, c1 = _pair_counts(rows1f, v1f)
+    r2, u2, c2 = _pair_counts(rows2f, v2f)
+    # null ROWS score 0 (the scalar forms return 0 for a null vector)
+    null_rows = _null_row_mask(col1, n) | _null_row_mask(col2, n)
     if method == "jaccard":
         inter = _per_row_set_min_intersection(n, r1, u1, c1, r2, u2, c2,
                                               set_mode=False)
-        union = len1 + len2 - inter
-        return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
-    inter = _per_row_set_min_intersection(n, r1, u1, c1, r2, u2, c2,
-                                          set_mode=True)
-    denom = np.minimum(len1, len2)
-    return np.where(denom == 0, 0.0, inter / np.maximum(denom, 1))
+        union = flen1 + flen2 - inter
+        out = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    else:
+        inter = _per_row_set_min_intersection(n, r1, u1, c1, r2, u2, c2,
+                                              set_mode=True)
+        denom = np.minimum(len1, len2)
+        out = np.where(denom == 0, 0.0, inter / np.maximum(denom, 1))
+    out[null_rows] = 0.0
+    return out
+
+
+def _null_row_mask(col, n: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        return np.zeros(n, dtype=bool)
+    return np.asarray(col.is_null())
 
 
 def add_pairwise_similarity(ds, col1: str, col2: str, *,

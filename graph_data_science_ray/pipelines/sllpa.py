@@ -82,28 +82,14 @@ class JavaRandom:
 # --------------------------------------------------------------------------------
 
 def _majority(msg_dst: np.ndarray, msg_label: np.ndarray):
-    """Per-destination majority vote: max frequency, tie → smaller label.
-    Returns (dst_unique, winning_label) for destinations with ≥1 message —
-    order-insensitive, like the reference's listen() (tie handling at
-    SpeakerListenerLPA.java:104-110 resolves to the smallest label for any
-    message order)."""
-    if msg_dst.shape[0] == 0:
-        e = np.empty(0, dtype=np.int64)
-        return e, e
-    order = np.lexsort((msg_label, msg_dst))
-    d, l = msg_dst[order], msg_label[order]
-    new = np.empty(d.shape[0], dtype=bool)
-    new[0] = True
-    new[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
-    starts = np.nonzero(new)[0]
-    cnt = np.diff(np.append(starts, d.shape[0]))
-    du, lu = d[starts], l[starts]
-    pick = np.lexsort((lu, -cnt, du))
-    dp, lp = du[pick], lu[pick]
-    first = np.empty(dp.shape[0], dtype=bool)
-    first[0] = True
-    first[1:] = dp[1:] != dp[:-1]
-    return dp[first], lp[first]
+    """Per-destination majority vote over raw messages: max frequency, tie →
+    smaller label — order-insensitive, like the reference's listen() (tie
+    handling at SpeakerListenerLPA.java:104-110 resolves to the smallest
+    label for any message order).  Unit-count form of
+    :func:`_majority_from_counts` so the local and sharded paths share one
+    tie-break implementation."""
+    return _majority_from_counts(
+        msg_dst, msg_label, np.ones(msg_dst.shape[0], dtype=np.int64))
 
 
 def _combine_counts(dst: np.ndarray, label: np.ndarray, cnt: np.ndarray):
@@ -203,8 +189,11 @@ def _sllpa_java(graph, T: int, strength: float, seed: int) -> pa.Table:
 def _speak_labels(labels: np.ndarray, src_rep: np.ndarray,
                   edge_idx: np.ndarray, s: int, seed: int) -> np.ndarray:
     """Per-edge spoken label: position = splitmix64(seed, edge, s) % (s+1),
-    a pure function of the GLOBAL edge index — identical at any sharding."""
-    pos = (_u01(seed, edge_idx, s, 1) * (s + 1)).astype(np.int64)
+    a pure function of the GLOBAL edge index — identical at any sharding.
+    The clip guards the ~2^-53 draws where float rounding makes u01 read
+    exactly 1.0 (pos would index the not-yet-written column s+1)."""
+    pos = np.minimum((_u01(seed, edge_idx, s, 1) * (s + 1)).astype(np.int64),
+                     s)
     return labels[src_rep, pos]
 
 
@@ -266,8 +255,8 @@ class _SllpaShard:
         else:
             edge_idx = self.edge_off + np.arange(shard.indices.shape[0],
                                                  dtype=np.int64)
-            pos = (_u01(self.seed, edge_idx, s, 1) * (s + 1)).astype(np.int64)
-            lab = self.labels[self.src_rep, pos]
+            lab = _speak_labels(self.labels, self.src_rep, edge_idx, s,
+                                self.seed)
         dstg = shard.indices.astype(np.int64, copy=False)
         d, l, c = _combine_counts(dstg, lab, np.ones(dstg.shape[0], dtype=np.int64))
         cuts = np.searchsorted(d, self.bounds)
@@ -296,8 +285,12 @@ def _sllpa_sharded(graph, T: int, strength: float, seed: int,
                    num_partitions: Optional[int], as_dataset: bool):
     import ray
 
+    import os
+    # when Ray is not yet initialized, Worker.remote will auto-init with the
+    # machine's CPU count — cap P by that, not by a guess, or placement of
+    # num_cpus=1 actors could deadlock on small machines
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+        if ray.is_initialized() else (os.cpu_count() or 8)
     if num_partitions is None:
         num_partitions = max(2, min(ncpu, graph.num_edges // 250_000 + 2))
     # never more 1-CPU actors than CPUs — placement would deadlock the exchange
@@ -369,6 +362,10 @@ def sllpa(graph, *, max_iterations: int = 10,
         res = _sllpa_sharded(graph, T, strength, seed, num_partitions, as_dataset)
         if res is not None:
             return res
+        if not has_edges_local:  # bounds collapsed AND no in-memory fallback
+            raise ValueError("partition bounds collapsed to one shard and the "
+                             "graph holds no in-memory edges for the local "
+                             "fallback kernel")
     if as_dataset:
         import ray.data
         return ray.data.from_arrow(_sllpa_sync(graph, T, strength, seed))

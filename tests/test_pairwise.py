@@ -112,6 +112,41 @@ class TestBatchKernel:
         out = pairwise_scores(empty, empty, method)
         assert out.shape == (0,)
 
+    @pytest.mark.parametrize("method", ["cosine", "euclidean_distance",
+                                        "pearson", "jaccard", "overlap"])
+    def test_sliced_arrays(self, method):
+        """Sliced ListArrays carry absolute offsets into the parent values
+        buffer — the kernel must rebase them (regression: last row of a
+        head-slice silently read beyond its segment)."""
+        a = pa.array([[1.0, 0.0], [0.0, 1.0], [9.0, 9.0]])
+        b = pa.array([[1.0, 0.0], [1.0, 0.0], [9.0, 9.0]])
+        full = pairwise_scores(a, b, method)
+        head = pairwise_scores(a.slice(0, 2), b.slice(0, 2), method)
+        tail = pairwise_scores(a.slice(1), b.slice(1), method)
+        np.testing.assert_allclose(head, full[:2], atol=1e-12)
+        np.testing.assert_allclose(tail, full[1:], atol=1e-12)
+
+    def test_null_elements_match_scalar(self):
+        """Null list ELEMENTS are stripped like the scalar forms: jaccard
+        counts filtered lengths, overlap keeps raw-length denominators."""
+        a = pa.array([[1.0, None], [1.0, 2.0, None]],
+                     type=pa.list_(pa.float64()))
+        b = pa.array([[1.0], [1.0, 3.0]], type=pa.list_(pa.float64()))
+        j = pairwise_scores(a, b, "jaccard")
+        np.testing.assert_allclose(
+            j, [similarity_jaccard([1, None], [1]),
+                similarity_jaccard([1, 2, None], [1, 3])], atol=1e-12)
+        o = pairwise_scores(a, b, "overlap")
+        np.testing.assert_allclose(
+            o, [similarity_overlap([1, None], [1]),
+                similarity_overlap([1, 2, None], [1, 3])], atol=1e-12)
+
+    def test_null_rows_score_zero(self):
+        a = pa.array([None, [1.0]], type=pa.list_(pa.float64()))
+        b = pa.array([[1.0], [1.0]], type=pa.list_(pa.float64()))
+        assert pairwise_scores(a, b, "jaccard").tolist() == [0.0, 1.0]
+        assert pairwise_scores(a, b, "overlap").tolist() == [0.0, 1.0]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDatasetForm:
