@@ -299,7 +299,9 @@ def _banded_jaccard_pairs(bands, docs_ds, *, num_bands: int,
     _empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64())})
     cand = grouped_exchange(bands, "bucket", num_pair_buckets, _pairs,
-                            map_fn=_tag, empty_result=_empty_pairs)
+                            map_fn=_tag, empty_result=_empty_pairs,
+                            small_rows=32_768)  # _pairs expands quadratically
+                            # per bucket — keep the fan-out above tiny inputs
     # distributed pair dedup (same pair surfaces from multiple bands); the
     # deduped pair set is bounded by the banding math (≪ corpus) — materialize
     # it so the two verify joins don't re-execute the signature pipeline
@@ -569,7 +571,8 @@ def simhash_near_dups(docs_ds, *, max_hamming: int = 3, num_bands: int = 4,
                              "doc_b": pa.array([], pa.int64())})
     cand = grouped_exchange(
         sigs.map_batches(_explode, batch_format="pyarrow"),
-        "bucket", nb, _pairs, map_fn=_tag, empty_result=_empty_pairs)
+        "bucket", nb, _pairs, map_fn=_tag, empty_result=_empty_pairs,
+        small_rows=32_768)  # quadratic pair expansion — see above
     cand = _dedup_pairs_exchange(cand, "doc_a", "doc_b").materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
@@ -780,7 +783,8 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
         return pa.table({"id1": vid[ii], "id2": vid[jj]})
 
     cand = grouped_exchange(sigs, "part_id", P_bkt, _pairs, map_fn=_tag_part,
-                            empty_result=_empty_ids)
+                            empty_result=_empty_ids,
+                            small_rows=32_768)  # quadratic pair expansion
     cand = _dedup_pairs_exchange(cand, "id1", "id2").materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(pa.table({

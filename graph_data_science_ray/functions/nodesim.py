@@ -175,7 +175,8 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
         ds, "bucket", num_buckets, _pairs, map_fn=_tag,
         empty_result=pa.table({"node1": pa.array([], pa.int64()),
                                "node2": pa.array([], pa.int64()),
-                               "minw": pa.array([], pa.float64())}))
+                               "minw": pa.array([], pa.float64())}),
+        small_rows=32_768)  # _pairs expands co-occurrence rows quadratically
     inter = grouped_exchange(
         pair_rows, "b2", num_pair_buckets, _combine, map_fn=_tag2,
         empty_result=pa.table({"node1": pa.array([], pa.int64()),

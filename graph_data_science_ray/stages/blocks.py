@@ -125,4 +125,6 @@ def concat_nonempty(ds, empty_schema: Optional[pa.Schema] = None) -> pa.Table:
             raise ValueError("dataset produced no non-empty blocks and no "
                              "empty_schema fallback was given")
         return empty_schema.empty_table()
-    return pa.concat_tables(tabs)
+    # permissive like the exchange combine path: union branches may carry
+    # width-variant column types (int32 vs int64) across blocks
+    return pa.concat_tables(tabs, promote_options="permissive")

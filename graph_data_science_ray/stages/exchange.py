@@ -41,11 +41,17 @@ __all__ = ["exchange", "exchange_refs", "grouped_exchange", "hash_parts",
 
 
 def hash_parts(*cols: str, P: int, salt: int = 0x9E3779B97F4A7C15):
-    """Partitioner: splitmix-style hash of one or more int64 columns mod P."""
+    """Partitioner: splitmix-style hash of one or more int64 columns mod P.
+    Null keys are rejected — a null would otherwise cast to an undefined
+    uint64 and land in an arbitrary, platform-dependent partition."""
     def _part(t: pa.Table) -> np.ndarray:
         key = np.zeros(t.num_rows, dtype=np.uint64)
         for c in cols:
-            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            col = t.column(c)
+            if col.null_count:
+                raise ValueError(f"hash_parts: key column {c!r} contains "
+                                 f"{col.null_count} null(s)")
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             key = (key ^ v) * np.uint64(salt)
             key ^= key >> np.uint64(31)
         return (key % np.uint64(P)).astype(np.int64)
@@ -55,13 +61,19 @@ def hash_parts(*cols: str, P: int, salt: int = 0x9E3779B97F4A7C15):
 def range_parts(col: str, bounds: np.ndarray):
     """Partitioner: fixed range bounds (len P+1, ascending, covering all keys).
     Row i goes to the partition whose [bounds[p], bounds[p+1]) contains col[i].
+    Keys outside [bounds[0], bounds[-1]) raise — silently clipping them into
+    the edge partitions would place rows in range files whose recorded
+    [lo, hi) does not contain them, breaking bounds-pruned reads.
     """
     b = np.asarray(bounds, dtype=np.int64)
 
     def _part(t: pa.Table) -> np.ndarray:
         k = t.column(col).to_numpy(zero_copy_only=False)
-        return np.clip(np.searchsorted(b, k, side="right") - 1, 0,
-                       len(b) - 2).astype(np.int64)
+        if k.shape[0] and (k.min() < b[0] or k.max() >= b[-1]):
+            raise ValueError(
+                f"range_parts: keys outside [{b[0]}, {b[-1]}): "
+                f"min={k.min()}, max={k.max()}")
+        return (np.searchsorted(b, k, side="right") - 1).astype(np.int64)
     return _part
 
 
@@ -80,6 +92,62 @@ def _split_table(t: pa.Table, part_of, P: int):
     tt = t.take(pa.array(order, type=pa.int64()))
     return [tt.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p]))
             for p in range(P)]
+
+
+# ---- task bodies (module-level so ray.remote registration happens ONCE per
+# worker process — per-call @ray.remote closures re-export the function to
+# GCS on every exchange stage; the per_call part_of/map_fn/combine are small
+# pickled args instead) ---------------------------------------------------------
+
+def _merge_blocks(tables):
+    ts = [pa.Table.from_pandas(t, preserve_index=False)
+          if not isinstance(t, pa.Table) else t  # pandas-typed block
+          for t in tables]
+    live = [t for t in ts if t.num_columns > 0]
+    return (pa.concat_tables(live, promote_options="permissive")
+            if len(live) > 1 else (live[0] if live else ts[0]))
+
+
+def _split_impl(part_of, map_fn, P, *tables):
+    t = _merge_blocks(tables)
+    if map_fn is not None and t.num_columns > 0:
+        t = map_fn(t)
+    out = _split_table(t, part_of, P)
+    return out[0] if P == 1 else tuple(out)
+
+
+def _combine_impl(combine, p, *tables):
+    live = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
+    if live:
+        # permissive: unify compatible types (e.g. an int32 vid column from
+        # one upstream branch of a union with int64 from the other)
+        merged = pa.concat_tables(live, promote_options="permissive")
+    else:
+        merged = next((t for t in tables if t.num_columns > 0),
+                      tables[0] if tables else pa.table({}))
+    if combine is None:
+        return merged
+    return combine(p, merged)
+
+
+def _small_impl(part_of, map_fn, combine, P, *tables):
+    t = _merge_blocks(tables)
+    if map_fn is not None and t.num_columns > 0:
+        t = map_fn(t)
+    parts = _split_table(t, part_of, P)
+    if combine is not None:
+        parts = [combine(p, g) for p, g in enumerate(parts)]
+    return parts[0] if P == 1 else tuple(parts)
+
+
+_REMOTES: dict = {}
+
+
+def _remote(name: str, impl):
+    if name not in _REMOTES:
+        import ray
+        _REMOTES[name] = ray.remote(impl)
+    return _REMOTES[name]
 
 
 def exchange_refs(block_refs: Sequence, part_of, P: int,
@@ -101,10 +169,14 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
                  (e.g. (written-table, stats-row)) and the function returns a
                  list of ref-tuples.
 
-    Returns one ref (or ref-tuple) per partition.  Empty inputs produce
-    zero-row tables with the upstream schema — combines must tolerate them
-    (the schema is preserved by slicing, never dropped as Ray Data's empty
-    groupby reduce partitions drop it).
+    Requires at least one block ref (``exchange`` handles empty datasets).
+    Empty PARTITIONS produce zero-row tables with the upstream schema —
+    combines must tolerate them (the schema is preserved by slicing, never
+    dropped as Ray Data's empty groupby reduce partitions drop it).
+
+    ``small_rows`` gates the one-task fast path below; callers whose map_fn /
+    combine EXPAND rows superlinearly (pair generation from band buckets)
+    should pass a smaller gate (or 0) so the expansion still fans out.
 
     Object-count bound: a naive split emits ``in_blocks × P`` sub-table refs;
     at cluster scale (1e5 blocks × 1e3 partitions) that is 1e8 driver-held
@@ -114,12 +186,13 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     pass over the data (the concat happens inside the task that was reading
     those blocks anyway).
     """
-    import ray
-
     if P < 1:
         raise ValueError("P must be >= 1")
 
     n_in = len(block_refs)
+    if n_in == 0:
+        raise ValueError("exchange_refs needs at least one block ref; "
+                         "exchange() handles empty datasets")
 
     # Small-input fast path: a chained tiny exchange (candidate pairs, join of
     # a small pair set, a final combine over kilobytes) pays two scheduling
@@ -129,73 +202,34 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     # output shape identical: one ref per partition).  At data scale
     # total_rows exceeds small_rows and the distributed shape below runs.
     if (total_rows is not None and total_rows <= small_rows
-            and combine_num_returns == 1 and n_in > 0):
-
-        @ray.remote
-        def _small(*tables):
-            ts = [pa.Table.from_pandas(t, preserve_index=False)
-                  if not isinstance(t, pa.Table) else t
-                  for t in tables]
-            live = [t for t in ts if t.num_columns > 0]
-            t = (pa.concat_tables(live, promote_options="permissive")
-                 if len(live) > 1 else (live[0] if live else ts[0]))
-            if map_fn is not None:
-                t = map_fn(t)
-            parts = _split_table(t, part_of, P)
-            if combine is not None:
-                parts = [combine(p, g) for p, g in enumerate(parts)]
-            return parts[0] if P == 1 else tuple(parts)
-
-        opts = _small.options(num_returns=P) if P > 1 else _small
-        out = opts.remote(*block_refs)
+            and combine_num_returns == 1):
+        small = _remote("small", _small_impl)
+        opts = small.options(num_returns=P) if P > 1 else small
+        out = opts.remote(part_of, map_fn, combine, P, *block_refs)
         return [out] if P == 1 else list(out)
 
     group = max(1, -(-(n_in * P) // max_objects))  # ceil(in*P / max_objects)
+    split = _remote("split", _split_impl)
+    comb = _remote("combine", _combine_impl)
 
-    @ray.remote
-    def _split(*tables):
-        ts = [pa.Table.from_pandas(t, preserve_index=False)
-              if not isinstance(t, pa.Table) else t  # pandas-typed block
-              for t in tables]
-        live = [t for t in ts if t.num_columns > 0]
-        t = (pa.concat_tables(live, promote_options="permissive")
-             if len(live) > 1 else (live[0] if live else ts[0]))
-        if map_fn is not None:
-            t = map_fn(t)
-        out = _split_table(t, part_of, P)
-        return out[0] if P == 1 else tuple(out)
-
-    @ray.remote
-    def _combine(p: int, *tables: pa.Table):
-        live = [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
-        if live:
-            # permissive: unify compatible types (e.g. an int32 vid column from
-            # one upstream branch of a union with int64 from the other)
-            merged = pa.concat_tables(live, promote_options="permissive")
-        else:
-            merged = next((t for t in tables if t.num_columns > 0),
-                          tables[0] if tables else pa.table({}))
-        if combine is None:
-            return merged
-        return combine(p, merged)
-
-    split_opts = _split.options(num_returns=P) if P > 1 else _split
+    split_opts = split.options(num_returns=P) if P > 1 else split
     cols = [[] for _ in range(P)]
     for i in range(0, n_in, group):
-        parts = split_opts.remote(*block_refs[i:i + group])
+        parts = split_opts.remote(part_of, map_fn, P, *block_refs[i:i + group])
         if P == 1:
             parts = [parts]  # a single return is not wrapped by Ray
         for p in range(P):
             cols[p].append(parts[p])
-    comb_opts = (_combine.options(num_returns=combine_num_returns)
-                 if combine_num_returns > 1 else _combine)
-    return [comb_opts.remote(p, *cols[p]) for p in range(P)]
+    comb_opts = (comb.options(num_returns=combine_num_returns)
+                 if combine_num_returns > 1 else comb)
+    return [comb_opts.remote(combine, p, *cols[p]) for p in range(P)]
 
 
 def grouped_exchange(ds, bucket_col: str, P: int,
                      combine_group: Callable[[pa.Table], pa.Table],
                      map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
-                     empty_result: Optional[pa.Table] = None):
+                     empty_result: Optional[pa.Table] = None,
+                     small_rows: int = 262_144):
     """Drop-in replacement for ``groupby(bucket).map_groups(combine_group)``
     when ``bucket_col`` already holds a partition id in ``[0, P)`` (the
     repo's bucketed-combine pattern, stages/bucketing.py).  The sampled sort
@@ -209,6 +243,8 @@ def grouped_exchange(ds, bucket_col: str, P: int,
         zero-row tables with the upstream schema — pass ``empty_result`` (a
         typed empty output table) if the combine can't produce its own typed
         empty output.
+    Pass a small ``small_rows`` (or 0) when ``combine_group`` expands rows
+    superlinearly (pair generation) — see ``exchange_refs``.
     """
     def _part(t: pa.Table) -> np.ndarray:
         return t.column(bucket_col).to_numpy(zero_copy_only=False)
@@ -218,18 +254,21 @@ def grouped_exchange(ds, bucket_col: str, P: int,
             return empty_result
         return combine_group(g)
 
-    return exchange(ds, _part, P, combine=_comb, map_fn=map_fn)
+    return exchange(ds, _part, P, combine=_comb, map_fn=map_fn,
+                    small_rows=small_rows)
 
 
 def exchange(ds, part_of, P: int,
              combine: Optional[Callable[[int, pa.Table], pa.Table]] = None,
-             map_fn: Optional[Callable[[pa.Table], pa.Table]] = None):
+             map_fn: Optional[Callable[[pa.Table], pa.Table]] = None,
+             small_rows: int = 262_144):
     """Dataset-in, Dataset-out exchange (see ``exchange_refs``).
 
     The input is materialized to block refs (zero-copy; Ray Data blocks are
     already Arrow tables in the object store) and the combined partitions are
     re-wrapped with ``from_arrow_refs`` — downstream stages keep streaming.
     """
+    import ray
     import ray.data
 
     from .blocks import metadata_total_bytes, nonempty_arrow_refs
@@ -237,8 +276,22 @@ def exchange(ds, part_of, P: int,
     mat = ds.materialize()
     refs, counts = nonempty_arrow_refs(mat)
     if not refs:
-        # preserve an empty dataset's schema through the exchange
-        return ds
+        # All blocks empty: still produce the exchange's OUTPUT schema — run
+        # map_fn + combine driver-side on a typed zero-row table (combines
+        # must tolerate empty partitions per the exchange contract); returning
+        # the input here would leak the pre-combine schema downstream.
+        for r in mat.to_arrow_refs():
+            t0 = ray.get(r)
+            if not isinstance(t0, pa.Table):
+                t0 = pa.Table.from_pandas(t0, preserve_index=False)
+            if t0.num_columns:
+                empty = t0.slice(0, 0)
+                if map_fn is not None:
+                    empty = map_fn(empty)
+                outs = ([combine(p, empty) for p in range(P)]
+                        if combine is not None else [empty] * P)
+                return ray.data.from_arrow(outs)
+        return ds  # zero-column input: no schema to preserve
     # rows gate the one-task fast path; a small-row table of LARGE payloads
     # (long texts, binary columns) must still take the distributed shape —
     # signal that by reporting the row total as unknown above 64 MB
@@ -247,5 +300,5 @@ def exchange(ds, part_of, P: int,
     if tb is not None and tb > 64 * 1024 * 1024:
         total_rows = None
     out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn,
-                        total_rows=total_rows)
+                        total_rows=total_rows, small_rows=small_rows)
     return ray.data.from_arrow_refs(out)

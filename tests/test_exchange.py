@@ -48,10 +48,15 @@ class TestRangeParts:
         part = range_parts("k", np.array([0, 10, 100]))(t)
         assert part.tolist() == [0, 0, 1, 1, 1]
 
-    def test_out_of_range_clipped(self):
+    def test_out_of_range_raises(self):
+        """Out-of-bounds keys raise instead of silently clipping into the edge
+        partitions (a clipped row would land in a range file whose recorded
+        [lo, hi) does not contain it, breaking bounds-pruned reads)."""
         t = pa.table({"k": np.array([-5, 1000], dtype=np.int64)})
-        part = range_parts("k", np.array([0, 10, 100]))(t)
-        assert part.tolist() == [0, 1]
+        with pytest.raises(ValueError, match="outside"):
+            range_parts("k", np.array([0, 10, 100]))(t)
+        ok = pa.table({"k": np.array([0, 99], dtype=np.int64)})
+        assert range_parts("k", np.array([0, 10, 100]))(ok).tolist() == [0, 1]
 
 
 class TestExchangeRefs:
@@ -306,3 +311,55 @@ def test_bytes_gate_keeps_large_payload_rows_distributed():
     assert tb2 is not None and tb2 < 64 * 1024 * 1024
     out2 = exchange(ds2, hash_parts("k", P=3), 3)
     assert out2.count() == 100
+
+
+class TestReviewRegressions:
+    """Regressions from the round-5 exchange review."""
+
+    def test_all_empty_dataset_gets_output_schema(self):
+        """An all-empty input must still flow through map_fn + combine so the
+        result carries the exchange's OUTPUT schema, not the input's (a
+        zero-pair NodeSimilarity run would otherwise leak pre-combine columns
+        downstream)."""
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64())})
+        ds = ray.data.from_arrow(empty)
+
+        def _comb(p, t):
+            return pa.table({"y": pa.array([], pa.float64())})
+
+        out = exchange(ds, hash_parts("bucket", P=2), 2, combine=_comb)
+        assert out.schema().names == ["y"]
+        assert out.count() == 0
+
+    def test_all_empty_grouped_exchange_uses_empty_result(self):
+        from graph_data_science_ray.stages.exchange import grouped_exchange
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64())})
+        typed = pa.table({"node1": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        out = grouped_exchange(ray.data.from_arrow(empty), "bucket", 2,
+                               lambda g: (_ for _ in ()).throw(AssertionError),
+                               empty_result=typed)
+        assert out.schema().names == ["node1", "score"]
+
+    def test_hash_parts_null_key_raises(self):
+        t = pa.table({"k": pa.array([1, None, 3], type=pa.int64())})
+        with pytest.raises(ValueError, match="null"):
+            hash_parts("k", P=4)(t)
+
+    def test_exchange_refs_empty_input_raises(self):
+        with pytest.raises(ValueError, match="at least one block"):
+            exchange_refs([], hash_parts("k", P=2), 2)
+
+    def test_small_rows_zero_disables_fast_path_same_result(self):
+        tabs = [_table(100, seed=i) for i in range(3)]
+        refs = [ray.put(t) for t in tabs]
+        fast = exchange_refs(refs, hash_parts("k", P=4), 4, total_rows=300)
+        slow = exchange_refs(refs, hash_parts("k", P=4), 4, total_rows=300,
+                             small_rows=0)
+        a = pa.concat_tables(ray.get(fast)).sort_by([("k", "ascending"),
+                                                     ("v", "ascending")])
+        b = pa.concat_tables(ray.get(slow)).sort_by([("k", "ascending"),
+                                                     ("v", "ascending")])
+        assert a.equals(b)
