@@ -24,7 +24,12 @@ _BUCKET = "__rel_bucket"
 
 def _col_bucket_values(col: pa.ChunkedArray, P: int) -> np.ndarray:
     """Bucket ids for an int or string column (crc32 for strings — Python's
-    str hash is per-process salted and would split keys across workers)."""
+    str hash is per-process salted and would split keys across workers).
+    Null keys are rejected: a null int would cast NaN→uint64 (undefined,
+    platform-dependent bucket) and a null string would crash mid-task."""
+    if col.null_count:
+        raise ValueError(f"bucket key column contains {col.null_count} "
+                         "null(s) — filter or fill them upstream")
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         return (((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38))
@@ -32,6 +37,19 @@ def _col_bucket_values(col: pa.ChunkedArray, P: int) -> np.ndarray:
     from zlib import crc32
     return np.asarray([crc32(x.encode()) % P for x in col.to_pylist()],
                       dtype=np.int64)
+
+
+def _pa_type(t):
+    """Coerce a Ray Data schema type (pyarrow.DataType or numpy dtype —
+    pandas blocks report object dtype for strings) to a pyarrow type."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is str:
+        return pa.string()
+    dt = np.dtype(t)
+    if dt.kind in ("U", "S", "O"):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
 
 
 def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
@@ -78,16 +96,6 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
     if num_buckets is None:
         from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
         num_buckets = adaptive_bucket_count(rows_if_cheap(left_ds))
-
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        if t is str:
-            return pa.string()
-        dt = np.dtype(t)
-        if dt.kind in ("U", "S", "O"):
-            return pa.string()
-        return pa.from_numpy_dtype(dt)
 
     ltypes = {n: _pa_type(t) for n, t in zip(lschema.names, lschema.types)}
     rtypes = {n: _pa_type(t) for n, t in zip(rschema.names, rschema.types)}
@@ -138,13 +146,27 @@ def asof_join(left_ds, right_ds, *, on: str, left_ts: str = "ts",
             return empty
         ldf = l.to_pandas()
         rdf = r.to_pandas()
+        # a single null merge key aborts pd.merge_asof — drop such rows (a
+        # null timestamp can never satisfy the inner as-of predicate anyway)
+        ldf = ldf[ldf[left_ts].notna()]
+        rdf = rdf[rdf[f"__r_{right_ts}"].notna()]
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty
+        # merge key: a raw copy of the right ts (original dtype); the carried
+        # __r_ columns convert to NULLABLE Int64 so unmatched-left NaNs never
+        # float them — a float64 round-trip silently corrupts int64 values
+        # above 2^53 (snowflake ids, nanosecond epochs)
+        rdf = rdf.assign(__asof_key=rdf[f"__r_{right_ts}"])
+        for c in carry:
+            if pa.types.is_integer(rtypes[c]):
+                rdf[f"__r_{c}"] = rdf[f"__r_{c}"].astype("Int64")
         merged = pd.merge_asof(
             ldf.sort_values(left_ts, kind="stable"),
-            rdf.sort_values(f"__r_{right_ts}", kind="stable"),
-            left_on=left_ts, right_on=f"__r_{right_ts}",
+            rdf.sort_values("__asof_key", kind="stable"),
+            left_on=left_ts, right_on="__asof_key",
             left_by=on, right_by=on, direction=direction,
             allow_exact_matches=True)
-        matched = merged[merged[f"__r_{right_ts}"].notna()]
+        matched = merged[merged["__asof_key"].notna()]
         cols = {on: matched[on].to_numpy()}
         for c in lcols:
             if c != on:
@@ -250,13 +272,16 @@ def _topk_kernel(t: pa.Table, group_col: str, order_col: str, k: int,
 
 def top_k_per_group(ds, group_col: str, order_col: str, k: int, *,
                     largest: bool = True, tiebreak: Optional[str] = None,
-                    num_buckets: Optional[int] = None):
+                    num_buckets: Optional[int] = None, schema=None):
     """Top-k rows per group by ``order_col`` (ties broken by ``tiebreak``
     ascending — pass one for deterministic output).
 
     Partial/final: each batch keeps at most k rows per group (one lexsort),
     then groups route through a hash exchange and the same kernel runs once
     per bucket — the shuffle moves O(groups·k) rows, never the input.
+
+    Pass ``schema`` (pyarrow.Schema) when known — ``Dataset.schema()``
+    partially executes the upstream pipeline (same contract as asof_join).
     """
     if num_buckets is None:
         from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
@@ -277,9 +302,9 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int, *,
         return _topk_kernel(g, group_col, order_col, k, largest, tiebreak)
 
     from ..stages.exchange import grouped_exchange
-    schema = ds.schema()
-    empty = pa.table({n: pa.array([], t if isinstance(t, pa.DataType)
-                                  else pa.from_numpy_dtype(np.dtype(t)))
+    if schema is None:
+        schema = ds.schema()
+    empty = pa.table({n: pa.array([], _pa_type(t))
                       for n, t in zip(schema.names, schema.types)})
 
     def _final_safe(g: pa.Table) -> pa.Table:
@@ -292,7 +317,7 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int, *,
 
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.99), *,
-                      num_buckets: Optional[int] = None):
+                      num_buckets: Optional[int] = None, schema=None):
     """Exact per-group quantiles (NumPy linear interpolation — the R-7
     estimator, identical to DuckDB/Postgres ``quantile_cont``).
 
@@ -308,12 +333,12 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
         num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
     qarr = np.asarray(list(qs), dtype=np.float64)
 
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
     gtype = None
-    for n, t in zip(ds.schema().names, ds.schema().types):
-        if n == group_col:
-            gtype = t if isinstance(t, pa.DataType) else (
-                pa.string() if t is str or np.dtype(t).kind in ("U", "O")
-                else pa.from_numpy_dtype(np.dtype(t)))
+    for nm, t in zip(schema.names, schema.types):
+        if nm == group_col:
+            gtype = _pa_type(t)
     empty = pa.table({group_col: pa.array([], gtype),
                       "q": pa.array([], pa.float64()),
                       "value": pa.array([], pa.float64())})

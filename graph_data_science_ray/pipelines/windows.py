@@ -29,16 +29,19 @@ def _tumble_partial(batch: pa.Table, window: str) -> pa.Table:
                   "value": batch.column("value")})
     g = t.group_by(["user_id", "window_start"]).aggregate(
         [("value", "count"), ("value", "sum")])
+    # select by NAME before renaming: pyarrow's key-column placement in the
+    # group_by output is an implementation detail across versions
+    g = g.select(["user_id", "window_start", "value_count", "value_sum"])
     return g.rename_columns(["user_id", "window_start",
                              "n_events", "sum_value"])
 
 
 def _user_bucket_fn(num_buckets: int):
+    from ..functions.relational import _col_bucket_values
+
     def _user_bucket(t: pa.Table) -> pa.Table:
-        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
-            % np.uint64(num_buckets)
-        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+        b = _col_bucket_values(t.column("user_id"), num_buckets)
+        return t.append_column("bucket", pa.array(b))
     return _user_bucket
 
 
@@ -68,6 +71,8 @@ def tumbling_window(events_ds, window: str = "h"):
         out = g.drop_columns(["bucket"]) \
             .group_by(["user_id", "window_start"]).aggregate(
                 [("n_events", "sum"), ("sum_value", "sum")])
+        out = out.select(["user_id", "window_start",
+                          "n_events_sum", "sum_value_sum"])
         return out.rename_columns(["user_id", "window_start",
                                    "n_events", "sum_value"])
 
@@ -92,7 +97,10 @@ def hopping_window(events_ds, size_s: int = 3600, slide_s: int = 1800):
     slide_us = np.int64(slide_s) * np.int64(1_000_000)
 
     def _partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.timestamp("us")) \
+        # safe=False: ns→us truncation is semantically free for
+        # second-granularity windows; the safe cast ABORTS on any timestamp
+        # not aligned to whole microseconds (pandas-default ns inputs)
+        ts = batch.column("ts").cast(pa.timestamp("us"), safe=False) \
             .to_numpy(zero_copy_only=False).astype("datetime64[us]") \
             .astype(np.int64)
         v = batch.column("value").to_numpy(zero_copy_only=False) \
@@ -116,17 +124,17 @@ def hopping_window(events_ds, size_s: int = 3600, slide_s: int = 1800):
                       "n_events": pa.array([], pa.int64()),
                       "sum_value": pa.array([], pa.float64())})
 
+    from ..functions.relational import _col_bucket_values
+
     def _tag(t: pa.Table) -> pa.Table:
-        w = t.column("window_us").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        b = ((w * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(38)) \
-            % np.uint64(nb)
-        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+        b = _col_bucket_values(t.column("window_us"), nb)
+        return t.append_column("bucket", pa.array(b))
 
     def _combine(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["bucket"])
         out = g.group_by(["window_us"]).aggregate(
             [("n_events", "sum"), ("sum_value", "sum")])
+        out = out.select(["window_us", "n_events_sum", "sum_value_sum"])
         return out.rename_columns(["window_us", "n_events", "sum_value"])
 
     from ..stages.exchange import grouped_exchange

@@ -72,7 +72,9 @@ class ModelCatalog:
 
     def load(self, name: str):
         from ..pipelines.graphsage import GraphSageModel
-        d = os.path.join(self.base_dir or "", name)
+        if self.base_dir is None:
+            raise ValueError("catalog has no base_dir")  # same guard as save
+        d = os.path.join(self.base_dir, name)
         with open(os.path.join(d, "config.json")) as f:
             cfg = json.load(f)
         npz = np.load(os.path.join(d, "weights.npz"))

@@ -190,3 +190,54 @@ class TestSplitRelationships:
         train, _ = split_relationships(g, 0.1, seed=1)
         assert train.weight is not None
         assert train.weight.shape[0] == train.src.shape[0]
+
+
+class TestSplitReviewRegressions:
+    """Round-5 review: undirected leakage, negative dedup."""
+
+    def test_undirected_no_reverse_leakage(self):
+        """A held-out positive's REVERSE direction must leave the train graph
+        too (UndirectedEdgeSplitter.java) — otherwise every test edge leaks
+        into training."""
+        from graph_data_science_ray import split_relationships
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 40, 150).astype(np.int64)
+        dst = rng.integers(0, 40, 150).astype(np.int64)
+        keep = src != dst
+        g = Graph.from_edges(src[keep], dst[keep], n=40,
+                             orientation="undirected", aggregation="single")
+        train, test = split_relationships(g, 0.4, undirected=True, seed=7)
+        labels = np.asarray(test.column("label").to_pylist())
+        s = np.asarray(test.column("source").to_pylist())[labels == 1.0]
+        t = np.asarray(test.column("target").to_pylist())[labels == 1.0]
+        train_keys = set(zip(train.src.tolist(), train.dst.tolist()))
+        for a, b in zip(s.tolist(), t.tolist()):
+            assert (a, b) not in train_keys, f"held-out ({a},{b}) in train"
+            assert (b, a) not in train_keys, f"reverse ({b},{a}) leaked"
+        # positives are canonical pairs, counted over pairs not directed rows
+        assert (s < t).all()
+        assert (labels == 1.0).sum() == int((g.src < g.dst).sum() * 0.4)
+
+    def test_negatives_are_distinct(self):
+        from graph_data_science_ray import split_relationships
+        g = Graph.from_edges([0], [1], n=3)
+        _, test = split_relationships(g, 1.0, negative_sampling_ratio=6.0,
+                                      seed=0)
+        labels = np.asarray(test.column("label").to_pylist())
+        s = np.asarray(test.column("source").to_pylist())[labels == 0.0]
+        t = np.asarray(test.column("target").to_pylist())[labels == 0.0]
+        pairs = list(zip(s.tolist(), t.tolist()))
+        assert len(pairs) == len(set(pairs)), "duplicate negative pairs"
+
+    def test_undirected_negatives_not_edges_either_direction(self):
+        from graph_data_science_ray import split_relationships
+        g = Graph.from_edges([0, 1, 2], [1, 2, 3], n=6,
+                             orientation="undirected")
+        _, test = split_relationships(g, 0.5, undirected=True,
+                                      negative_sampling_ratio=2.0, seed=1)
+        labels = np.asarray(test.column("label").to_pylist())
+        s = np.asarray(test.column("source").to_pylist())[labels == 0.0]
+        t = np.asarray(test.column("target").to_pylist())[labels == 0.0]
+        edges = set(zip(g.src.tolist(), g.dst.tolist()))
+        for a, b in zip(s.tolist(), t.tolist()):
+            assert (a, b) not in edges and (b, a) not in edges

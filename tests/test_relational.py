@@ -276,3 +276,68 @@ class TestVocabTopTerms:
         got = vocab_top_terms(rd.from_arrow(docs), 2)
         # counts: a=2, b=2, c=2 -> keep 'a', 'b' (lexicographic at the cut)
         assert sorted(got.column("term").to_pylist()) == ["a", "b"]
+
+
+class TestReviewRegressions:
+    """Round-5 review fixes: null keys/timestamps, ns alignment, big ints."""
+
+    def test_hopping_unaligned_ns_timestamps(self):
+        """Nanosecond timestamps not aligned to whole microseconds must not
+        abort the job (safe-cast regression)."""
+        import ray.data as rd
+        from graph_data_science_ray import hopping_window
+        ts = pa.array(np.array([1_000_000_123, 3_600_000_000_456],
+                               dtype="datetime64[ns]"))
+        ev = pa.table({"ts": ts, "value": pa.array([1.0, 2.0])})
+        got = _to_table(hopping_window(rd.from_arrow(ev), 3600, 1800))
+        assert sum(got.column("n_events").to_pylist()) == 4  # k=2 each
+
+    def test_asof_null_timestamps_dropped(self):
+        """A null merge key must drop that row (inner semantics), not abort
+        the bucket task (pd.merge_asof raises on null keys)."""
+        import ray.data as rd
+        from graph_data_science_ray import asof_join
+        left = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                         "ts": pa.array([10, None], pa.int64()),
+                         "x": pa.array([5, 6], pa.int64())})
+        right = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                          "ts": pa.array([9, None], pa.int64()),
+                          "y": pa.array([7, 8], pa.int64())})
+        out = _to_table(asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  on="user_id", right_cols=["y"],
+                                  num_buckets=2))
+        assert out.num_rows == 1
+        assert out.column("x").to_pylist() == [5]
+        assert out.column("y").to_pylist() == [7]
+
+    def test_asof_large_int64_carry_exact(self):
+        """Right-side int64 values above 2^53 must survive exactly even when
+        the bucket has unmatched left rows (the float64 round-trip silently
+        corrupted them before)."""
+        import ray.data as rd
+        from graph_data_science_ray import asof_join
+        big = 2**60 + 1
+        left = pa.table({"user_id": pa.array([1, 1], pa.int64()),
+                         "ts": pa.array([10, 1], pa.int64())})  # ts=1 unmatched
+        right = pa.table({"user_id": pa.array([1], pa.int64()),
+                          "ts": pa.array([9], pa.int64()),
+                          "big_id": pa.array([big], pa.int64())})
+        out = _to_table(asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  on="user_id", right_cols=["big_id"],
+                                  num_buckets=2))
+        assert out.column("big_id").to_pylist() == [big]
+
+    def test_null_bucket_key_raises(self):
+        from graph_data_science_ray.functions.relational import \
+            _col_bucket_values
+        col = pa.chunked_array([pa.array([1, None], pa.int64())])
+        with pytest.raises(ValueError, match="null"):
+            _col_bucket_values(col, 4)
+        scol = pa.chunked_array([pa.array(["a", None])])
+        with pytest.raises(ValueError, match="null"):
+            _col_bucket_values(scol, 4)
+
+    def test_model_catalog_load_requires_base_dir(self):
+        from graph_data_science_ray.state.models import ModelCatalog
+        with pytest.raises(ValueError, match="base_dir"):
+            ModelCatalog().load("m")
