@@ -167,6 +167,10 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
     stage over a once-published CSR handle)."""
     single = isinstance(method, str)
     methods = [method] if single else list(method)
+    if not single and methods == ["same_community"]:
+        # nothing to combine in a singleton list — callers that pass methods
+        # uniformly as lists must be able to score same_community too
+        method, single = "same_community", True
     for m in methods:
         if m not in _METHODS:
             raise ValueError(f"method must be one of {_METHODS}, got {m!r}")
@@ -175,6 +179,10 @@ def link_prediction(graph, pairs, method: str, *, direction: str = "both",
     if "same_community" in methods and not single:
         raise ValueError("same_community is not combinable (needs the "
                          "community array, not the adjacency expansion)")
+    if not hasattr(graph, "src"):
+        raise ValueError("link_prediction needs an in-memory Graph (its "
+                         "distinct-neighbor CSR is published once and must "
+                         "fit a worker); load parquet-backed graphs first")
 
     if method == "same_community":
         if community is None:

@@ -13,8 +13,22 @@ import pyarrow as pa
 
 
 def _stack(batch_col) -> np.ndarray:
-    # float64 so similarity matches a double-precision SQL oracle bit-for-bit at 6dp
-    return np.asarray(batch_col.to_pylist(), dtype=np.float64)
+    """(rows, dim) float64 matrix from a list<float> column — zero-copy Arrow
+    values + reshape, never to_pylist (which materializes rows·dim boxed
+    Python floats on the matmul hot path).  float64 so similarity matches a
+    double-precision SQL oracle bit-for-bit at 6dp."""
+    if isinstance(batch_col, pa.ChunkedArray):
+        batch_col = batch_col.combine_chunks()
+    if batch_col.null_count or len(batch_col) == 0:
+        return np.asarray(batch_col.to_pylist(), dtype=np.float64)
+    offsets = batch_col.offsets.to_numpy(zero_copy_only=False)
+    values = batch_col.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    if (lens != lens[0]).any():
+        raise ValueError("embedding column is ragged — a fixed dimension is "
+                         "required for the similarity matmul kernels")
+    mat = values[offsets[0]:offsets[-1]].reshape(lens.shape[0], int(lens[0]))
+    return mat.astype(np.float64, copy=False)
 
 
 class CosineTopK:
@@ -115,10 +129,16 @@ def lsh_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *, dim=None,
     qcode = 0
     for i in range(num_planes):
         qcode |= int(qbits[i]) << i
+    from itertools import combinations
     probes = {qcode}
-    if probe_hamming >= 1:
-        for i in range(num_planes):
-            probes.add(qcode ^ (1 << i))
+    # all bucket codes within probe_hamming bit flips of the query's code —
+    # C(num_planes, h) probes per distance h (num_planes is ≤ ~16 by design)
+    for h in range(1, min(probe_hamming, num_planes) + 1):
+        for bits in combinations(range(num_planes), h):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            probes.add(qcode ^ flip)
     probes_arr = np.asarray(sorted(probes), dtype=np.int64)
 
     # single streaming pass: bucket → filter to probed buckets → score in-stream
@@ -149,13 +169,14 @@ def train_ivf_centroids(emb_ds, num_lists: int = 16, *,
     distinct sample rows; an emptied list is re-seeded with the sample point
     farthest from its assigned centroid, keeping the quantizer total
     (every list non-degenerate) deterministically."""
-    tab = pa.concat_tables(
-        b for b in emb_ds.limit(sample_rows)
-        .iter_batches(batch_format="pyarrow", batch_size=sample_rows))
+    batches = list(emb_ds.limit(sample_rows)
+                   .iter_batches(batch_format="pyarrow",
+                                 batch_size=sample_rows))
+    if not batches or sum(b.num_rows for b in batches) == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    tab = pa.concat_tables(batches)
     x = _stack(tab.column("embedding"))
     n = x.shape[0]
-    if n == 0:
-        raise ValueError("cannot train IVF centroids on an empty dataset")
     num_lists = min(num_lists, n)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)

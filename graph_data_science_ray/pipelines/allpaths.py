@@ -42,11 +42,14 @@ def _asp_local_unweighted(n, indptr, indices, sources):
     for base in range(0, sources.shape[0], 64):
         batch = sources[base:base + 64]
         seen = np.zeros(n, dtype=np.uint64)
-        seen[batch] |= np.uint64(1) << np.arange(batch.shape[0],
-                                                 dtype=np.uint64)
+        # or.at, not fancy-index |= — a DUPLICATED source would otherwise
+        # keep only its last bit lane (the sharded path uses or.at already)
+        np.bitwise_or.at(seen, batch,
+                         np.uint64(1) << np.arange(batch.shape[0],
+                                                   dtype=np.uint64))
         frontier_ids = np.unique(batch)
         frontier = np.zeros(n, dtype=np.uint64)
-        frontier[batch] |= seen[batch]
+        frontier[frontier_ids] = seen[frontier_ids]
         d = 0
         while frontier_ids.shape[0]:
             starts = indptr[frontier_ids]

@@ -127,13 +127,20 @@ def _hits_sharded(graph: Graph, k: int, num_partitions: Optional[int]):
         return None  # collapsed bounds: num_returns=1 hazard — caller local
     fwd_handles = _shard_handles(graph, P, "natural")
     # reverse CSR over the SAME bounds (graph.shards would re-balance them)
-    s, d, _ = graph._oriented_sorted(REVERSE)
-    rev_handles = []
-    for p in range(nparts):
-        lo, hi = int(bounds[p]), int(bounds[p + 1])
-        a, b = np.searchsorted(s, [lo, hi])
-        rev_handles.append(ray.put(build_csr_shard(lo, hi, s[a:b], d[a:b],
-                                                   None, n_total=n)))
+    if hasattr(graph, "_oriented_sorted"):
+        s, d, _ = graph._oriented_sorted(REVERSE)
+        rev_handles = []
+        for p in range(nparts):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            a, b = np.searchsorted(s, [lo, hi])
+            rev_handles.append(ray.put(build_csr_shard(lo, hi, s[a:b], d[a:b],
+                                                       None, n_total=n)))
+    else:
+        # parquet-backed handle: reverse-layout ShardSpecs over the same
+        # natural bounds (vid ranges are orientation-agnostic; each actor
+        # loads its own reverse slice from the layout — no driver edges)
+        rev_handles = [graph.shard_spec(p, bounds, REVERSE)
+                       for p in range(nparts)]
     # fractional CPUs when partitions exceed the cluster (small-graph tests
     # at explicit P): nparts actors each demanding a full CPU would deadlock
     ncpu_avail = ray.cluster_resources().get("CPU", nparts) or nparts

@@ -235,6 +235,16 @@ class _MsbfsShardActor:
             "distance": np.concatenate(self.pair_d).astype(np.float64)})
 
 
+def _actor_cpus(nparts: int) -> float:
+    """Fractional CPUs when partitions exceed the cluster (explicit P on a
+    small machine): nparts actors each demanding one full CPU would leave
+    some pending forever and deadlock the frontier exchange — the same guard
+    hits.py uses."""
+    import ray
+    ncpu = ray.cluster_resources().get("CPU", nparts) or nparts
+    return 1 if ncpu >= nparts else max(0.1, ncpu / nparts / 2)
+
+
 def asp_pairs_sharded(graph, sources, num_partitions: Optional[int] = None,
                       group_batches: Optional[int] = None):
     """Distributed all-pairs shortest paths stream: the MSBFS frontier
@@ -256,7 +266,7 @@ def asp_pairs_sharded(graph, sources, num_partitions: Optional[int] = None,
     sources = np.asarray(sources, dtype=np.int64)
     if nparts < 2:
         return None
-    Worker = ray.remote(num_cpus=1)(_MsbfsShardActor)
+    Worker = ray.remote(num_cpus=_actor_cpus(nparts))(_MsbfsShardActor)
     workers = [Worker.remote(handles[p], bounds, False, True)
                for p in range(nparts)]
     max_nloc = int(np.max(np.diff(bounds))) or 1
@@ -309,7 +319,7 @@ def msbfs_accumulate_sharded(graph, sources, harmonic: bool,
         from .centrality import _msbfs_accumulate
         sh = _resolve_shard(handles[0])
         return _msbfs_accumulate(n, sh.indptr, sh.indices, sources, harmonic)
-    Worker = ray.remote(num_cpus=1)(_MsbfsShardActor)
+    Worker = ray.remote(num_cpus=_actor_cpus(nparts))(_MsbfsShardActor)
     workers = [Worker.remote(handles[p], bounds, harmonic)
                for p in range(nparts)]
     max_nloc = int(np.max(np.diff(bounds))) or 1
@@ -469,14 +479,21 @@ def brandes_accumulate_sharded(graph, sources,
         return bc
     fwd_handles = _shard_handles(graph, P, "natural")
     # reverse CSR over the SAME bounds (graph.shards would re-balance them)
-    s, d, _ = graph._oriented_sorted(REVERSE)
-    rev_handles = []
-    for p in range(nparts):
-        lo, hi = int(bounds[p]), int(bounds[p + 1])
-        a, b = np.searchsorted(s, [lo, hi])
-        rev_handles.append(ray.put(build_csr_shard(lo, hi, s[a:b], d[a:b],
-                                                   None, n_total=n)))
-    Worker = ray.remote(num_cpus=1)(_BrandesShardActor)
+    if hasattr(graph, "_oriented_sorted"):
+        s, d, _ = graph._oriented_sorted(REVERSE)
+        rev_handles = []
+        for p in range(nparts):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            a, b = np.searchsorted(s, [lo, hi])
+            rev_handles.append(ray.put(build_csr_shard(lo, hi, s[a:b], d[a:b],
+                                                       None, n_total=n)))
+    else:
+        # parquet-backed handle: reverse-layout ShardSpecs over the same
+        # natural bounds (vid ranges are orientation-agnostic; each actor
+        # loads its own reverse slice from the layout)
+        rev_handles = [graph.shard_spec(p, bounds, "reverse")
+                       for p in range(nparts)]
+    Worker = ray.remote(num_cpus=_actor_cpus(nparts))(_BrandesShardActor)
     workers = [Worker.remote(fwd_handles[p], rev_handles[p], bounds)
                for p in range(nparts)]
     max_nloc = int(np.max(np.diff(bounds))) or 1

@@ -241,3 +241,43 @@ class TestSplitReviewRegressions:
         edges = set(zip(g.src.tolist(), g.dst.tolist()))
         for a, b in zip(s.tolist(), t.tolist()):
             assert (a, b) not in edges and (b, a) not in edges
+
+
+class TestAspReviewRegressions:
+    def test_duplicate_sources_local_equals_ray(self, ray_session):
+        """A duplicated source must emit rows for BOTH copies in both paths
+        (the local kernel's fancy-index |= silently kept one lane before)."""
+        from graph_data_science_ray import all_shortest_paths
+        rng = np.random.default_rng(2)
+        src = rng.integers(0, 80, 400).astype(np.int64)
+        dst = rng.integers(0, 80, 400).astype(np.int64)
+        keep = src != dst
+        g = Graph.from_edges(src[keep], dst[keep], n=80, aggregation="single")
+        loc = all_shortest_paths(g, sources=[3, 3, 7], execution="local")
+        ray_t = all_shortest_paths(g, sources=[3, 3, 7], execution="ray",
+                                   num_partitions=2)
+        if hasattr(ray_t, "to_arrow_refs"):
+            import pyarrow as pa
+            import ray as _ray
+            ray_t = pa.concat_tables(
+                [t for t in _ray.get(ray_t.to_arrow_refs()) if t.num_rows])
+        def _key(t):
+            return sorted(zip(t.column("source").to_pylist(),
+                              t.column("target").to_pylist(),
+                              t.column("distance").to_pylist()))
+        assert _key(loc) == _key(ray_t)
+
+    def test_partitions_exceeding_cpus_complete(self, ray_session):
+        """More shard actors than CPUs must not deadlock (fractional-CPU
+        guard; this hung forever before the fix)."""
+        from graph_data_science_ray import all_shortest_paths
+        rng = np.random.default_rng(4)
+        src = rng.integers(0, 200, 1200).astype(np.int64)
+        dst = rng.integers(0, 200, 1200).astype(np.int64)
+        keep = src != dst
+        g = Graph.from_edges(src[keep], dst[keep], n=200,
+                             aggregation="single")
+        out = all_shortest_paths(g, sources=[0, 1, 2], execution="ray",
+                                 num_partitions=6)  # session has 4 CPUs
+        n = out.count() if hasattr(out, "count") else out.num_rows
+        assert n > 0

@@ -427,3 +427,70 @@ class TestEmbeddingDup:
         got = {(int(a), int(b)) for a, b in zip(lt["id1"], lt["id2"])}
         assert got <= exact_pairs          # precision exact (verified pairs)
         assert len(got) >= 0.9 * len(exact_pairs)  # high-cosine pairs: high recall
+
+
+class TestSimilarityReviewRegressions:
+    def test_stack_zero_copy_matches_pylist(self):
+        import pyarrow as pa
+
+        from graph_data_science_ray.functions.similarity import _stack
+        col = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                       type=pa.list_(pa.float32()))
+        np.testing.assert_array_equal(
+            _stack(col), np.asarray(col.to_pylist(), dtype=np.float64))
+        # sliced columns carry absolute offsets — must still align
+        np.testing.assert_array_equal(
+            _stack(col.slice(1)), np.asarray(col.slice(1).to_pylist(),
+                                             dtype=np.float64))
+        ragged = pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="ragged"):
+            _stack(ragged)
+
+    def test_lsh_probe_hamming_two_reaches_distance_two(self, ray_session):
+        """probe_hamming=2 must probe distance-2 buckets (only distance-1
+        flips were generated before, silently lowering recall)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from graph_data_science_ray.functions.similarity import (
+            HyperplaneLsh, lsh_topk)
+        rng = np.random.default_rng(31)
+        dim, planes, seed = 16, 8, 23
+        lsh = HyperplaneLsh(dim, planes, seed)
+        q = rng.normal(size=dim)
+
+        def code_of(v):
+            bits = (np.asarray(v, dtype=np.float64) @ lsh.planes) > 0
+            return sum(int(b) << i for i, b in enumerate(bits))
+
+        qcode = code_of(q)
+        # find a vector whose bucket is exactly Hamming-2 from the query's
+        target = None
+        for _ in range(3000):
+            v = rng.normal(size=dim)
+            if bin(code_of(v) ^ qcode).count("1") == 2:
+                target = v
+                break
+        assert target is not None
+        tab = pa.table({"vec_id": pa.array([0], pa.int64()),
+                        "embedding": pa.array([target.tolist()],
+                                              pa.list_(pa.float64()))})
+        ds = rd.from_arrow(tab)
+        near = lsh_topk(ds, q, k=1, dim=dim, num_planes=planes,
+                        probe_hamming=2, seed=seed)
+        far = lsh_topk(ds, q, k=1, dim=dim, num_planes=planes,
+                       probe_hamming=1, seed=seed)
+        n_near = near.count() if hasattr(near, "count") else near.num_rows
+        n_far = far.count() if hasattr(far, "count") else far.num_rows
+        assert n_near == 1 and n_far == 0
+
+    def test_ivf_empty_dataset_friendly_error(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from graph_data_science_ray.functions.similarity import \
+            train_ivf_centroids
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "embedding": pa.array([], pa.list_(pa.float64()))})
+        with pytest.raises(ValueError, match="empty"):
+            train_ivf_centroids(rd.from_arrow(empty))

@@ -130,3 +130,30 @@ class TestHitsSharded:
         t = hits(g, 5, execution="local")
         assert np.all(t.column("auth").to_numpy() == 0)
         assert np.all(t.column("hub").to_numpy() == 0)
+
+
+class TestHitsParquetGraph:
+    def test_ray_path_on_parquet_handle(self, tmp_path, ray_session):
+        """The sharded path must accept a parquet-backed handle: reverse
+        shards come from the layout's edges_rev over the natural bounds
+        (review regression: _oriented_sorted only exists on in-memory Graph)."""
+        import numpy as np
+
+        from graph_data_science_ray import hits
+        from graph_data_science_ray.state.graph import Graph, ParquetGraph
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, 400, 2000)
+        dst = rng.integers(0, 400, 2000)
+        keep = src != dst
+        g = Graph.from_edges(src[keep], dst[keep], n=400)
+        d = str(tmp_path / "layout")
+        g.save(d, num_partitions=3)
+        t_mem = hits(g, hits_iterations=5, execution="ray", num_partitions=3)
+        t_pq = hits(ParquetGraph(d), hits_iterations=5, execution="ray",
+                    num_partitions=3)
+        np.testing.assert_allclose(
+            t_pq.column("auth").to_numpy(zero_copy_only=False),
+            t_mem.column("auth").to_numpy(zero_copy_only=False), atol=1e-12)
+        np.testing.assert_allclose(
+            t_pq.column("hub").to_numpy(zero_copy_only=False),
+            t_mem.column("hub").to_numpy(zero_copy_only=False), atol=1e-12)

@@ -191,3 +191,25 @@ class TestOneHotEncoding:
         out = one_hot_batch(t, list_col="tags", available_values=["a", "b", "c"])
         assert out.column("one_hot").to_pylist() == [[1, 0, 1], [0, 0, 0],
                                                      [0, 1, 0]]
+
+
+class TestLinkpredReviewRegressions:
+    def test_singleton_same_community_list(self):
+        from graph_data_science_ray import link_prediction
+        g = Graph.from_edges([0, 1], [1, 2], n=4)
+        comm = np.array([7, 7, 8, 8])
+        pairs = pa.table({"a": pa.array([0, 2], pa.int64()),
+                          "b": pa.array([1, 3], pa.int64())})
+        x = link_prediction(g, pairs, "same_community", community=comm)
+        y = link_prediction(g, pairs, ["same_community"], community=comm)
+        assert x.equals(y)
+
+    def test_parquet_handle_clear_error(self):
+        from graph_data_science_ray import link_prediction
+
+        class _FakeParquetGraph:
+            n = 4
+        pairs = pa.table({"a": pa.array([0], pa.int64()),
+                          "b": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError, match="in-memory"):
+            link_prediction(_FakeParquetGraph(), pairs, "common_neighbors")
