@@ -29,6 +29,21 @@ _MERSENNE = (1 << 61) - 1
 # joins ship texts to the pairs (the 100 TB path — patchable in tests)
 _VERIFY_SMALL_GATE = 100_000
 
+_LSH_PLANE_CACHE: dict = {}
+
+
+def _lsh_planes(seed: int, dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplane matrix, cached per worker process.
+
+    Every task (and formerly every signer actor) draws the SAME matrix from
+    ``default_rng(seed)``, so signatures are identical whichever worker
+    computes a batch; the cache only skips re-drawing within a process."""
+    key = (seed, dim, n_planes)
+    if key not in _LSH_PLANE_CACHE:
+        _LSH_PLANE_CACHE[key] = np.random.default_rng(seed) \
+            .standard_normal((dim, n_planes))
+    return _LSH_PLANE_CACHE[key]
+
 
 def _token_shingles(text: str, k: int = 3) -> set:
     toks = text.split()
@@ -694,55 +709,48 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
                             seed: int = 37, batch_format_dim=None):
     """Scale path for embedding-cosine near-dup: banded random-hyperplane LSH.
 
-    Signature stage (stateful actor pool — plane matrix drawn once per actor
-    in ``__init__``) computes ``num_bands × planes_per_band`` sign bits per
-    vector; a pair is a candidate iff it agrees on every bit of some band
+    Signature stage (stateless tasks on the shared worker pool — the plane
+    matrix is DETERMINISTIC from ``seed`` and re-derived per process via a
+    module cache: drawing dim×(B·r) gaussians costs microseconds, while a
+    dedicated actor pool costs a fresh interpreter + imports per call)
+    computes ``num_bands × planes_per_band`` sign bits per vector; a pair is
+    a candidate iff it agrees on every bit of some band
     (P[band match] = (1 - θ/π)^r for angle θ — the cosine analogue of the
     MinHash banding curve used by :func:`minhash_near_dups`).  Candidates are
     found by a ``groupby(band, bucket)`` — never an all-pairs pass — then the
-    distinct pair set is verified with exact float32-sequential cosine via two
-    partitioned hash joins back to the embedding table.  Returns a Dataset of
-    (id1, id2, similarity) with similarity >= threshold; recall < 1 by design
-    (tunable via num_bands), precision exact.
+    distinct pair set is verified with exact float32-sequential cosine: a
+    small pair set (the normal case) gathers only the candidate vectors with
+    one broadcast-filter pass and verifies in a single task; above the gate
+    two partitioned hash joins back to the embedding table run.  Returns a
+    Dataset of (id1, id2, similarity) with similarity >= threshold; recall
+    < 1 by design (tunable via num_bands), precision exact.
     """
     import ray
     from .compat import cosine_f32_sequential
     from .joins import hash_join
     from ..stages.bucketing import adaptive_bucket_count
 
-    class _Signer:
-        def __init__(self):
-            rng = np.random.default_rng(seed)
-            self._planes = None
-            self._rng = rng
+    def _sign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        mat = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+        dim = mat.shape[1] if n else (batch_format_dim or 0)
+        planes = _lsh_planes(seed, dim, num_bands * planes_per_band)
+        bits = (mat @ planes) >= 0.0                # (n, B*r) bools
+        bits = bits.reshape(n, num_bands, planes_per_band)
+        # pack each band's r bits + band index into one int64 bucket key
+        weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+        buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, B)
+        band_idx = np.broadcast_to(
+            np.arange(num_bands, dtype=np.int64), (n, num_bands))
+        return pa.table({
+            "vec_id": np.repeat(ids.astype(np.int64), num_bands),
+            "bucket": (band_idx * (1 << planes_per_band)
+                       + buckets).ravel()})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            col = batch.column("embedding").combine_chunks()
-            flat = col.flatten().to_numpy(zero_copy_only=False)
-            n = len(ids)
-            mat = flat.reshape(n, -1) if n else flat.reshape(0, 0)
-            if self._planes is None:
-                dim = mat.shape[1] if n else (batch_format_dim or 0)
-                self._planes = self._rng.standard_normal(
-                    (dim, num_bands * planes_per_band))
-            bits = (mat @ self._planes) >= 0.0          # (n, B*r) bools
-            bits = bits.reshape(n, num_bands, planes_per_band)
-            # pack each band's r bits + band index into one int64 bucket key
-            weights = (1 << np.arange(planes_per_band, dtype=np.int64))
-            buckets = (bits * weights).sum(axis=2).astype(np.int64)  # (n, B)
-            band_idx = np.broadcast_to(
-                np.arange(num_bands, dtype=np.int64), (n, num_bands))
-            return pa.table({
-                "vec_id": np.repeat(ids.astype(np.int64), num_bands),
-                "bucket": (band_idx * (1 << planes_per_band)
-                           + buckets).ravel()})
-
-    from ..stages.bucketing import rows_if_cheap, sized_actor_pool
-    _ncpu = int(ray.cluster_resources().get("CPU", 8))
-    _pool = sized_actor_pool(_ncpu, rows_if_cheap(emb_ds), 1024, cap=8)
-    sigs = emb_ds.map_batches(_Signer, batch_format="pyarrow",
-                              concurrency=(1, _pool))
+    sigs = emb_ds.map_batches(_sign, batch_format="pyarrow")
 
     # route buckets through the known-partitioner exchange: partition id =
     # bucket % P, and the pair expansion segments by EXACT bucket value inside
@@ -786,10 +794,104 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
                             empty_result=_empty_ids,
                             small_rows=32_768)  # quadratic pair expansion
     cand = _dedup_pairs_exchange(cand, "id1", "id2").materialize()
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64()),
             "similarity": pa.array([], pa.float64())}))
+
+    # Small candidate set (the normal case — banding leaves ≪ corpus pairs):
+    # gather ONLY the candidate vectors with one broadcast-filter pass over
+    # the embedding table, then verify in parallel chunk tasks that share
+    # the gathered blocks, instead of routing every vector through two
+    # partitioned hash joins.  Gated on BOTH the pair count and the distinct
+    # candidate-id count (each chunk task materializes the full gathered
+    # vector set: ids×dim floats must fit a worker).  Above the gate the
+    # join path runs.  Arithmetic identical to the join path's _verify
+    # (per-dimension float32-sequential accumulation).
+    import ray as _ray
+
+    from ..stages.blocks import nonempty_arrow_refs
+
+    # Distinct candidate ids, computed distributed (per-block unique → driver
+    # union): the driver holds O(ids), never O(pairs).
+    cand_refs, _ = nonempty_arrow_refs(cand)
+
+    def _uniq_ids(t: pa.Table) -> np.ndarray:
+        return np.unique(np.concatenate(
+            [t.column("id1").to_numpy(zero_copy_only=False),
+             t.column("id2").to_numpy(zero_copy_only=False)]))
+
+    from ..stages.exchange import _remote
+    uniq = _remote("dedup_uniq_ids", _uniq_ids)
+    cand_ids = np.unique(np.concatenate(
+        _ray.get([uniq.remote(r) for r in cand_refs]))) if cand_refs else \
+        np.zeros(0, np.int64)
+    if cand_ids.shape[0] <= 100_000:
+        ids_ref = _ray.put(cand_ids)  # sorted (np.unique)
+
+        def _gather(t: pa.Table) -> pa.Table:
+            sid = _ray.get(ids_ref)
+            k = t.column("vec_id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(sid, k), 0, sid.shape[0] - 1)
+            return t.select(["vec_id", "embedding"]) \
+                .filter(pa.array(sid[pos] == k))
+
+        vecs = emb_ds.map_batches(_gather, batch_format="pyarrow") \
+            .materialize()
+
+        @_ray.remote
+        def _verify_small_emb(pairs: pa.Table, thr: float, *vec_blocks):
+            ids_l, mats = [], []
+            for vb in vec_blocks:
+                vi = vb.column("vec_id").to_numpy(zero_copy_only=False)
+                col = vb.column("embedding").combine_chunks()
+                flat = col.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.float32)
+                nn = len(vi)
+                ids_l.append(vi.astype(np.int64))
+                mats.append(flat.reshape(nn, -1) if nn
+                            else flat.reshape(0, 0))
+            ids_all = np.concatenate(ids_l) if ids_l else \
+                np.zeros(0, np.int64)
+            mat_all = np.vstack([m for m in mats if m.size]) if ids_all.size \
+                else np.zeros((0, 0), np.float32)
+            order = np.argsort(ids_all, kind="stable")
+            ids_all, mat_all = ids_all[order], mat_all[order]
+            a_full = pairs.column("id1").to_numpy(zero_copy_only=False)
+            b_full = pairs.column("id2").to_numpy(zero_copy_only=False)
+            outs = []
+            chunk = 262_144  # bound per-slice gather to chunk×dim floats ×2
+            for off in range(0, a_full.shape[0], chunk):
+                a = a_full[off:off + chunk]
+                b = b_full[off:off + chunk]
+                a32 = mat_all[np.searchsorted(ids_all, a)]
+                b32 = mat_all[np.searchsorted(ids_all, b)]
+                n = a.shape[0]
+                num = np.zeros(n, dtype=np.float32)
+                na = np.zeros(n, dtype=np.float32)
+                nbb = np.zeros(n, dtype=np.float32)
+                for d in range(a32.shape[1]):
+                    x, y = a32[:, d], b32[:, d]
+                    num += x * y
+                    na += x * x
+                    nbb += y * y
+                sims = num / (np.sqrt(na) * np.sqrt(nbb))
+                keep = sims >= thr
+                outs.append(pa.table({
+                    "id1": a[keep].astype(np.int64),
+                    "id2": b[keep].astype(np.int64),
+                    "similarity": sims[keep].astype(np.float64)}))
+            return pa.concat_tables(outs)
+
+        v_refs, _ = nonempty_arrow_refs(vecs)
+        # fan-out over the ALREADY-DISTRIBUTED candidate blocks: each task
+        # verifies one pair block against the shared gathered vector blocks
+        # (plasma refs — shipped once per worker); pairs never transit the
+        # driver
+        outs = [_verify_small_emb.remote(r, threshold, *v_refs)
+                for r in cand_refs]
+        return ray.data.from_arrow_refs(outs)
 
     def _rename(col_from, col_to):
         def f(t: pa.Table) -> pa.Table:
@@ -815,7 +917,7 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
     emb_t = pa.binary()
     emb_a = emb_ds.map_batches(_pack("id1", "emb_a"), batch_format="pyarrow")
     emb_b = emb_ds.map_batches(_pack("id2", "emb_b"), batch_format="pyarrow")
-    nb = adaptive_bucket_count(cand.count(), min_buckets=16)
+    nb = adaptive_bucket_count(n_pairs, min_buckets=16)
     pair_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
     ea_schema = pa.schema([("id1", pa.int64()), ("emb_a", emb_t)])
     eb_schema = pa.schema([("id2", pa.int64()), ("emb_b", emb_t)])
