@@ -29,6 +29,12 @@ _MERSENNE = (1 << 61) - 1
 # joins ship texts to the pairs (the 100 TB path — patchable in tests)
 _VERIFY_SMALL_GATE = 100_000
 
+# embedding-LSH verify fast path: below this many DISTINCT candidate ids the
+# gathered vector set fits one worker and verify fans out over the candidate
+# pair blocks; above it the partitioned hash-join path runs (patchable in
+# tests to force the join path)
+_EMB_VERIFY_ID_GATE = 100_000
+
 _LSH_PLANE_CACHE: dict = {}
 
 
@@ -827,7 +833,7 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
     cand_ids = np.unique(np.concatenate(
         _ray.get([uniq.remote(r) for r in cand_refs]))) if cand_refs else \
         np.zeros(0, np.int64)
-    if cand_ids.shape[0] <= 100_000:
+    if cand_ids.shape[0] <= _EMB_VERIFY_ID_GATE:
         ids_ref = _ray.put(cand_ids)  # sorted (np.unique)
 
         def _gather(t: pa.Table) -> pa.Table:

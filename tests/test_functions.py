@@ -428,6 +428,28 @@ class TestEmbeddingDup:
         assert got <= exact_pairs          # precision exact (verified pairs)
         assert len(got) >= 0.9 * len(exact_pairs)  # high-cosine pairs: high recall
 
+    def test_lsh_fast_path_equals_join_path(self, monkeypatch):
+        """The broadcast-gather verify fast path and the hash-join path must
+        produce the identical pair set AND identical similarity values (both
+        run the per-dimension float32-sequential kernel)."""
+        from graph_data_science_ray.functions import dedup as dd
+        ds, _, _ = self._planted_ds()
+
+        def run():
+            out = dd.embedding_dup_pairs_lsh(ds, threshold=0.9,
+                                             num_bands=24, planes_per_band=3)
+            df = out.to_pandas()
+            return df.sort_values(["id1", "id2"]).reset_index(drop=True)
+
+        fast = run()
+        monkeypatch.setattr(dd, "_EMB_VERIFY_ID_GATE", 0)  # force join path
+        joined = run()
+        assert len(fast) == len(joined)
+        assert (fast["id1"].to_numpy() == joined["id1"].to_numpy()).all()
+        assert (fast["id2"].to_numpy() == joined["id2"].to_numpy()).all()
+        np.testing.assert_array_equal(fast["similarity"].to_numpy(),
+                                      joined["similarity"].to_numpy())
+
 
 class TestSimilarityReviewRegressions:
     def test_stack_zero_copy_matches_pylist(self):
