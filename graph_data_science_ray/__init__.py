@@ -62,6 +62,7 @@ from .functions.pairwise import (add_pairwise_similarity, pairwise_scores,
                                  similarity_jaccard, similarity_overlap,
                                  similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
+from .functions import util as gds_util
 
 __all__ = [
     "Graph", "GraphCatalog", "Computation", "PregelResult", "run_pregel", "run",
@@ -91,6 +92,7 @@ __all__ = [
     "add_pairwise_similarity", "pairwise_scores", "similarity_cosine",
     "similarity_euclidean", "similarity_euclidean_distance",
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
+    "gds_util",
 ]
 
 __version__ = "0.1.0"
