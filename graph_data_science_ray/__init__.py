@@ -56,7 +56,8 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles)
 from .functions.joins import hash_join, semi_join_filter
-from .functions.pairwise import (add_pairwise_similarity, pairwise_scores,
+from .functions.pairwise import (add_pairwise_similarity, as_vector,
+                                 pairwise_scores,
                                  similarity_cosine, similarity_euclidean,
                                  similarity_euclidean_distance,
                                  similarity_jaccard, similarity_overlap,
@@ -92,7 +93,7 @@ __all__ = [
     "add_pairwise_similarity", "pairwise_scores", "similarity_cosine",
     "similarity_euclidean", "similarity_euclidean_distance",
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
-    "gds_util",
+    "as_vector", "gds_util",
 ]
 
 __version__ = "0.1.0"

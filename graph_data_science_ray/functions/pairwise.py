@@ -69,13 +69,50 @@ def similarity_euclidean(v1, v2) -> float:
     return 1.0 / (1.0 + similarity_euclidean_distance(v1, v2))
 
 
-def similarity_pearson(v1, v2) -> float:
+def similarity_pearson(v1, v2, *, vector_type: str = "numbers") -> float:
+    """``vector_type="maps"`` takes two sparse vectors as lists of
+    {"category": id, "weight": w} maps (the ``asVector`` shape) and runs the
+    reference's skip-aware pearson: union of category ids, a missing entry is
+    the NaN skip value, each vector's mean is over ITS OWN present entries,
+    and the correlation sums keep only pairs where BOTH sides are present
+    (SimilaritiesFunc.java:86-117 → Intersections.pearsonSkip:184-227)."""
+    if vector_type.lower() == "maps":
+        return _pearson_skip_maps(v1, v2)
     a, b = _check_numeric(v1, v2)
     da, db = a - a.mean(), b - b.mean()
     denom = np.sqrt((da @ da) * (db @ db))
     if denom == 0.0:
         return 0.0  # NaN → 0 (Intersections.java:181)
     return float((da @ db) / denom)
+
+
+def as_vector(categories, weights) -> list:
+    """gds.alpha.similarity.asVector analogue
+    (alpha/.../impl/similarity/SimilarityVectorAggregator.java): zip a
+    category-id column and a weight column into the [{"category": id,
+    "weight": w}, ...] shape the maps vectorType consumes."""
+    return [{"category": int(c), "weight": float(w)}
+            for c, w in zip(categories, weights)]
+
+
+def _pearson_skip_maps(v1, v2) -> float:
+    # later duplicate categories overwrite earlier ones (LongDoubleHashMap.put)
+    m1 = {int(e["category"]): float(e["weight"]) for e in v1}
+    m2 = {int(e["category"]): float(e["weight"]) for e in v2}
+    ids = list(m1.keys() | m2.keys())
+    w1 = np.asarray([m1.get(i, np.nan) for i in ids], dtype=np.float64)
+    w2 = np.asarray([m2.get(i, np.nan) for i in ids], dtype=np.float64)
+    p1, p2 = ~np.isnan(w1), ~np.isnan(w2)
+    # per-vector means over each side's own present entries (pearsonSkip's
+    # first loop); an all-skip side yields NaN → result NaN → 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean1 = w1[p1].sum() / p1.sum() if p1.any() else np.nan
+        mean2 = w2[p2].sum() / p2.sum() if p2.any() else np.nan
+        both = p1 & p2
+        d1, d2 = w1[both] - mean1, w2[both] - mean2
+        r = float(d1 @ d2) / np.sqrt(float(d1 @ d1) * float(d2 @ d2)) \
+            if both.any() else np.nan
+    return 0.0 if np.isnan(r) else float(r)
 
 
 def similarity_jaccard(v1, v2) -> float:

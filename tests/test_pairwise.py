@@ -7,7 +7,7 @@ import pytest
 from graph_data_science_ray.functions.pairwise import (
     add_pairwise_similarity, pairwise_scores, similarity_cosine,
     similarity_euclidean, similarity_euclidean_distance, similarity_jaccard,
-    similarity_overlap, similarity_pearson)
+    similarity_overlap, similarity_pearson, as_vector)
 
 
 class TestScalarSemantics:
@@ -161,3 +161,66 @@ class TestDatasetForm:
         assert out["cos"].iloc[0] == pytest.approx(
             similarity_cosine([1, 2], [4, 5]))
         assert out["cos"].iloc[1] == 0.0  # orthogonal
+
+
+class TestPearsonMaps:
+    """vectorType 'maps' — the sparse asVector form.  Fixture and all four
+    expected values verbatim from the reference's PearsonDocTest
+    (alpha-proc/.../similarity/PearsonDocTest.java:90-132): 5 people rating
+    6 movies, pearson of Arya's vector against every other person."""
+
+    # movie ids: home_alone=0 matrix=1 good_men=2 top_gun=3 jerry=4 gruffalo=5
+    RATINGS = {
+        "zhen":     as_vector([0, 2, 1, 4], [2, 2, 3, 6]),
+        "praveena": as_vector([0, 2, 1, 4], [6, 7, 8, 9]),
+        "michael":  as_vector([0, 2, 4, 3], [7, 9, 3, 4]),
+        "arya":     as_vector([3, 1, 4, 5], [8, 1, 10, 10]),
+        "karin":    as_vector([3, 1, 0, 5], [9, 7, 7, 9]),
+    }
+
+    EXPECTED = {  # PearsonDocTest.functionCallOnWholeGraph expected table
+        "karin": 0.8194651785206903,
+        "zhen": 0.4839533792540704,
+        "praveena": 0.09262336892949784,
+        "michael": -0.9551953674747637,
+    }
+
+    def test_doc_fixture_exact(self):
+        arya = self.RATINGS["arya"]
+        for other, expected in self.EXPECTED.items():
+            got = similarity_pearson(arya, self.RATINGS[other],
+                                     vector_type="maps")
+            assert got == pytest.approx(expected, abs=1e-15), other
+
+    def test_symmetric(self):
+        a, k = self.RATINGS["arya"], self.RATINGS["karin"]
+        assert similarity_pearson(a, k, vector_type="maps") == \
+            pytest.approx(similarity_pearson(k, a, vector_type="maps"))
+
+    def test_full_overlap_matches_numbers_form(self):
+        v1 = as_vector([0, 1, 2], [1.0, 2.0, 4.0])
+        v2 = as_vector([0, 1, 2], [2.0, 5.0, 3.0])
+        assert similarity_pearson(v1, v2, vector_type="maps") == \
+            pytest.approx(similarity_pearson([1, 2, 4], [2, 5, 3]))
+
+    def test_no_common_categories_is_zero(self):
+        v1 = as_vector([0, 1], [1.0, 2.0])
+        v2 = as_vector([2, 3], [3.0, 4.0])
+        assert similarity_pearson(v1, v2, vector_type="maps") == 0.0
+
+    def test_empty_side_is_zero(self):
+        v1 = as_vector([0, 1], [1.0, 2.0])
+        assert similarity_pearson(v1, [], vector_type="maps") == 0.0
+
+    def test_duplicate_category_last_wins(self):
+        # LongDoubleHashMap.put overwrites — the LAST weight for a category
+        v1 = as_vector([0, 0, 1], [9.0, 1.0, 2.0])
+        v1_dedup = as_vector([0, 1], [1.0, 2.0])
+        v2 = as_vector([0, 1], [3.0, 5.0])
+        assert similarity_pearson(v1, v2, vector_type="maps") == \
+            similarity_pearson(v1_dedup, v2, vector_type="maps")
+
+    def test_as_vector_shape(self):
+        v = as_vector([7, 8], [0.5, 1.5])
+        assert v == [{"category": 7, "weight": 0.5},
+                     {"category": 8, "weight": 1.5}]
