@@ -90,10 +90,14 @@ def _brandes_source(n, indptr, indices, s):
 def betweenness_centrality(graph: Graph, *, sampling_size: Optional[int] = None,
                            seed: Optional[int] = None, undirected: bool = False,
                            execution: str = "auto",
-                           local_threshold: int = 50_000) -> pa.Table:
+                           local_threshold: int = 50_000,
+                           as_dataset: bool = False):
     """Returns (vid, centrality).  ``undirected=True`` halves the scores (the
     reference's divisor for undirected graphs — pass a graph built with
-    orientation="undirected")."""
+    orientation="undirected").  ``as_dataset=True`` returns a
+    ray.data.Dataset of per-shard (vid, centrality) tables: the divisor is
+    applied inside each shard's finalize task and the n-sized result never
+    transits the driver."""
     n = graph.n
     if sampling_size is None or sampling_size >= n:
         sources = np.arange(n, dtype=np.int64)
@@ -110,6 +114,8 @@ def betweenness_centrality(graph: Graph, *, sampling_size: Optional[int] = None,
     if execution == "auto":
         execution = "local" if n <= local_threshold and sources.shape[0] <= 2048 \
             else "ray"
+    spec = {"kind": "betweenness", "n": n,
+            "divisor": 2.0 if undirected else 1.0}
     if execution == "local" or sources.shape[0] == 0:
         sh = graph.shards(1, "natural")[0]
         indptr, indices = sh.indptr, sh.indices
@@ -118,7 +124,15 @@ def betweenness_centrality(graph: Graph, *, sampling_size: Optional[int] = None,
             bc += _brandes_source(n, indptr, indices, int(s))
     else:
         from .msbfs_dist import brandes_accumulate_sharded
-        bc = brandes_accumulate_sharded(graph, sources)
+        bc = brandes_accumulate_sharded(
+            graph, sources, finalize=spec if as_dataset else None)
+        if not isinstance(bc, np.ndarray):
+            return bc  # Dataset of per-shard (vid, centrality) tables
+    if as_dataset:
+        import ray.data
+
+        from .msbfs_dist import _centrality_slice
+        return ray.data.from_arrow(_centrality_slice(0, bc, None, spec))
     if undirected:
         bc /= 2.0
     return pa.table({"vid": np.arange(n, dtype=np.int64), "centrality": bc})

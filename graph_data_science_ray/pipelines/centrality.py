@@ -156,13 +156,43 @@ def _run(graph: Graph, harmonic: bool, execution: str, local_threshold: int):
     return msbfs_accumulate_sharded(graph, sources, harmonic)
 
 
+def _run_as_dataset(graph: Graph, harmonic: bool, spec: dict,
+                    execution: str, local_threshold: int):
+    """Dataset-returning path: the per-vid formula runs where each shard's
+    accumulator slice lives (msbfs_dist._centrality_slice), so no n-sized
+    array transits the driver.  Local/collapsed paths wrap one table."""
+    import ray.data
+
+    from .msbfs_dist import _centrality_slice, msbfs_accumulate_sharded
+
+    n = graph.n
+    sources = np.arange(n, dtype=np.int64)
+    if execution == "auto":
+        execution = "local" if n <= local_threshold else "ray"
+    if execution == "local":
+        sh = graph.shards(1, "natural")[0]
+        acc, reach = _msbfs_accumulate(n, sh.indptr, sh.indices, sources,
+                                       harmonic)
+        return ray.data.from_arrow(_centrality_slice(0, acc, reach, spec))
+    out = msbfs_accumulate_sharded(graph, sources, harmonic, finalize=spec)
+    if isinstance(out, tuple):  # collapsed bounds → local fallback arrays
+        return ray.data.from_arrow(_centrality_slice(0, out[0], out[1], spec))
+    return out
+
+
 def closeness_centrality(graph: Graph, *, wasserman_faust: bool = False,
                          execution: str = "auto",
-                         local_threshold: int = 20_000) -> pa.Table:
+                         local_threshold: int = 20_000,
+                         as_dataset: bool = False):
     """centrality(v) = reach(v)/farness(v) (0 when unreached); Wasserman-Faust
-    multiplies by reach/(n-1) — MSClosenessCentrality.centrality:153-161."""
-    farness, reach = _run(graph, False, execution, local_threshold)
+    multiplies by reach/(n-1) — MSClosenessCentrality.centrality:153-161.
+    ``as_dataset=True`` returns a ray.data.Dataset of per-shard (vid,
+    centrality) tables — the result stays distributed."""
     n = graph.n
+    spec = {"kind": "closeness", "n": n, "wasserman_faust": wasserman_faust}
+    if as_dataset:
+        return _run_as_dataset(graph, False, spec, execution, local_threshold)
+    farness, reach = _run(graph, False, execution, local_threshold)
     with np.errstate(divide="ignore", invalid="ignore"):
         c = np.where(farness > 0, reach / np.where(farness > 0, farness, 1.0),
                      0.0)
@@ -172,9 +202,14 @@ def closeness_centrality(graph: Graph, *, wasserman_faust: bool = False,
 
 
 def harmonic_centrality(graph: Graph, *, execution: str = "auto",
-                        local_threshold: int = 20_000) -> pa.Table:
-    """centrality(v) = Σ_s 1/d(s→v) / (n-1) — HarmonicCentrality.java:90."""
-    inv, _ = _run(graph, True, execution, local_threshold)
+                        local_threshold: int = 20_000,
+                        as_dataset: bool = False):
+    """centrality(v) = Σ_s 1/d(s→v) / (n-1) — HarmonicCentrality.java:90.
+    ``as_dataset=True``: distributed per-shard result tables."""
     n = graph.n
+    if as_dataset:
+        return _run_as_dataset(graph, True, {"kind": "harmonic", "n": n},
+                               execution, local_threshold)
+    inv, _ = _run(graph, True, execution, local_threshold)
     c = inv / (n - 1.0) if n > 1 else inv
     return pa.table({"vid": np.arange(n, dtype=np.int64), "centrality": c})

@@ -235,6 +235,65 @@ class _MsbfsShardActor:
             "distance": np.concatenate(self.pair_d).astype(np.float64)})
 
 
+def _centrality_slice(lo: int, acc: np.ndarray, reach, spec: dict):
+    """One shard's (vid, centrality) table from its accumulator slice — the
+    per-vid formulas of closeness (farness→centrality + Wasserman-Faust),
+    harmonic (1/(n-1) scaling) and betweenness (undirected divisor), applied
+    WHERE THE SLICE LIVES so n-sized result arrays never transit the driver
+    (the COVERAGE "known gaps" item for table-returning centralities)."""
+    import pyarrow as pa
+
+    kind, n = spec["kind"], spec["n"]
+    vid = np.arange(lo, lo + acc.shape[0], dtype=np.int64)
+    if kind == "closeness":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(acc > 0, reach / np.where(acc > 0, acc, 1.0), 0.0)
+            if spec.get("wasserman_faust") and n > 1:
+                c = c * (reach / (n - 1.0))
+    elif kind == "harmonic":
+        c = acc / (n - 1.0) if n > 1 else acc.astype(np.float64)
+    elif kind == "betweenness":
+        c = acc / spec.get("divisor", 1.0)
+    else:
+        raise ValueError(f"unknown centrality kind {kind!r}")
+    return pa.table({"vid": vid, "centrality": c})
+
+
+_SLICE_TABLE_FN = None
+
+
+def _slice_table_fn():
+    global _SLICE_TABLE_FN
+    if _SLICE_TABLE_FN is None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        def _slice_table(fin, spec: dict):
+            # fin: (lo, acc, reach) from _MsbfsShardActor.finish or
+            # (lo, bc) from _BrandesShardActor.finish
+            if len(fin) == 3:
+                lo, acc, reach = fin
+            else:
+                (lo, acc), reach = fin, None
+            return _centrality_slice(int(lo), acc, reach, spec)
+
+        _SLICE_TABLE_FN = _slice_table
+    return _SLICE_TABLE_FN
+
+
+def _slice_tables_dataset(workers, spec: dict):
+    """Per-shard finish → per-shard (vid, centrality) tables → Dataset.
+    Caller kills the workers AFTER this returns (ray.wait pins the tables
+    in plasma before the producing actors die)."""
+    import ray
+    import ray.data
+
+    fn = _slice_table_fn()
+    refs = [fn.remote(w.finish.remote(), spec) for w in workers]
+    ray.wait(refs, num_returns=len(refs))
+    return ray.data.from_arrow_refs(refs)
+
+
 def _actor_cpus(nparts: int) -> float:
     """Fractional CPUs when partitions exceed the cluster (explicit P on a
     small machine): nparts actors each demanding one full CPU would leave
@@ -297,9 +356,15 @@ def asp_pairs_sharded(graph, sources, num_partitions: Optional[int] = None,
 
 def msbfs_accumulate_sharded(graph, sources, harmonic: bool,
                              num_partitions: Optional[int] = None,
-                             group_batches: Optional[int] = None):
+                             group_batches: Optional[int] = None,
+                             finalize: Optional[dict] = None):
     """Distributed MSBFS accumulation; returns (acc, reach) like
-    centrality._msbfs_accumulate.  Workers hold only their own shard."""
+    centrality._msbfs_accumulate.  Workers hold only their own shard.
+
+    ``finalize`` (a _centrality_slice spec): return a ray.data.Dataset of
+    per-shard (vid, centrality) tables instead — results stay distributed.
+    On collapsed bounds the (acc, reach) tuple is returned regardless and
+    the caller wraps it (the tiny-graph case)."""
     import ray
 
     n = graph.n
@@ -341,6 +406,8 @@ def msbfs_accumulate_sharded(graph, sources, harmonic: bool,
                 outbox = [r[1:] for r in res]
                 if sum(ray.get([r[0] for r in res])) == 0:
                     break
+        if finalize is not None:
+            return _slice_tables_dataset(workers, finalize)
         acc = np.zeros(n)
         reach = np.zeros(n, dtype=np.int64)
         for lo, a, r in ray.get([w.finish.remote() for w in workers]):
@@ -454,10 +521,13 @@ class _BrandesShardActor:
 
 def brandes_accumulate_sharded(graph, sources,
                                num_partitions: Optional[int] = None,
-                               group_size: Optional[int] = None) -> np.ndarray:
+                               group_size: Optional[int] = None,
+                               finalize: Optional[dict] = None):
     """Distributed Brandes: returns the betweenness vector.  Requires an
     in-memory Graph (builds forward + reverse CSR shards over the same vid
-    bounds)."""
+    bounds).  ``finalize`` (a _centrality_slice spec): return a Dataset of
+    per-shard (vid, centrality) tables instead; on collapsed bounds the
+    plain vector is returned regardless and the caller wraps it."""
     import ray
 
     n = graph.n
@@ -523,6 +593,8 @@ def brandes_accumulate_sharded(graph, sources,
                     lvl, *[outs[p][q] for p in range(nparts)])
                     for q in range(nparts)])
             ray.get([w.end_group.remote() for w in workers])
+        if finalize is not None:
+            return _slice_tables_dataset(workers, finalize)
         bc = np.zeros(n)
         for lo, part in ray.get([w.finish.remote() for w in workers]):
             bc[lo:lo + part.shape[0]] = part
