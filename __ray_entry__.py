@@ -1150,6 +1150,37 @@ def _q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir, ["text"]), 100)
 
 
+def _q_hash_sample_documents(sf_dir: str):
+    """Deterministic key-hash sample (functions/sampling.py): membership is
+    md5_number_lower(doc_id || ':s1') % 1e6 < 250000 — partition-independent,
+    resumable, and exactly reproducible in SQL."""
+    from graph_data_science_ray import hash_sample
+    ds = hash_sample(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                     "doc_id", 0.25, salt="s1")
+    return _to_table(ds)
+
+
+def _q_hash_split_documents(sf_dir: str):
+    """Disjoint train/val/test hash splits; returns per-split counts + char
+    sums so the driver compare is small while disjointness/exhaustiveness is
+    pinned by the SQL CASE-bucket oracle."""
+    import ray
+    from graph_data_science_ray import hash_split
+    parts = hash_split(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp")
+    rows = []
+    for name, ds in parts.items():
+        n = 0
+        chars = 0
+        for ref in ds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows and t.num_columns:
+                n += t.num_rows
+                chars += pa.compute.sum(t.column("n_chars")).as_py()
+        rows.append({"split": name, "n_docs": n, "sum_chars": chars})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["split"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -1247,6 +1278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
+        "hash_sample_documents": _q_hash_sample_documents,
+        "hash_split_documents": _q_hash_split_documents,
     }
 
 
@@ -2005,6 +2038,20 @@ WITH toks AS (
   SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS cnt FROM toks WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term LIMIT 100
+""",
+        "hash_sample_documents": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':s1') % 1000000 < 250000
+""",
+        "hash_split_documents": """
+WITH h AS (
+  SELECT n_chars,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || ':sp') % 1000000 AS b
+  FROM documents)
+SELECT CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM h GROUP BY 1 ORDER BY split
 """,
     }
     # grouped-payload PageRank computes the same scores through the per-node

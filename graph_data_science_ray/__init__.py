@@ -63,6 +63,7 @@ from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  similarity_jaccard, similarity_overlap,
                                  similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
+from .functions.sampling import hash_sample, hash_split, sample_sql_predicate
 from .functions import util as gds_util
 
 __all__ = [
@@ -94,6 +95,7 @@ __all__ = [
     "similarity_euclidean", "similarity_euclidean_distance",
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
+    "hash_sample", "hash_split", "sample_sql_predicate",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""Deterministic hash-based sampling and splitting over a key column.
+
+The 100 TB sampling shape: membership is a pure function of the row's key
+(``md5(key || ':' || salt)`` → u64 → range test), so a sample is
+
+  * deterministic — re-running a failed shard reproduces the same subset
+    (no RNG state to checkpoint, unlike ``Dataset.random_sample``);
+  * partition-independent — the same rows are kept at any block layout,
+    cluster size or read order;
+  * disjoint-composable — ``hash_split`` fractions carve non-overlapping
+    ranges of the same hash, so train/val/test are disjoint BY CONSTRUCTION
+    and adding a split later never reshuffles the existing ones;
+  * oracle-checkable — the hash equals DuckDB's ``md5_number_lower``
+    (little-endian u64 of md5 bytes 8..16, the same family dedup.py's md5
+    variants pin), so the exact sample reproduces in SQL.
+
+Reference analogue: the reference's config-seeded sampling surfaces
+(RandomGraphGeneratorConfig / splitRelationships seeds) give run-level
+determinism; a key-hash membership test is the Ray-Data-native equivalent
+that stays stable under distribution.
+
+Per-row md5 over the key string runs as plain map_batches tasks — the same
+per-document shape as the text kernels (text.Sha256); at 100 TB the stage is
+embarrassingly parallel and column-pruned to the key column + carried
+columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+_DENOM = 1_000_000  # fraction resolution: 1e-6
+
+
+def _key_hashes(col: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
+    """u64 md5_number_lower(str(key) || ':' || salt) per row (null key → 0,
+    which lands in the first split deterministically)."""
+    suffix = (":" + salt).encode()
+    out = np.empty(len(col), dtype=np.uint64)
+    for i, v in enumerate(col.to_pylist()):
+        b = ("" if v is None else str(v)).encode() + suffix
+        out[i] = int.from_bytes(hashlib.md5(b).digest()[8:], "little")
+    return out
+
+
+def hash_sample(ds, key_col: str, fraction: float, *, salt: str = ""):
+    """Keep rows where hash(key) mod 1e6 < fraction·1e6 — a deterministic,
+    partition-independent ~``fraction`` sample keyed on ``key_col``.
+
+    SQL-oracle equivalent (DuckDB)::
+
+        WHERE md5_number_lower(CAST(key AS VARCHAR) || ':' || salt)
+              % 1000000 < CAST(fraction * 1000000 AS BIGINT)
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = np.uint64(round(fraction * _DENOM))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _key_hashes(t.column(key_col), salt) % np.uint64(_DENOM)
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, fractions: Dict[str, float], *,
+               salt: str = "") -> Dict[str, "object"]:
+    """Disjoint named splits (e.g. {"train": .8, "val": .1, "test": .1}):
+    split ``name_k`` takes hash range [Σ_{j<k} f_j, Σ_{j≤k} f_j) · 1e6.
+    Fractions must sum to ≤ 1; each returned Dataset is an independent
+    lazy filter over ``ds`` (shared upstream, no materialization here)."""
+    fr = list(fractions.items())
+    total = sum(f for _, f in fr)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bounds = np.cumsum([0.0] + [f for _, f in fr])
+    out = {}
+    for k, (name, _) in enumerate(fr):
+        lo = np.uint64(round(bounds[k] * _DENOM))
+        hi = np.uint64(round(bounds[k + 1] * _DENOM))
+
+        def _keep(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            h = _key_hashes(t.column(key_col), salt) % np.uint64(_DENOM)
+            return t.filter(pa.array((h >= lo) & (h < hi)))
+
+        out[name] = ds.map_batches(_keep, batch_format="pyarrow")
+    return out
+
+
+def sample_sql_predicate(key_expr: str, fraction: float, *,
+                         salt: str = "") -> str:
+    """The DuckDB WHERE predicate that reproduces ``hash_sample`` exactly —
+    used by oracle_sql() and handy for pushing the sample into a SQL engine."""
+    cut = int(round(fraction * _DENOM))
+    return (f"md5_number_lower(CAST({key_expr} AS VARCHAR) || ':{salt}') "
+            f"% {_DENOM} < {cut}")

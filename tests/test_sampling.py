@@ -1,0 +1,136 @@
+"""Deterministic hash sampling / splitting (functions/sampling.py)."""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graph_data_science_ray.functions.sampling import (
+    hash_sample, hash_split, sample_sql_predicate, _key_hashes)
+
+
+def _ids_table(n=400):
+    return pa.table({"key": pa.array(np.arange(n, dtype=np.int64)),
+                     "val": pa.array(np.arange(n, dtype=np.float64) * 0.5)})
+
+
+def _ids(ds):
+    import ray
+    out = []
+    for ref in ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and t.num_columns:
+            out.extend(t.column("key").to_pylist())
+    return sorted(out)
+
+
+class TestHashSample:
+    def test_matches_duckdb_predicate(self):
+        """The exact rows DuckDB keeps under sample_sql_predicate."""
+        import duckdb
+        import ray.data
+        tab = _ids_table()
+        ds = ray.data.from_arrow(tab).repartition(7)
+        got = _ids(hash_sample(ds, "key", 0.3, salt="s1"))
+        pred = sample_sql_predicate("key", 0.3, salt="s1")
+        want = sorted(r[0] for r in duckdb.connect().execute(
+            f"SELECT key FROM tab WHERE {pred}").fetchall())
+        assert got == want
+        assert 0 < len(got) < 400
+
+    def test_partition_independent(self):
+        import ray.data
+        tab = _ids_table()
+        a = _ids(hash_sample(ray.data.from_arrow(tab), "key", 0.25))
+        b = _ids(hash_sample(ray.data.from_arrow(tab).repartition(13),
+                             "key", 0.25))
+        assert a == b
+
+    def test_string_keys_match_int_keys(self):
+        """str(key) is the hash input, so int64 and varchar columns agree."""
+        import ray.data
+        tab = _ids_table(100)
+        stab = pa.table({"key": pa.array([str(i) for i in range(100)]),
+                         "val": tab.column("val")})
+        a = [str(k) for k in _ids(hash_sample(ray.data.from_arrow(tab), "key", 0.4))]
+        b = _ids(hash_sample(ray.data.from_arrow(stab), "key", 0.4))
+        assert sorted(a) == sorted(b)
+
+    def test_fraction_bounds(self):
+        import ray.data
+        ds = ray.data.from_arrow(_ids_table(10))
+        with pytest.raises(ValueError):
+            hash_sample(ds, "key", 1.5)
+        with pytest.raises(ValueError):
+            hash_sample(ds, "key", -0.1)
+        assert _ids(hash_sample(ds, "key", 0.0)) == []
+        assert len(_ids(hash_sample(ds, "key", 1.0))) == 10
+
+    def test_null_keys_land_in_first_range(self):
+        import ray.data
+        tab = pa.table({"key": pa.array([None, None, 5], type=pa.int64())})
+        kept = hash_sample(ray.data.from_arrow(tab), "key", 0.5)
+        import ray
+        rows = sum(ray.get(r).num_rows for r in kept.to_arrow_refs())
+        # hash("") % 1e6 is fixed; nulls are all-in or all-out together
+        null_in = (_key_hashes(pa.array([None], type=pa.int64()), "")[0]
+                   % np.uint64(1_000_000)) < np.uint64(500_000)
+        assert rows in (1, 3) and (rows == 3) == bool(null_in)
+
+
+class TestHashSplit:
+    def test_disjoint_exhaustive(self):
+        import ray.data
+        tab = _ids_table(500)
+        parts = hash_split(ray.data.from_arrow(tab).repartition(5), "key",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}, salt="z")
+        ids = {k: _ids(v) for k, v in parts.items()}
+        allids = sorted(ids["train"] + ids["val"] + ids["test"])
+        assert allids == list(range(500))          # exhaustive
+        assert not (set(ids["train"]) & set(ids["val"]))
+        assert not (set(ids["train"]) & set(ids["test"]))
+        assert not (set(ids["val"]) & set(ids["test"]))
+        # roughly proportional
+        assert 300 < len(ids["train"]) < 490
+
+    def test_prefix_stability(self):
+        """Adding a later split never changes an earlier one."""
+        import ray.data
+        tab = _ids_table(300)
+        two = hash_split(ray.data.from_arrow(tab), "key",
+                         {"a": 0.5, "b": 0.25})
+        three = hash_split(ray.data.from_arrow(tab), "key",
+                           {"a": 0.5, "b": 0.25, "c": 0.25})
+        assert _ids(two["a"]) == _ids(three["a"])
+        assert _ids(two["b"]) == _ids(three["b"])
+
+    def test_fractions_over_one_raise(self):
+        import ray.data
+        ds = ray.data.from_arrow(_ids_table(10))
+        with pytest.raises(ValueError):
+            hash_split(ds, "key", {"a": 0.7, "b": 0.7})
+
+    def test_matches_duckdb_case_buckets(self):
+        import duckdb
+        import ray.data
+        tab = _ids_table(250)
+        parts = hash_split(ray.data.from_arrow(tab).repartition(3), "key",
+                           {"train": 0.6, "test": 0.4}, salt="q")
+        con = duckdb.connect()
+        h = "md5_number_lower(CAST(key AS VARCHAR) || ':q') % 1000000"
+        want_train = sorted(r[0] for r in con.execute(
+            f"SELECT key FROM tab WHERE {h} < 600000").fetchall())
+        want_test = sorted(r[0] for r in con.execute(
+            f"SELECT key FROM tab WHERE {h} >= 600000 AND {h} < 1000000"
+        ).fetchall())
+        assert _ids(parts["train"]) == want_train
+        assert _ids(parts["test"]) == want_test
+
+
+def test_key_hashes_reference():
+    """Pin the hash family: little-endian u64 of md5 bytes 8..16."""
+    got = _key_hashes(pa.array(["a", "42"]), "x")
+    for s, g in zip(["a", "42"], got):
+        want = int.from_bytes(hashlib.md5((s + ":x").encode()).digest()[8:],
+                              "little")
+        assert int(g) == want
