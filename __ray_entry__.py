@@ -1150,6 +1150,15 @@ def _q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir, ["text"]), 100)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (top-2/3-gram coverage,
+    duplicated 5-grams, duplicated lines) — exact SQL equivalents via
+    DuckDB list comprehensions."""
+    from graph_data_science_ray.functions.text import RepetitionStats
+    return _to_table(_docs(sf_dir, ["doc_id", "text"])
+                     .map_batches(RepetitionStats(), batch_format="pyarrow"))
+
+
 def _q_hash_sample_documents(sf_dir: str):
     """Deterministic key-hash sample (functions/sampling.py): membership is
     md5_number_lower(doc_id || ':s1') % 1e6 < 250000 — partition-independent,
@@ -1280,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": _q_vocab_top_terms,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -2052,6 +2062,39 @@ SELECT CASE WHEN b < 800000 THEN 'train'
             WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM h GROUP BY 1 ORDER BY split
+""",
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents),
+tot AS (SELECT doc_id, coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS tc FROM tok),
+g2 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM tok),
+c2 AS (SELECT doc_id, max(c * (len(g) - 1)) AS cov FROM (
+        SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws) - 1)]) AS g FROM tok),
+c3 AS (SELECT doc_id, max(c * (len(g) - 2)) AS cov FROM (
+        SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+g5 AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                              ws[i+3] || ' ' || ws[i+4]
+                              for i in range(1, len(ws) - 3)]) AS g FROM tok),
+c5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * (len(g) - 4) ELSE 0 END) AS cov FROM (
+        SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g) GROUP BY doc_id),
+lc AS (SELECT doc_id, l, count(*) AS c, len(l) AS ll FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+       GROUP BY doc_id, l),
+ls AS (SELECT doc_id, sum(ll * c) AS lchars,
+              sum(CASE WHEN c > 1 THEN ll * c ELSE 0 END) AS dupchars,
+              sum(c) AS nl, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupn
+       FROM lc GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(c2.cov * 1.0 / nullif(t.tc, 0), 0.0) AS top2_char_frac,
+       coalesce(c3.cov * 1.0 / nullif(t.tc, 0), 0.0) AS top3_char_frac,
+       coalesce(c5.cov * 1.0 / nullif(t.tc, 0), 0.0) AS dup5_char_frac,
+       coalesce(ls.dupchars * 1.0 / nullif(ls.lchars, 0), 0.0) AS dup_line_frac,
+       ls.dupn * 1.0 / ls.nl AS dup_line_cnt_frac
+FROM tot t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+LEFT JOIN c5 USING (doc_id) JOIN ls USING (doc_id)
 """,
     }
     # grouped-payload PageRank computes the same scores through the per-node

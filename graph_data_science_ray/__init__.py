@@ -52,7 +52,8 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
-                             LanguageId, Sha256, Fingerprint, vocab_top_terms)
+                             LanguageId, Sha256, Fingerprint, vocab_top_terms,
+                             RepetitionStats, repetition_filter)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles)
 from .functions.joins import hash_join, semi_join_filter
@@ -96,6 +97,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate",
+    "RepetitionStats", "repetition_filter",
 ]
 
 __version__ = "0.1.0"

@@ -202,3 +202,96 @@ class Fingerprint:
         texts = batch.column("text").to_pylist()
         fps = [hashlib.md5(t.strip().lower().encode()).hexdigest() for t in texts]
         return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1) — the standard pre-training
+    corpus filters for boilerplate/spam:
+
+      * ``top2_char_frac`` / ``top3_char_frac`` — fraction of token
+        characters covered by the most-covering 2-/3-gram (count × gram
+        char length, spaces excluded, max over grams — the max-of-product
+        form needs no tie-break).
+      * ``dup5_char_frac`` — fraction of token characters inside word
+        5-grams that occur more than once (counting every occurrence).
+      * ``dup_line_frac`` — fraction of line characters inside duplicated
+        lines; ``dup_line_cnt_frac`` — fraction of lines that are
+        duplicates.
+
+    Tokens are the non-empty ``lower(text).split(' ')`` terms (the same
+    family as vocab_top_terms), lines are ``split('\\n')`` — both exactly
+    SQL-expressible, so the whole operator is DuckDB-oracle-checkable
+    (see __ray_entry__.oracle_sql()["repetition_stats"]).  Per-document
+    dict work runs as a plain map_batches task stage (inherently
+    per-document, like the other text kernels); nothing shuffles.
+    """
+
+    def __init__(self):
+        self.__name__ = "repetition_stats"
+
+    @staticmethod
+    def _gram_stats(toks, n, dup):
+        """max (dup=False) or duplicated-sum (dup=True) of cnt × charlen
+        over word n-grams; charlen = sum of token lengths (no spaces)."""
+        if len(toks) < n:
+            return 0
+        counts: dict = {}
+        lens = [len(t) for t in toks]
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            e = counts.get(g)
+            if e is None:
+                counts[g] = [1, sum(lens[i:i + n])]
+            else:
+                e[0] += 1
+        if dup:
+            return sum(c * l for c, l in counts.values() if c > 1)
+        return max(c * l for c, l in counts.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        out = {k: np.zeros(n, dtype=np.float64)
+               for k in ("top2_char_frac", "top3_char_frac", "dup5_char_frac",
+                         "dup_line_frac", "dup_line_cnt_frac")}
+        for i, text in enumerate(texts):
+            toks = [w for w in text.lower().split(" ") if w]
+            tot = sum(len(w) for w in toks)
+            if tot:
+                out["top2_char_frac"][i] = self._gram_stats(toks, 2, False) / tot
+                out["top3_char_frac"][i] = self._gram_stats(toks, 3, False) / tot
+                out["dup5_char_frac"][i] = self._gram_stats(toks, 5, True) / tot
+            lines = text.split("\n")
+            lcnt: dict = {}
+            for l in lines:
+                lcnt[l] = lcnt.get(l, 0) + 1
+            lchars = sum(len(l) * c for l, c in lcnt.items())
+            if lchars:
+                out["dup_line_frac"][i] = sum(
+                    len(l) * c for l, c in lcnt.items() if c > 1) / lchars
+            out["dup_line_cnt_frac"][i] = sum(
+                c for c in lcnt.values() if c > 1) / len(lines)
+        cols = {"doc_id": batch.column("doc_id")}
+        cols.update({k: pa.array(v) for k, v in out.items()})
+        return pa.table(cols)
+
+
+def repetition_filter(docs_ds, *, max_top2=0.20, max_top3=0.18,
+                      max_dup5=0.15, max_dup_line=0.30):
+    """Keep documents passing the Gopher repetition thresholds (defaults are
+    the published cut-offs for top-2/3-gram and dup-line fractions; dup5
+    uses the 5-gram bound).  Returns the surviving (doc_id, text) rows —
+    one streaming stage, join-free: stats and filter run in the same task."""
+    stats = RepetitionStats()
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        s = stats(batch)
+        mask = (
+            (np.asarray(s.column("top2_char_frac")) <= max_top2)
+            & (np.asarray(s.column("top3_char_frac")) <= max_top3)
+            & (np.asarray(s.column("dup5_char_frac")) <= max_dup5)
+            & (np.asarray(s.column("dup_line_frac")) <= max_dup_line))
+        return batch.filter(pa.array(mask))
+
+    return docs_ds.map_batches(_keep, batch_format="pyarrow")
