@@ -1150,6 +1150,31 @@ def _q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir, ["text"]), 100)
 
 
+def _q_events_window_funcs(sf_dir: str):
+    """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
+    ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
+    bucket (functions/relational.window_functions).  lag/lead partition-edge
+    NULLs are filled with a sentinel on BOTH sides for hash-stable compare;
+    ts is emitted as epoch microseconds."""
+    from graph_data_science_ray import window_functions
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "ts", "user_id", "value"])
+    t = _to_table(window_functions(ev, partition_col="user_id",
+                                   order_col="ts", value_col="value",
+                                   tiebreak="event_id"))
+    ts_us = t.column("ts").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    lag = np.nan_to_num(t.column("lag_value").to_numpy(), nan=-999999.0)
+    lead = np.nan_to_num(t.column("lead_value").to_numpy(), nan=-999999.0)
+    return pa.table({
+        "event_id": t.column("event_id"), "user_id": t.column("user_id"),
+        "ts_us": pa.array(ts_us), "value": t.column("value"),
+        "rn": t.column("rn"), "rnk": t.column("rnk"),
+        "lag_value": pa.array(lag), "lead_value": pa.array(lead),
+        "cum_value": _round6(t.column("cum_value").to_numpy()),
+        "cum_max": t.column("cum_max")})
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals (top-2/3-gram coverage,
     duplicated 5-grams, duplicated lines) — exact SQL equivalents via
@@ -1287,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
+        "events_window_funcs": _q_events_window_funcs,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2048,6 +2074,21 @@ WITH toks AS (
   SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS cnt FROM toks WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term LIMIT 100
+""",
+        "events_window_funcs": """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         row_number() OVER win AS rn,
+         rank() OVER (PARTITION BY user_id ORDER BY ts) AS rnk,
+         coalesce(lag(value) OVER win, -999999.0) AS lag_value,
+         coalesce(lead(value) OVER win, -999999.0) AS lead_value,
+         sum(value) OVER win AS cum_value,
+         max(value) OVER win AS cum_max
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, ts_us, value, rn::BIGINT AS rn, rnk::BIGINT AS rnk,
+       lag_value, lead_value, round(cum_value, 6) AS cum_value, cum_max
+FROM w
 """,
         "hash_sample_documents": """
 SELECT doc_id, lang, n_chars FROM documents

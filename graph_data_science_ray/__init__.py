@@ -55,7 +55,7 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
                              RepetitionStats, repetition_filter)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
-                                   grouped_quantiles)
+                                   grouped_quantiles, window_functions)
 from .functions.joins import hash_join, semi_join_filter
 from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  pairwise_scores,
@@ -97,7 +97,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate",
-    "RepetitionStats", "repetition_filter",
+    "RepetitionStats", "repetition_filter", "window_functions",
 ]
 
 __version__ = "0.1.0"

@@ -384,3 +384,105 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     from ..stages.exchange import grouped_exchange
     return grouped_exchange(ds, _BUCKET, num_buckets, _quants, map_fn=_tag,
                             empty_result=empty)
+
+
+def _window_kernel(g: pa.Table, partition_col: str, order_col: str,
+                   value_col: str, tiebreak: Optional[str]) -> pa.Table:
+    """Vectorized window functions over one hash partition: one lexsort, then
+    boundary-index arithmetic for row_number/rank/lag/lead/cumsum; cummax is
+    the only per-group loop (no exact vectorized grouped-cummax exists that
+    is float-precision-safe)."""
+    gcol = g.column(partition_col)
+    if pa.types.is_integer(gcol.type):
+        garr = gcol.to_numpy(zero_copy_only=False)
+    else:
+        garr = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
+                         return_inverse=True)[1]
+    o = g.column(order_col).to_numpy(zero_copy_only=False)
+    v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    keys = [o, garr]
+    if tiebreak is not None:
+        keys.insert(0, g.column(tiebreak).to_numpy(zero_copy_only=False))
+    order = np.lexsort(tuple(keys))
+    gs, os_, vs = garr[order], o[order], v[order]
+    n = order.shape[0]
+    idx = np.arange(n)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = gs[1:] != gs[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    rn = idx - grp_start + 1
+    # SQL rank(): ties share the FIRST row number of their (order value) run
+    new_run = new_grp.copy()
+    new_run[1:] |= os_[1:] != os_[:-1]
+    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+    rnk = run_start - grp_start + 1
+    lag = np.full(n, np.nan)
+    lead = np.full(n, np.nan)
+    if n > 1:
+        cont = ~new_grp[1:]           # row i (i>=1) continues row i-1's group
+        lag[1:][cont] = vs[:-1][cont]
+        lead[:-1][cont] = vs[1:][cont]
+    cs = np.cumsum(vs)
+    cum = cs - (cs[grp_start] - vs[grp_start])
+    cmx = np.empty(n)
+    bounds = np.append(idx[new_grp], n)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        cmx[a:b] = np.maximum.accumulate(vs[a:b])
+    out = g.take(pa.array(order, type=pa.int64()))
+    for name, arr, typ in (("rn", rn, pa.int64()), ("rnk", rnk, pa.int64()),
+                           ("lag_value", lag, pa.float64()),
+                           ("lead_value", lead, pa.float64()),
+                           ("cum_value", cum, pa.float64()),
+                           ("cum_max", cmx, pa.float64())):
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out
+
+
+def window_functions(ds, *, partition_col: str, order_col: str,
+                     value_col: str, tiebreak: Optional[str] = None,
+                     num_buckets: Optional[int] = None, schema=None):
+    """SQL window functions over key partitions — the per-entity sequence
+    features an event-log pipeline derives (session ordinals, deltas,
+    running totals).  For each row, computed over
+    ``PARTITION BY partition_col ORDER BY order_col[, tiebreak]``:
+
+      * ``rn``  — row_number() (pass ``tiebreak`` for determinism)
+      * ``rnk`` — rank() over ``order_col`` alone (ties share a rank)
+      * ``lag_value`` / ``lead_value`` — value_col one row back/forward
+        (NaN at partition edges, matching SQL NULL in float compare)
+      * ``cum_value`` / ``cum_max`` — running sum / max of value_col
+
+    Shape: rows hash-route to their partition key's bucket (the known-
+    partitioner exchange — no sampled sort), then ONE lexsort per bucket
+    computes every function via boundary-index arithmetic.  Window functions
+    are inherently a full shuffle of the input (each row's result depends on
+    its whole partition); the exchange moves each row exactly once.
+    Partitioning assumption: all rows of ONE partition key fit a worker —
+    true for per-user/per-session event logs; a key with ~1e8+ rows needs a
+    range-partitioned segment-merge variant instead.
+    """
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
+
+    cols = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    cols.update({"rn": pa.int64(), "rnk": pa.int64(),
+                 "lag_value": pa.float64(), "lead_value": pa.float64(),
+                 "cum_value": pa.float64(), "cum_max": pa.float64()})
+    empty = pa.table({n: pa.array([], t) for n, t in cols.items()})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = _col_bucket_values(t.column(partition_col), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        return _window_kernel(g.drop_columns([_BUCKET]), partition_col,
+                              order_col, value_col, tiebreak)
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
+                            empty_result=empty)
