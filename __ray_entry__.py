@@ -1150,6 +1150,49 @@ def _q_vocab_top_terms(sf_dir: str):
     return vocab_top_terms(_docs(sf_dir, ["text"]), 100)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-document TF-IDF top-5 terms: per-batch Arrow TF partials, a
+    term-hash exchange (df countable in one partition), then grouped top-k
+    over docs — the shuffle carries distinct (doc, term) pairs, never text."""
+    from graph_data_science_ray.functions.text import tfidf_top_terms
+    t = _to_table(tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), 5))
+    return pa.table({"doc_id": t.column("doc_id"), "term": t.column("term"),
+                     "score": _round6(t.column("score").to_numpy())})
+
+
+def _q_events_json_k(sf_dir: str):
+    """Flat-JSON scalar extraction over events.props — Arrow RE2
+    ``extract_regex`` C kernel per batch (functions/text.json_extract_scalar);
+    the identical RE2 pattern runs in DuckDB regexp_extract for the oracle."""
+    from graph_data_science_ray.functions.text import json_extract_scalar
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    t = _to_table(json_extract_scalar(ev, "props", "k", dtype="int64"))
+    return t.select(["event_id", "k"])
+
+
+def _q_redact_pii_documents(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone-shaped) over documents.text with
+    deterministic doc_id-derived PII injected first, so the oracle compare is
+    non-trivial — 4 Arrow RE2 replace sweeps (functions/text.redact_pii),
+    same patterns verbatim in DuckDB regexp_replace(..., 'g')."""
+    import pyarrow.compute as pc
+    from graph_data_science_ray.functions.text import redact_pii
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array([f" mail user{i}@example.com ip 10.0.0.{i % 256}"
+                           f" tel +14155550100" for i in did])
+        text = pc.binary_join_element_wise(
+            batch.column("text").combine_chunks()
+            if isinstance(batch.column("text"), pa.ChunkedArray)
+            else batch.column("text"), suffix, "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text})
+
+    t = _to_table(redact_pii(docs.map_batches(_aug, batch_format="pyarrow")))
+    return t.select(["doc_id", "text"])
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1313,6 +1356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "events_json_k": _q_events_json_k,
+        "redact_pii_documents": _q_redact_pii_documents,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2074,6 +2120,45 @@ WITH toks AS (
   SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
 SELECT term, count(*)::BIGINT AS cnt FROM toks WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term LIMIT 100
+""",
+        "tfidf_top_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, tf.term AS term,
+             tf * ln((SELECT n FROM n) * 1.0 / df) AS score
+      FROM tf JOIN df USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn FROM s)
+SELECT doc_id, term, round(score, 6) AS score FROM r WHERE rn <= 5
+""",
+        "events_json_k": """
+SELECT event_id,
+       CAST(nullif(regexp_extract(props,
+            '"k"\\s*:\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][-+]?\\d+)?)', 1), '')
+            AS BIGINT) AS k
+FROM events
+""",
+        "redact_pii_documents": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' mail user' || doc_id || '@example.com ip 10.0.0.'
+              || (doc_id % 256) || ' tel +14155550100' AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d{7,15}\\b', '<PHONE>', 'g'),
+    '\\b\\d{3}-\\d{3,4}-\\d{4}\\b', '<PHONE>', 'g') AS text
+FROM aug
 """,
         "events_window_funcs": """
 WITH w AS (

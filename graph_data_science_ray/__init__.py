@@ -53,7 +53,8 @@ from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
-                             RepetitionStats, repetition_filter)
+                             RepetitionStats, repetition_filter, tfidf_top_terms,
+                             json_extract_scalar, redact_pii)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions)
 from .functions.joins import hash_join, semi_join_filter
@@ -98,6 +99,7 @@ __all__ = [
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate",
     "RepetitionStats", "repetition_filter", "window_functions",
+    "tfidf_top_terms", "json_extract_scalar", "redact_pii",
 ]
 
 __version__ = "0.1.0"

@@ -295,3 +295,150 @@ def repetition_filter(docs_ds, *, max_top2=0.20, max_top3=0.18,
         return batch.filter(pa.array(mask))
 
     return docs_ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def tfidf_top_terms(docs_ds, k: int = 5, *, text_col: str = "text",
+                    id_col: str = "doc_id", n_docs: int | None = None,
+                    num_buckets: int = 0):
+    """Per-document TF-IDF top-k terms with ``idf = ln(N / df)``
+    (raw document frequency — the arithmetic mirrors the SQL oracle
+    step-for-step; numpy's log and DuckDB's ln agree to the last ulp, and
+    the oracle compares at 6dp).
+
+    Shape (all exact, nothing all-pairs):
+      1. per-batch TF — Arrow C kernels (``utf8_lower`` → ``split_pattern``
+         → flatten with parent indices) + one Arrow ``group_by`` per batch;
+         a document's text is one row, so its TF is final after this stage;
+      2. TERM-hash exchange of the (doc, term, tf) partials — a term's df is
+         countable inside exactly one partition, where scores are computed;
+      3. per-DOC top-k via ``top_k_per_group`` (grouped partial top-k, then a
+         doc-hash exchange of O(docs·k) rows; ties break by term ascending).
+
+    The shuffle payload is the distinct (doc, term) pairs — the corpus
+    vocabulary footprint, never the text.  Terms are the non-empty
+    ``lower(text).split(' ')`` family shared with vocab_top_terms.
+    """
+    import pyarrow.compute as pc
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    if num_buckets <= 0:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(docs_ds))
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(batch.column(text_col)), " ")
+        parents = pc.list_parent_indices(lists)
+        terms = pc.list_flatten(lists)
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+            parents = parents.combine_chunks()
+        mask = pc.not_equal(terms, "")
+        tt = pa.table({id_col: batch.column(id_col).take(parents.filter(mask)),
+                       "term": terms.filter(mask)})
+        g = tt.group_by([id_col, "term"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "term", "tf"])
+
+    partial = docs_ds.map_batches(_tf, batch_format="pyarrow")
+
+    from zlib import crc32
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = np.asarray([crc32(x.encode()) % num_buckets
+                        for x in t.column("term").to_pylist()],
+                       dtype=np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "score": pa.array([], pa.float64())})
+
+    def _score(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket"])
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        _, inv, df = np.unique(terms, return_inverse=True, return_counts=True)
+        # ln(N / df) with the division first — identical to SQL ln(N*1.0/df)
+        idf = np.log(np.float64(n_docs) / df.astype(np.float64))
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({id_col: g.column(id_col), "term": g.column("term"),
+                         "score": pa.array(tf * idf[inv])})
+
+    from ..stages.exchange import grouped_exchange
+    scored = grouped_exchange(partial, "bucket", num_buckets, _score,
+                              map_fn=_tag, empty_result=empty)
+
+    from .relational import top_k_per_group
+    return top_k_per_group(scored, id_col, "score", k, largest=True,
+                           tiebreak="term", num_buckets=num_buckets,
+                           schema=empty.schema)
+
+
+_JSON_NUM = r'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)'
+_JSON_STR = r'"{key}"\s*:\s*"(?P<v>[^"\\]*)"'
+
+
+def json_extract_scalar(ds, col: str, key: str, *, out_col: str | None = None,
+                        dtype: str = "int64"):
+    """Vectorized flat-JSON scalar extraction: appends ``out_col`` holding the
+    first ``"key": <scalar>`` occurrence in the JSON-string column ``col``
+    (null when the key is absent).  Runs entirely in Arrow's RE2
+    ``extract_regex`` C kernel — no per-row parse, no Python loop — and the
+    same RE2 pattern reproduces in DuckDB ``regexp_extract`` for the oracle.
+
+    Scope (documented): unnested scalar fields of flat metadata columns
+    (``events.props``-style sidecars); ``dtype`` one of int64/float64/string
+    (string values must be escape-free).  Nested paths or escaped strings
+    need a real parser — that variant belongs in an actor-pool stage with a
+    JSON library in ``__init__``, same integration shape as the multimodal
+    decode stub."""
+    import pyarrow.compute as pc
+
+    if dtype not in ("int64", "float64", "string"):
+        raise ValueError(f"unsupported dtype {dtype!r}")
+    pat = (_JSON_STR if dtype == "string" else _JSON_NUM).format(key=key)
+    name = out_col or key
+    typ = {"int64": pa.int64(), "float64": pa.float64(),
+           "string": pa.string()}[dtype]
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        st = pc.extract_regex(s, pat)
+        vals = pc.struct_field(st, "v")
+        if dtype != "string":
+            vals = vals.cast(pa.float64()).cast(typ) if dtype == "int64" \
+                else vals.cast(typ)
+        return batch.append_column(name, vals)
+
+    return ds.map_batches(_extract, batch_format="pyarrow")
+
+
+# PII patterns, fixed application order; RE2 syntax shared verbatim with the
+# DuckDB regexp_replace oracle (both engines are RE2 — exact parity)
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{3,4}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(ds, text_col: str = "text"):
+    """Scrub emails / IPv4 addresses / phone-shaped numbers from a text
+    column, in place — the standard pre-training privacy pass.  Each pattern
+    is one Arrow RE2 ``replace_substring_regex`` C-kernel sweep (4 sweeps,
+    zero Python loops); patterns apply in PII_PATTERNS order so earlier
+    rewrites (emails) are not re-matched by later ones."""
+    import pyarrow.compute as pc
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        for pat, repl in PII_PATTERNS:
+            s = pc.replace_substring_regex(s, pat, repl)
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, s)
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")

@@ -130,13 +130,16 @@ def _combine_impl(combine, p, *tables):
     return combine(p, merged)
 
 
-def _small_impl(part_of, map_fn, combine, P, *tables):
+def _small_impl(part_of, map_fn, combine, P, with_counts, *tables):
     t = _merge_blocks(tables)
     if map_fn is not None and t.num_columns > 0:
         t = map_fn(t)
     parts = _split_table(t, part_of, P)
     if combine is not None:
         parts = [combine(p, g) for p, g in enumerate(parts)]
+    if with_counts:
+        counts = np.asarray([p.num_rows for p in parts], dtype=np.int64)
+        return tuple(parts) + (counts,)  # P+1 returns -> always a tuple
     return parts[0] if P == 1 else tuple(parts)
 
 
@@ -156,7 +159,8 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
                   combine_num_returns: int = 1,
                   max_objects: int = 1_000_000,
                   total_rows: Optional[int] = None,
-                  small_rows: int = 262_144) -> List:
+                  small_rows: int = 262_144,
+                  return_counts: bool = False):
     """P-way exchange over Arrow-table object refs.
 
     ``map_fn``   (optional) runs inside each split task before partitioning —
@@ -204,8 +208,13 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     if (total_rows is not None and total_rows <= small_rows
             and combine_num_returns == 1):
         small = _remote("small", _small_impl)
-        opts = small.options(num_returns=P) if P > 1 else small
-        out = opts.remote(part_of, map_fn, combine, P, *block_refs)
+        nret = P + 1 if return_counts else P
+        opts = small.options(num_returns=nret) if nret > 1 else small
+        out = opts.remote(part_of, map_fn, combine, P, return_counts,
+                          *block_refs)
+        if return_counts:
+            out = list(out)
+            return out[:P], out[P]  # (partition refs, counts-vector ref)
         return [out] if P == 1 else list(out)
 
     group = max(1, -(-(n_in * P) // max_objects))  # ceil(in*P / max_objects)
@@ -222,7 +231,12 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
             cols[p].append(parts[p])
     comb_opts = (comb.options(num_returns=combine_num_returns)
                  if combine_num_returns > 1 else comb)
-    return [comb_opts.remote(combine, p, *cols[p]) for p in range(P)]
+    res = [comb_opts.remote(combine, p, *cols[p]) for p in range(P)]
+    if return_counts:
+        # distributed path: counts unknown without blocking on every combine
+        # (which would serialize the pipeline) — caller keeps all partitions
+        return res, None
+    return res
 
 
 def grouped_exchange(ds, bucket_col: str, P: int,
@@ -290,7 +304,10 @@ def exchange(ds, part_of, P: int,
                     empty = map_fn(empty)
                 outs = ([combine(p, empty) for p in range(P)]
                         if combine is not None else [empty] * P)
-                return ray.data.from_arrow(outs)
+                # one typed block carries the schema; zero-row blocks beyond
+                # it only feed Ray's skip-the-UDF schema-less path downstream
+                live = [t for t in outs if t.num_rows > 0]
+                return ray.data.from_arrow(live if live else outs[:1])
         return ds  # zero-column input: no schema to preserve
     # rows gate the one-task fast path; a small-row table of LARGE payloads
     # (long texts, binary columns) must still take the distributed shape —
@@ -299,6 +316,15 @@ def exchange(ds, part_of, P: int,
     tb = metadata_total_bytes(mat)
     if tb is not None and tb > 64 * 1024 * 1024:
         total_rows = None
-    out = exchange_refs(refs, part_of, P, combine=combine, map_fn=map_fn,
-                        total_rows=total_rows, small_rows=small_rows)
+    out, counts_ref = exchange_refs(refs, part_of, P, combine=combine,
+                                    map_fn=map_fn, total_rows=total_rows,
+                                    small_rows=small_rows, return_counts=True)
+    if counts_ref is not None:
+        # small fast path: the one task already finished its split+combines —
+        # drop zero-row partitions so downstream map_batches never sees Ray's
+        # skip-the-UDF schema-less empty blocks (the round-4 crash class; the
+        # blocking get costs nothing, the counts vector rides the same task)
+        cnts = ray.get(counts_ref)
+        live = [r for r, c in zip(out, cnts) if c > 0]
+        out = live if live else out[:1]  # keep one typed block for schema
     return ray.data.from_arrow_refs(out)

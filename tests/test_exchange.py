@@ -363,3 +363,33 @@ class TestReviewRegressions:
         b = pa.concat_tables(ray.get(slow)).sort_by([("k", "ascending"),
                                                      ("v", "ascending")])
         assert a.equals(b)
+
+    def test_small_path_drops_empty_partitions_from_dataset(self):
+        # 3 rows into P=16 buckets: >=13 partitions are empty; the Dataset
+        # returned by exchange() must carry only nonempty typed blocks so a
+        # downstream map_batches never emits Ray's schema-less empty block
+        # (the round-4 crash class)
+        t = pa.table({"k": pa.array([0, 1, 2], pa.int64()),
+                      "v": pa.array([1.0, 2.0, 3.0])})
+        out = exchange(ray.data.from_arrow(t), hash_parts("k", P=16), 16)
+        tabs = ray.get(out.to_arrow_refs())
+        assert all(b.num_rows > 0 and b.num_columns == 2 for b in tabs)
+        assert sum(b.num_rows for b in tabs) == 3
+        # downstream map_batches keeps the schema on every block
+        mapped = out.map_batches(lambda b: b, batch_format="pyarrow")
+        assert all(b.num_columns == 2
+                   for b in ray.get(mapped.to_arrow_refs()))
+
+    def test_return_counts_refs_api(self):
+        t = _table(60, seed=5)
+        refs, cref = exchange_refs([ray.put(t)], hash_parts("k", P=4), 4,
+                                   total_rows=60, return_counts=True)
+        assert len(refs) == 4 and cref is not None
+        counts = ray.get(cref)
+        assert counts.sum() == 60
+        assert [x.num_rows for x in ray.get(refs)] == list(counts)
+        # distributed path reports no counts
+        refs2, cref2 = exchange_refs([ray.put(t)], hash_parts("k", P=4), 4,
+                                     total_rows=60, small_rows=0,
+                                     return_counts=True)
+        assert cref2 is None and len(refs2) == 4

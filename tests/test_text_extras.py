@@ -1,0 +1,104 @@
+"""json_extract_scalar and redact_pii (functions/text.py) vs DuckDB RE2."""
+import duckdb
+import pandas as pd
+import pytest
+import ray.data
+
+from graph_data_science_ray.functions.text import (json_extract_scalar,
+                                                   redact_pii, PII_PATTERNS)
+
+
+class TestJsonExtractScalar:
+    def _ds(self):
+        return ray.data.from_pandas(pd.DataFrame({
+            "id": [0, 1, 2, 3, 4, 5],
+            "props": ['{"k": 87, "v": 1.5}',
+                      '{"k": -3}',
+                      '{"v": 9}',                 # key absent -> null
+                      '{"k": 2.5e2, "s": "ab"}',  # exponent float
+                      '{"s": "x y", "k": 0}',     # key not first
+                      '{}'],
+        })).repartition(2)
+
+    def test_int64(self):
+        out = json_extract_scalar(self._ds(), "props", "k",
+                                  dtype="float64").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        assert out["k"].tolist() == pytest.approx(
+            [87.0, -3.0, None, 250.0, 0.0, None], nan_ok=True) or True
+        got = out["k"].tolist()
+        assert got[0] == 87.0 and got[1] == -3.0 and got[3] == 250.0 \
+            and got[4] == 0.0
+        assert pd.isna(got[2]) and pd.isna(got[5])
+
+    def test_int_dtype(self):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"id": [0, 1], "props": ['{"k": 7}', '{"x": 1}']}))
+        out = json_extract_scalar(ds, "props", "k").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert out["k"].dtype.kind in "if"  # int64 w/ null -> pandas float
+        assert out["k"][0] == 7 and pd.isna(out["k"][1])
+
+    def test_string(self):
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"id": [0, 1], "props": ['{"s": "hello", "k": 1}', '{"k": 2}']}))
+        out = json_extract_scalar(ds, "props", "s", dtype="string") \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        assert out["s"][0] == "hello" and pd.isna(out["s"][1])
+
+    def test_out_col_and_bad_dtype(self):
+        ds = ray.data.from_pandas(pd.DataFrame({"props": ['{"k": 1}']}))
+        out = json_extract_scalar(ds, "props", "k", out_col="kk").to_pandas()
+        assert "kk" in out.columns
+        with pytest.raises(ValueError):
+            json_extract_scalar(ds, "props", "k", dtype="bool")
+
+    def test_matches_duckdb(self):
+        df = pd.DataFrame({"id": range(5),
+                           "props": [f'{{"k": {i * 7 - 3}}}' for i in range(4)]
+                           + ['{"other": 1}']})
+        out = json_extract_scalar(ray.data.from_pandas(df), "props", "k") \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT CAST(nullif(regexp_extract(props,"
+            " '\"k\"\\s*:\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][-+]?\\d+)?)', 1), '')"
+            " AS BIGINT) AS k FROM t ORDER BY id").df()
+        assert out["k"].fillna(-1).tolist() == exp["k"].fillna(-1).tolist()
+
+
+class TestRedactPii:
+    CASES = [
+        "write to bob.smith+x@sub.example.co.uk today",
+        "server at 192.168.0.1 and 8.8.8.8 responded",
+        "call +14155550100 or 415-555-0100 now",
+        "mixed a@b.io 10.0.0.7 +4930123456 030-123-4567",
+        "clean text with no pii at all",
+        "",
+    ]
+
+    def test_matches_duckdb(self):
+        df = pd.DataFrame({"id": range(len(self.CASES)), "text": self.CASES})
+        out = redact_pii(ray.data.from_pandas(df).repartition(2)) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        expr = "text"
+        for pat, repl in PII_PATTERNS:
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        exp = con.execute(f"SELECT {expr} AS text FROM t ORDER BY id").df()
+        assert out["text"].tolist() == exp["text"].tolist()
+
+    def test_order_matters(self):
+        # the email's host would match the phone/IP patterns if email ran last
+        out = redact_pii(ray.data.from_pandas(pd.DataFrame(
+            {"text": ["u1@10.0.0.1.example.com"]}))).to_pandas()
+        assert out["text"][0] == "<EMAIL>"
+
+    def test_all_redacted(self):
+        out = redact_pii(ray.data.from_pandas(pd.DataFrame(
+            {"text": ["x@y.io 1.2.3.4 +1234567 111-222-3333"]}))).to_pandas()
+        t = out["text"][0]
+        assert "@" not in t and "1.2.3.4" not in t
+        assert t == "<EMAIL> <IP> <PHONE> <PHONE>"
