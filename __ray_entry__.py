@@ -1193,6 +1193,16 @@ def _q_redact_pii_documents(sf_dir: str):
     return t.select(["doc_id", "text"])
 
 
+def _q_pack_documents(sf_dir: str):
+    """Concat-and-chunk sequence packing (functions/packing.pack_documents):
+    a two-phase distributed prefix sum (range exchange on doc_id, per-
+    partition local scan + total, driver exclusive-scans P ints) assigns
+    each document the pack containing its first token at budget=512."""
+    from graph_data_science_ray.functions.packing import pack_documents
+    t = _to_table(pack_documents(_docs(sf_dir, ["doc_id", "text"]), 512))
+    return t.select(["doc_id", "n_tokens", "prefix", "pack_id"])
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1359,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "events_json_k": _q_events_json_k,
         "redact_pii_documents": _q_redact_pii_documents,
+        "pack_documents": _q_pack_documents,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2159,6 +2170,19 @@ SELECT doc_id,
       '\\+\\d{7,15}\\b', '<PHONE>', 'g'),
     '\\b\\d{3}-\\d{3,4}-\\d{4}\\b', '<PHONE>', 'g') AS text
 FROM aug
+""",
+        "pack_documents": """
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS prefix
+  FROM tok)
+SELECT doc_id, n_tokens, prefix, prefix // 512 AS pack_id FROM p
 """,
         "events_window_funcs": """
 WITH w AS (

@@ -58,6 +58,7 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions)
 from .functions.joins import hash_join, semi_join_filter
+from .functions.packing import global_prefix_sum, pack_documents
 from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  pairwise_scores,
                                  similarity_cosine, similarity_euclidean,
@@ -100,6 +101,7 @@ __all__ = [
     "hash_sample", "hash_split", "sample_sql_predicate",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
+    "global_prefix_sum", "pack_documents",
 ]
 
 __version__ = "0.1.0"
