@@ -1203,6 +1203,37 @@ def _q_pack_documents(sf_dir: str):
     return t.select(["doc_id", "n_tokens", "prefix", "pack_id"])
 
 
+def _q_ngram_jaccard_consecutive(sf_dir: str):
+    """Exact word-3-gram Jaccard between each doc and its doc_id+1 neighbor:
+    the pairs come from the partitioned hash_join (each doc emits an "a" row
+    keyed doc_id and a "b" row keyed doc_id-1), scores from the streaming
+    add_ngram_jaccard stage (functions/dedup.py) — the dedup family's verify
+    metric as a first-class oracle-checked operator."""
+    import pyarrow.compute as pc
+    from graph_data_science_ray.functions.dedup import add_ngram_jaccard
+    from graph_data_science_ray.functions.joins import hash_join
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _a(t: pa.Table) -> pa.Table:
+        return pa.table({"pid": t.column("doc_id"),
+                         "text_a": t.column("text")})
+
+    def _b(t: pa.Table) -> pa.Table:
+        return pa.table({"pid": pc.subtract(t.column("doc_id"), 1),
+                         "text_b": t.column("text")})
+
+    sa = pa.schema([("pid", pa.int64()), ("text_a", pa.string())])
+    sb = pa.schema([("pid", pa.int64()), ("text_b", pa.string())])
+    joined = hash_join(docs.map_batches(_a, batch_format="pyarrow"),
+                       docs.map_batches(_b, batch_format="pyarrow"),
+                       "pid", left_schema=sa, right_schema=sb)
+    t = _to_table(add_ngram_jaccard(joined))
+    return pa.table({"doc_id": t.column("pid"),
+                     "jaccard": pa.array(_round6(
+                         t.column("jaccard").to_numpy(zero_copy_only=False)),
+                         pa.float64())})
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1370,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": _q_events_json_k,
         "redact_pii_documents": _q_redact_pii_documents,
         "pack_documents": _q_pack_documents,
+        "ngram_jaccard_consecutive": _q_ngram_jaccard_consecutive,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2183,6 +2215,34 @@ p AS (
            AS prefix
   FROM tok)
 SELECT doc_id, n_tokens, prefix, prefix // 512 AS pack_id FROM p
+""",
+        "ngram_jaccard_consecutive": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]
+              WHEN array_to_string(ws, ' ') <> ''
+                THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shl
+  FROM w),
+shingles AS (SELECT DISTINCT doc_id, unnest(shl) AS sh FROM sh0),
+cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_id, count(*) AS i
+  FROM shingles a
+  JOIN shingles b ON b.doc_id = a.doc_id + 1 AND b.sh = a.sh
+  GROUP BY 1)
+SELECT ca.doc_id,
+       CASE WHEN ca.n + cb.n = 0 THEN 1.0
+            ELSE round(coalesce(i, 0)::DOUBLE
+                       / (ca.n + cb.n - coalesce(i, 0)), 6) END AS jaccard
+FROM cnt ca
+JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+LEFT JOIN inter ON inter.doc_id = ca.doc_id
 """,
         "events_window_funcs": """
 WITH w AS (

@@ -133,6 +133,26 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def add_ngram_jaccard(pairs_ds, a_col: str = "text_a", b_col: str = "text_b",
+                      *, k: int = 3, out_col: str = "jaccard"):
+    """Exact word-k-gram Jaccard for each (text_a, text_b) row of a pairs
+    Dataset — the dedup family's verify metric as a standalone streaming
+    stage (pair it with hash_join to score arbitrary candidate pairs).
+    Per-document shingling is inherently per-row (same convention as the
+    MinHash/SimHash kernels); texts with < k tokens use the whole joined
+    text as their one shingle, and two empty texts score 1.0 —
+    both semantics mirrored in the SQL oracle."""
+
+    def _score(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_pylist()
+        b = batch.column(b_col).to_pylist()
+        v = np.fromiter((exact_jaccard(x, y, k) for x, y in zip(a, b)),
+                        dtype=np.float64, count=len(a))
+        return batch.append_column(out_col, pa.array(v))
+
+    return pairs_ds.map_batches(_score, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit simhash over token hashes; near-dup = hamming distance ≤ t.
 

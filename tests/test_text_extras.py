@@ -1,5 +1,6 @@
 """json_extract_scalar and redact_pii (functions/text.py) vs DuckDB RE2."""
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 import ray.data
@@ -102,3 +103,35 @@ class TestRedactPii:
         t = out["text"][0]
         assert "@" not in t and "1.2.3.4" not in t
         assert t == "<EMAIL> <IP> <PHONE> <PHONE>"
+
+
+class TestAddNgramJaccard:
+    def test_matches_exact_jaccard(self):
+        from graph_data_science_ray.functions.dedup import (add_ngram_jaccard,
+                                                            exact_jaccard)
+        rng = np.random.default_rng(7)
+        words = ["a", "bb", "ccc", "dd", "e"]
+        ta = [" ".join(rng.choice(words, rng.integers(1, 20)))
+              for _ in range(40)]
+        tb = [" ".join(rng.choice(words, rng.integers(1, 20)))
+              for _ in range(40)]
+        df = pd.DataFrame({"id": range(40), "text_a": ta, "text_b": tb})
+        out = (add_ngram_jaccard(ray.data.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = [exact_jaccard(a, b) for a, b in zip(ta, tb)]
+        assert out["jaccard"].tolist() == pytest.approx(exp)
+
+    def test_short_and_identical_texts(self):
+        from graph_data_science_ray.functions.dedup import add_ngram_jaccard
+        df = pd.DataFrame({"text_a": ["x y", "p q r s", ""],
+                           "text_b": ["x y", "p q r s", ""]})
+        out = add_ngram_jaccard(ray.data.from_pandas(df)).to_pandas()
+        # <k tokens -> whole text is the single shingle; both empty -> 1.0
+        assert out["jaccard"].tolist() == [1.0, 1.0, 1.0]
+
+    def test_k_param(self):
+        from graph_data_science_ray.functions.dedup import add_ngram_jaccard
+        df = pd.DataFrame({"text_a": ["a b c d"], "text_b": ["b c d e"]})
+        out2 = add_ngram_jaccard(ray.data.from_pandas(df), k=2).to_pandas()
+        # 2-grams: {ab,bc,cd} vs {bc,cd,de} -> 2/4
+        assert out2["jaccard"][0] == pytest.approx(0.5)
