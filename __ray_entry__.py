@@ -1234,6 +1234,31 @@ def _q_ngram_jaccard_consecutive(sf_dir: str):
                          pa.float64())})
 
 
+def _q_ngram_contamination(sf_dir: str):
+    """Benchmark decontamination (functions/dedup.ngram_contamination):
+    every 50th document plays the benchmark; its shingle set is broadcast
+    once (ray.put, loaded per actor in __init__) and each document reports
+    the fraction of its distinct 3-gram shingles that hit the probe set —
+    the documents side streams, never shuffles."""
+    import pyarrow.compute as pc
+    from graph_data_science_ray.functions.dedup import ngram_contamination
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _every_50th(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        return t.filter(pc.equal(
+            pc.subtract(did, pc.multiply(pc.divide(did, 50), 50)), 0))
+
+    probe = docs.map_batches(_every_50th, batch_format="pyarrow")
+    t = _to_table(ngram_contamination(docs, probe))
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "n_shingles": t.column("n_shingles"),
+                     "n_hit": t.column("n_hit"),
+                     "frac": pa.array(_round6(
+                         t.column("frac").to_numpy(zero_copy_only=False)),
+                         pa.float64())})
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1402,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": _q_redact_pii_documents,
         "pack_documents": _q_pack_documents,
         "ngram_jaccard_consecutive": _q_ngram_jaccard_consecutive,
+        "ngram_contamination": _q_ngram_contamination,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2243,6 +2269,28 @@ SELECT ca.doc_id,
 FROM cnt ca
 JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
 LEFT JOIN inter ON inter.doc_id = ca.doc_id
+""",
+        "ngram_contamination": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]
+              WHEN array_to_string(ws, ' ') <> ''
+                THEN [array_to_string(ws, ' ')]
+              ELSE [] END AS shl
+  FROM w),
+shingles AS (SELECT DISTINCT doc_id, unnest(shl) AS sh FROM sh0),
+probe AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 50 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN sh IN (SELECT sh FROM probe) THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN sh IN (SELECT sh FROM probe) THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS frac
+FROM shingles GROUP BY doc_id
 """,
         "events_window_funcs": """
 WITH w AS (

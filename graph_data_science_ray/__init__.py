@@ -48,7 +48,8 @@ from .state.store import GraphStore as TypedGraphStore
 from .functions.dedup import (exact_dedup, minhash_near_dups,
                               minhash_md5_near_dups, simhash_table,
                               simhash_near_dups, embedding_dup_pairs,
-                              embedding_dup_pairs_lsh, add_ngram_jaccard)
+                              embedding_dup_pairs_lsh, add_ngram_jaccard,
+                              ngram_contamination)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
@@ -102,6 +103,7 @@ __all__ = [
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",
+    "ngram_contamination",
 ]
 
 __version__ = "0.1.0"

@@ -153,6 +153,64 @@ def add_ngram_jaccard(pairs_ds, a_col: str = "text_a", b_col: str = "text_b",
     return pairs_ds.map_batches(_score, batch_format="pyarrow")
 
 
+def ngram_contamination(docs_ds, probe_texts, *, k: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination scan: for every document, the fraction of
+    its distinct word-k-gram shingles that appear in the probe (benchmark)
+    corpus.  The probe side is SMALL by definition (a benchmark suite), so it
+    is broadcast once — a frozen set of shingle STRINGS in the object store
+    (``ray.put``), loaded once per actor in ``__init__`` — and membership is
+    tested inside the streaming batch stage; the documents side never
+    shuffles.  String (not hashed) membership keeps the result exactly equal
+    to the SQL set-join oracle.  Documents with zero shingles (empty text)
+    are dropped, mirroring the oracle's group-by.
+
+    ``probe_texts``: list of strings, or a Dataset with ``text_col``.
+    Returns (id_col, n_shingles, n_hit, frac), distributed.
+    """
+    import ray
+
+    if hasattr(probe_texts, "iter_batches"):  # Dataset probe side
+        texts = []
+        for b in probe_texts.select_columns([text_col]).iter_batches(
+                batch_format="pyarrow", batch_size=4096):
+            texts.extend(b.column(text_col).to_pylist())
+        probe_texts = texts
+    probe = set()
+    for t in probe_texts:
+        probe |= _token_shingles(t, k)
+    probe_ref = ray.put(frozenset(probe))
+
+    class _Scorer:
+        def __init__(self):
+            self.probe = ray.get(probe_ref)  # once per actor
+            self.__name__ = "ngram_contamination"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            out_id, n_sh, n_hit = [], [], []
+            for i, t in zip(ids, texts):
+                sh = _token_shingles(t, k)
+                if not sh:
+                    continue
+                out_id.append(int(i))
+                n_sh.append(len(sh))
+                n_hit.append(len(sh & self.probe))
+            n = np.asarray(n_sh, dtype=np.int64)
+            h = np.asarray(n_hit, dtype=np.int64)
+            frac = np.divide(h, n, out=np.zeros_like(h, dtype=np.float64),
+                             where=n > 0)
+            return pa.table({id_col: pa.array(
+                                 np.asarray(out_id, dtype=np.int64)),
+                             "n_shingles": pa.array(n),
+                             "n_hit": pa.array(h),
+                             "frac": pa.array(frac)})
+
+    return docs_ds.map_batches(_Scorer, batch_format="pyarrow",
+                               concurrency=(1, 8))
+
+
 class SimHasher:
     """64-bit simhash over token hashes; near-dup = hamming distance ≤ t.
 

@@ -135,3 +135,31 @@ class TestAddNgramJaccard:
         out2 = add_ngram_jaccard(ray.data.from_pandas(df), k=2).to_pandas()
         # 2-grams: {ab,bc,cd} vs {bc,cd,de} -> 2/4
         assert out2["jaccard"][0] == pytest.approx(0.5)
+
+
+class TestNgramContamination:
+    def test_exact_fractions(self):
+        from graph_data_science_ray.functions.dedup import ngram_contamination
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d e",        # shingles abc bcd cde
+                     "a b c x y",        # abc bcx cxy -> 1/3 hit vs probe
+                     "q r s t",          # none
+                     ""]})               # zero shingles -> dropped
+        probe = ["a b c d"]              # probe shingles: abc bcd
+        out = (ngram_contamination(ray.data.from_pandas(docs), probe)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [0, 1, 2]
+        assert out["n_shingles"].tolist() == [3, 3, 2]
+        assert out["n_hit"].tolist() == [2, 1, 0]
+        assert out["frac"].tolist() == pytest.approx([2 / 3, 1 / 3, 0.0])
+
+    def test_dataset_probe_side(self):
+        from graph_data_science_ray.functions.dedup import ngram_contamination
+        docs = pd.DataFrame({"doc_id": [0, 1],
+                             "text": ["u v w x", "m n o p"]})
+        probe_ds = ray.data.from_pandas(
+            pd.DataFrame({"text": ["u v w"]})).repartition(2)
+        out = (ngram_contamination(ray.data.from_pandas(docs), probe_ds)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_hit"].tolist() == [1, 0]
