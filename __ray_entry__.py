@@ -1259,6 +1259,16 @@ def _q_ngram_contamination(sf_dir: str):
                          pa.float64())})
 
 
+def _q_upsample_mixture(sf_dir: str):
+    """Deterministic training-mixture weighting (sampling.upsample_by_weight):
+    en ×3, zh ×2, es ×0 (dropped), others ×1, each replica tagged with its
+    epoch index — pure per-batch replication, no shuffle."""
+    from graph_data_science_ray.functions.sampling import upsample_by_weight
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = upsample_by_weight(docs, "lang", {"en": 3, "zh": 2, "es": 0})
+    return _to_table(out).select(["doc_id", "lang", "epoch"])
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1428,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "ngram_jaccard_consecutive": _q_ngram_jaccard_consecutive,
         "ngram_contamination": _q_ngram_contamination,
+        "upsample_mixture": _q_upsample_mixture,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2291,6 +2302,15 @@ SELECT doc_id, count(*)::BIGINT AS n_shingles,
        round(sum(CASE WHEN sh IN (SELECT sh FROM probe) THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS frac
 FROM shingles GROUP BY doc_id
+""",
+        "upsample_mixture": """
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2 WHEN 'es' THEN 0
+              ELSE 1 END AS rep
+  FROM documents)
+SELECT doc_id, lang, unnest(range(rep))::BIGINT AS epoch
+FROM r WHERE rep > 0
 """,
         "events_window_funcs": """
 WITH w AS (

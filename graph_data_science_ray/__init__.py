@@ -67,7 +67,8 @@ from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  similarity_jaccard, similarity_overlap,
                                  similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
-from .functions.sampling import hash_sample, hash_split, sample_sql_predicate
+from .functions.sampling import (hash_sample, hash_split,
+                                 sample_sql_predicate, upsample_by_weight)
 from .functions import util as gds_util
 
 __all__ = [
@@ -103,7 +104,7 @@ __all__ = [
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",
-    "ngram_contamination",
+    "ngram_contamination", "upsample_by_weight",
 ]
 
 __version__ = "0.1.0"

@@ -102,3 +102,34 @@ def sample_sql_predicate(key_expr: str, fraction: float, *,
     cut = int(round(fraction * _DENOM))
     return (f"md5_number_lower(CAST({key_expr} AS VARCHAR) || ':{salt}') "
             f"% {_DENOM} < {cut}")
+
+
+def upsample_by_weight(ds, group_col: str, weights: Dict[str, int], *,
+                       default: int = 1, epoch_col: str = "epoch"):
+    """Deterministic data mixing: replicate each row ``weights[group]`` times
+    (``default`` for unlisted groups; 0 drops the group), appending
+    ``epoch_col`` = 0..rep-1 so replicas are distinguishable downstream
+    (per-epoch shuffling salts, loss masking).  This is the domain-weighting
+    step of a training mixture ("code ×3, web ×1") as a pure streaming
+    map_batches — replication happens inside each batch (``Table.take`` on a
+    repeat index), so no shuffle, no driver data, and the row multiset is
+    independent of the block layout.  Integer weights keep the operator
+    exact and SQL-checkable (``unnest(range(rep))``); for fractional epochs
+    compose with hash_sample (e.g. 2.3 epochs = weight 2 union a 0.3
+    hash-sample), which stays deterministic end-to-end.
+    """
+    if any(w < 0 for w in weights.values()) or default < 0:
+        raise ValueError("weights must be non-negative integers")
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pylist()
+        rep = np.fromiter((weights.get(v, default) for v in g),
+                          dtype=np.int64, count=len(g))
+        idx = np.repeat(np.arange(len(g), dtype=np.int64), rep)
+        out = batch.take(pa.array(idx))
+        ends = np.cumsum(rep)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0,
+                          dtype=np.int64) - np.repeat(ends - rep, rep)
+        return out.append_column(epoch_col, pa.array(epoch))
+
+    return ds.map_batches(_rep, batch_format="pyarrow")

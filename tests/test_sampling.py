@@ -134,3 +134,42 @@ def test_key_hashes_reference():
         want = int.from_bytes(hashlib.md5((s + ":x").encode()).digest()[8:],
                               "little")
         assert int(g) == want
+
+
+class TestUpsampleByWeight:
+    def test_replication_and_epochs(self):
+        import pandas as pd
+        import ray.data
+        from graph_data_science_ray.functions.sampling import upsample_by_weight
+        df = pd.DataFrame({"id": [0, 1, 2, 3],
+                           "g": ["a", "b", "a", "c"]})
+        out = (upsample_by_weight(ray.data.from_pandas(df).repartition(2),
+                                  "g", {"a": 3, "b": 0})
+               .to_pandas().sort_values(["id", "epoch"])
+               .reset_index(drop=True))
+        # a x3 (ids 0,2), b dropped, c default x1
+        assert out["id"].tolist() == [0, 0, 0, 2, 2, 2, 3]
+        assert out["epoch"].tolist() == [0, 1, 2, 0, 1, 2, 0]
+
+    def test_partition_layout_invariant(self):
+        import pandas as pd
+        import ray.data
+        from graph_data_science_ray.functions.sampling import upsample_by_weight
+        df = pd.DataFrame({"id": range(50), "g": ["x", "y"] * 25})
+        outs = []
+        for parts in (1, 7):
+            o = (upsample_by_weight(ray.data.from_pandas(df)
+                                    .repartition(parts), "g", {"x": 2})
+                 .to_pandas().sort_values(["id", "epoch"])
+                 .reset_index(drop=True))
+            outs.append(o)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_negative_weight_raises(self):
+        import pandas as pd
+        import pytest
+        import ray.data
+        from graph_data_science_ray.functions.sampling import upsample_by_weight
+        ds = ray.data.from_pandas(pd.DataFrame({"g": ["a"]}))
+        with pytest.raises(ValueError):
+            upsample_by_weight(ds, "g", {"a": -1})
