@@ -1269,6 +1269,18 @@ def _q_upsample_mixture(sf_dir: str):
     return _to_table(out).select(["doc_id", "lang", "epoch"])
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window chunking (functions/text.chunk_documents): 64-token
+    windows with 16-token overlap over documents.text; naive-stride
+    semantics reproduce exactly as SQL unnest(range(0, n, stride)) + list
+    slicing."""
+    from graph_data_science_ray.functions.text import chunk_documents
+    t = _to_table(chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                                  64, overlap=16))
+    return t.select(["doc_id", "chunk_id", "start_tok", "n_chunk_tokens",
+                     "chunk_text"])
+
+
 def _q_events_window_funcs(sf_dir: str):
     """Per-user SQL window functions (row_number/rank/lag/lead/cumsum/cummax
     ordered by ts, event_id tiebreak) — key-hash exchange + one lexsort per
@@ -1439,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_consecutive": _q_ngram_jaccard_consecutive,
         "ngram_contamination": _q_ngram_contamination,
         "upsample_mixture": _q_upsample_mixture,
+        "chunk_documents": _q_chunk_documents,
         "hash_sample_documents": _q_hash_sample_documents,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
@@ -2311,6 +2324,16 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, unnest(range(rep))::BIGINT AS epoch
 FROM r WHERE rep > 0
+""",
+        "chunk_documents": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS s FROM w)
+SELECT doc_id, (s // 48)::BIGINT AS chunk_id, s::BIGINT AS start_tok,
+       least(64, len(ws) - s)::BIGINT AS n_chunk_tokens,
+       array_to_string(ws[s + 1 : s + 64], ' ') AS chunk_text
+FROM c
 """,
         "events_window_funcs": """
 WITH w AS (

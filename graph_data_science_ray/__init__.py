@@ -55,7 +55,7 @@ from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
                              RepetitionStats, repetition_filter, tfidf_top_terms,
-                             json_extract_scalar, redact_pii)
+                             json_extract_scalar, redact_pii, chunk_documents)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions)
 from .functions.joins import hash_join, semi_join_filter
@@ -104,7 +104,7 @@ __all__ = [
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",
-    "ngram_contamination", "upsample_by_weight",
+    "ngram_contamination", "upsample_by_weight", "chunk_documents",
 ]
 
 __version__ = "0.1.0"

@@ -442,3 +442,48 @@ def redact_pii(ds, text_col: str = "text"):
         return batch.set_column(i, text_col, s)
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+def chunk_documents(docs_ds, max_tokens: int, *, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size whitespace-token windows with overlap —
+    the context-window chunking step of RAG / long-document training
+    pipelines.  Chunk starts are ``range(0, n_tokens, stride)`` with
+    ``stride = max_tokens - overlap`` (every start is emitted, including a
+    trailing partial window — the deterministic naive-stride semantics, so
+    the result is exactly reproducible as SQL ``unnest(range(...))`` + list
+    slicing).  Emits (id_col, chunk_id, start_tok, n_chunk_tokens,
+    chunk_text); chunk_id = start_tok // stride.  Tokenization is the
+    DuckDB-equal whitespace family (``regexp_split_to_array(trim(text),
+    '\\s+')``); empty texts produce no chunks.  Per-document splitting is an
+    inherently per-row text kernel (same convention as the shingle stages);
+    rows only fan out, never shuffle.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_cid, out_start, out_n, out_text = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = t.split()
+            n = len(toks)
+            for s in range(0, n, stride):
+                piece = toks[s:s + max_tokens]
+                out_id.append(int(i))
+                out_cid.append(s // stride)
+                out_start.append(s)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table({
+            id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+            "chunk_id": pa.array(np.asarray(out_cid, dtype=np.int64)),
+            "start_tok": pa.array(np.asarray(out_start, dtype=np.int64)),
+            "n_chunk_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "chunk_text": pa.array(out_text, pa.string())})
+
+    return docs_ds.map_batches(_chunk, batch_format="pyarrow")

@@ -163,3 +163,57 @@ class TestNgramContamination:
         out = (ngram_contamination(ray.data.from_pandas(docs), probe_ds)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert out["n_hit"].tolist() == [1, 0]
+
+
+class TestChunkDocuments:
+    def test_exact_windows(self):
+        from graph_data_science_ray.functions.text import chunk_documents
+        toks = " ".join(f"t{i}" for i in range(7))
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [7],
+                                                "text": [toks]}))
+        out = (chunk_documents(ds, 5, overlap=2).to_pandas()
+               .sort_values("chunk_id").reset_index(drop=True))
+        assert out["start_tok"].tolist() == [0, 3, 6]
+        assert out["n_chunk_tokens"].tolist() == [5, 4, 1]
+        assert out["chunk_text"].tolist() == ["t0 t1 t2 t3 t4",
+                                              "t3 t4 t5 t6", "t6"]
+
+    def test_no_overlap_and_empty(self):
+        from graph_data_science_ray.functions.text import chunk_documents
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["a b c d", ""]}))
+        out = chunk_documents(ds, 2).to_pandas()
+        assert set(out.doc_id) == {0}  # empty text -> no chunks
+        assert len(out) == 2 and out["chunk_text"].tolist() == ["a b", "c d"]
+
+    def test_bad_params(self):
+        from graph_data_science_ray.functions.text import chunk_documents
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0],
+                                                "text": ["x"]}))
+        with pytest.raises(ValueError):
+            chunk_documents(ds, 0)
+        with pytest.raises(ValueError):
+            chunk_documents(ds, 4, overlap=4)
+
+    def test_matches_duckdb(self):
+        from graph_data_science_ray.functions.text import chunk_documents
+        rng = np.random.default_rng(3)
+        texts = [" ".join(rng.choice(["aa", "b", "ccc"], rng.integers(1, 40)))
+                 for _ in range(60)]
+        df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                           "text": texts})
+        out = (chunk_documents(ray.data.from_pandas(df).repartition(3),
+                               8, overlap=3)
+               .to_pandas().sort_values(["doc_id", "chunk_id"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute("""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+           FROM t WHERE trim(text) <> ''),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 5)) AS s FROM w)
+SELECT doc_id, s // 5 AS chunk_id, s AS start_tok,
+       least(8, len(ws) - s) AS n_chunk_tokens,
+       array_to_string(ws[s + 1 : s + 8], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""").df()
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
