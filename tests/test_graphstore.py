@@ -135,3 +135,62 @@ class TestModelCatalog:
         np.testing.assert_array_equal(
             np.asarray(e1.column("embedding").to_pylist()),
             np.asarray(e2.column("embedding").to_pylist()))
+
+
+class TestResumablePartitionedSink:
+    def _ds(self, n=200):
+        import pandas as pd
+        import numpy as np
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame({
+            "k": np.arange(n, dtype=np.int64),
+            "v": np.arange(n, dtype=np.int64) * 2.5})).repartition(4)
+
+    def test_roundtrip_and_manifest(self, tmp_path):
+        import pandas as pd
+        from graph_data_science_ray.sources.sink import (
+            read_partitioned_parquet, write_partitioned_parquet)
+        out = str(tmp_path / "sink1")
+        man = write_partitioned_parquet(self._ds(), out, "k", P=8)
+        assert man.num_rows == 8
+        assert not any(man.column("skipped").to_pylist())
+        assert sum(man.column("rows").to_pylist()) == 200
+        back = read_partitioned_parquet(out).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert back["k"].tolist() == list(range(200))
+        assert back["v"].tolist() == [i * 2.5 for i in range(200)]
+
+    def test_resume_skips_finished_parts(self, tmp_path):
+        import os
+        from graph_data_science_ray.sources.sink import (
+            read_partitioned_parquet, write_partitioned_parquet)
+        out = str(tmp_path / "sink2")
+        write_partitioned_parquet(self._ds(), out, "k", P=6)
+        parts = sorted(os.listdir(out))
+        assert len(parts) == 6 and not any(".tmp" in p for p in parts)
+        victim = os.path.join(out, parts[2])
+        os.remove(victim)  # simulate a crash that lost one part
+        mtimes = {p: os.path.getmtime(os.path.join(out, p))
+                  for p in parts if p != parts[2]}
+        man2 = write_partitioned_parquet(self._ds(), out, "k", P=6) \
+            .to_pandas().set_index("part")
+        assert man2["skipped"].sum() == 5  # only the victim was rewritten
+        assert os.path.exists(victim)
+        for p, m in mtimes.items():  # untouched parts not rewritten
+            assert os.path.getmtime(os.path.join(out, p)) == m
+        back = read_partitioned_parquet(out).to_pandas()
+        assert sorted(back["k"].tolist()) == list(range(200))
+
+    def test_range_bounds_layout(self, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import os
+        from graph_data_science_ray.sources.sink import write_partitioned_parquet
+        out = str(tmp_path / "sink3")
+        man = write_partitioned_parquet(
+            self._ds(100), out, "k",
+            bounds=np.asarray([0, 25, 50, 100], dtype=np.int64))
+        assert man.column("rows").to_pylist() == [25, 25, 50]
+        # range layout: part files hold disjoint ascending key ranges
+        t0 = pq.read_table(os.path.join(out, "part=00000.parquet"))
+        assert max(t0.column("k").to_pylist()) < 25
