@@ -55,7 +55,61 @@ def _build_parser():
     r.add_argument("--delta", type=float, help="delta_stepping bucket width")
     r.add_argument("--seed", type=int, help="sllpa random seed")
     r.add_argument("--min-association-strength", type=float, help="sllpa prune")
+
+    d = sub.add_parser(
+        "data", help="documents parquet -> training-data pipeline -> "
+                     "resumable partitioned parquet")
+    d.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text)")
+    d.add_argument("--out", required=True, help="output partition directory")
+    d.add_argument("--ops", default="dedup,repetition,redact",
+                   help="comma-ORDERED stages: sample:<frac> | dedup | "
+                        "repetition | redact | chunk:<max>[:<overlap>]")
+    d.add_argument("--num-partitions", type=int, default=16)
     return p
+
+
+def _run_data_pipeline(args) -> dict:
+    """Compose the requested training-data stages left-to-right over the
+    (doc_id, text) projection and land them in the resumable sink — a failed
+    job resubmitted with the same args skips finished output partitions."""
+    from .sources.io import read_parquet_clean
+    from .sources.sink import write_partitioned_parquet
+
+    ds = read_parquet_clean(args.input, columns=["doc_id", "text"])
+    applied = []
+    for op in args.ops.split(","):
+        op = op.strip()
+        if not op:
+            continue
+        name, *params = op.split(":")
+        if name == "sample":
+            from .functions.sampling import hash_sample
+            ds = hash_sample(ds, "doc_id", float(params[0]))
+        elif name == "dedup":
+            from .functions.dedup import exact_dedup
+            from .functions.joins import hash_join
+            winners = exact_dedup(ds).select_columns(["doc_id"])
+            ds = hash_join(ds, winners, "doc_id")
+        elif name == "repetition":
+            from .functions.text import repetition_filter
+            ds = repetition_filter(ds)
+        elif name == "redact":
+            from .functions.text import redact_pii
+            ds = redact_pii(ds)
+        elif name == "chunk":
+            from .functions.text import chunk_documents
+            mx = int(params[0])
+            ov = int(params[1]) if len(params) > 1 else 0
+            ds = chunk_documents(ds, mx, overlap=ov)
+        else:
+            raise SystemExit(f"unknown data op {name!r}")
+        applied.append(op)
+    man = write_partitioned_parquet(ds, args.out, "doc_id",
+                                    P=args.num_partitions)
+    return {"out": args.out, "ops": applied, "parts": man.num_rows,
+            "rows": int(sum(man.column("rows").to_pylist())),
+            "skipped_parts": int(sum(man.column("skipped").to_pylist()))}
 
 
 def main(argv=None) -> dict:
@@ -65,7 +119,9 @@ def main(argv=None) -> dict:
     if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
-        if args.cmd == "build":
+        if args.cmd == "data":
+            out = _run_data_pipeline(args)
+        elif args.cmd == "build":
             from .pipelines.graph_build import build_graph_from_corpus
             g = build_graph_from_corpus(args.corpus, save_dir=args.out,
                                         num_partitions=args.num_partitions)

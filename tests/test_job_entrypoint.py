@@ -97,3 +97,49 @@ def test_cli_new_algos(tmp_path):
     t = pq.read_table(str(tmp_path / "sllpa.parquet"))
     assert {"vid", "community_ids"} <= set(t.column_names)
     assert out["rowsWritten"] == t.num_rows > 0
+
+
+def test_data_pipeline_subcommand(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    # 30 docs: 5 exact-dup pairs, one PII doc, diverse enough n-grams to
+    # pass the Gopher repetition thresholds (every word distinct per doc)
+    base = [" ".join(f"word{i}x{j}" for j in range(40)) for i in range(25)]
+    base[3] = base[3] + " contact me at someone@example.com please"
+    texts = base + base[:5]  # 5 duplicate texts (higher doc_id loses)
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = tmp_path / "docs.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(src))
+
+    out_dir = tmp_path / "clean"
+    res = main(["data", "--input", str(src), "--out", str(out_dir),
+                "--ops", "dedup,repetition,redact", "--num-partitions", "4"])
+    assert res["parts"] == 4 and res["skipped_parts"] == 0
+    assert res["rows"] == 25  # the 5 dup copies are gone
+    back = pq.read_table(str(out_dir)).to_pandas()
+    assert sorted(back.doc_id.tolist()) == list(range(25))
+    assert "@" not in " ".join(back.text)  # PII scrubbed
+    # resubmission skips every finished partition
+    res2 = main(["data", "--input", str(src), "--out", str(out_dir),
+                 "--ops", "dedup,repetition,redact", "--num-partitions", "4"])
+    assert res2["skipped_parts"] == 4
+
+
+def test_data_pipeline_chunk_and_sample(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "text": [" ".join(f"w{j}" for j in range(10))] * 20})
+    src = tmp_path / "d.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(src))
+    res = main(["data", "--input", str(src), "--out",
+                str(tmp_path / "chunks"), "--ops", "chunk:4:1",
+                "--num-partitions", "2"])
+    # 10 tokens, stride 3 -> starts 0,3,6,9 = 4 chunks per doc
+    assert res["rows"] == 80
+    back = pq.read_table(str(tmp_path / "chunks")).to_pandas()
+    assert set(back.columns) >= {"doc_id", "chunk_id", "chunk_text"}
