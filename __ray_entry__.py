@@ -803,6 +803,21 @@ def _q_near_dup_minhash_md5(sf_dir: str):
                                  threshold=0.5)
 
 
+def _q_dedup_cluster(sf_dir: str):
+    """Fuzzy-dedup canonicalization end-to-end: md5 MinHash-LSH verified
+    pairs → connected components (the engine's WCC over just the pair
+    members) → min-id cluster representative per document.  The oracle
+    reproduces the pair pipeline in SQL and closes it transitively with a
+    recursive CTE, so cluster transitivity (a~b, b~c ⇒ one cluster) is
+    hash-checked, not assumed."""
+    from graph_data_science_ray.functions.dedup import (cluster_dedup,
+                                                        minhash_md5_near_dups)
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(16)
+    pairs = minhash_md5_near_dups(docs, num_perms=16, num_bands=4,
+                                  threshold=0.5)
+    return cluster_dedup(_docs(sf_dir, ["doc_id"]), pairs)
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (id1 < id2, cosine >= 0.3) —
     distributed block-nested-loop, float32-sequential arithmetic matching
@@ -1428,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "simhash_near_dups_md5": _q_simhash_near_dups_md5,
         "near_dup_minhash_md5": _q_near_dup_minhash_md5,
+        "dedup_cluster_documents": _q_dedup_cluster,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
         "hits_hierarchy": _q_hits_hierarchy,
@@ -1463,6 +1479,52 @@ hier AS (
   SELECT r_regionkey AS vid, r_regionkey AS comp, NULL::DOUBLE AS rank_ FROM region
 )
 """
+
+
+# shared md5 MinHash-LSH verified-pair CTE chain: used whole by the
+# near_dup_minhash_md5 oracle and extended transitively by the
+# dedup_cluster_documents oracle
+_MD5_JAC_CTES = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS shingles
+  FROM t WHERE len(toks) > 0),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM g),
+perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         (min(md5_number_lower(perm::VARCHAR || ':' || s)) >> 1::UBIGINT)::BIGINT AS minhash
+  FROM sh CROSS JOIN perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, perm // 4 AS band,
+         (md5_number_lower(string_agg(minhash::VARCHAR, ',' ORDER BY perm))
+          >> 1::UBIGINT)::BIGINT AS band_hash
+  FROM sig GROUP BY doc_id, perm // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
+  FROM cand c
+  JOIN ssize sa ON sa.doc_id = c.doc_a
+  JOIN ssize sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1969,48 +2031,27 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
         # order), LSH candidate pairs on shared (band, band_hash), and the
         # exact-Jaccard verify over distinct shingles.  Engine params:
         # num_perms=16, num_bands=4 (rows of 4), threshold=0.5.
-        "near_dup_minhash_md5": """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-              ELSE list_transform(generate_series(1, len(toks) - 2),
-                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-         END AS shingles
-  FROM t WHERE len(toks) > 0),
-sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM g),
-perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
-sig AS (
-  SELECT doc_id, perm,
-         (min(md5_number_lower(perm::VARCHAR || ':' || s)) >> 1::UBIGINT)::BIGINT AS minhash
-  FROM sh CROSS JOIN perms GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, perm // 4 AS band,
-         (md5_number_lower(string_agg(minhash::VARCHAR, ',' ORDER BY perm))
-          >> 1::UBIGINT)::BIGINT AS band_hash
-  FROM sig GROUP BY doc_id, perm // 4),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS i
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-  GROUP BY 1, 2),
-jac AS (
-  SELECT c.doc_a, c.doc_b,
-         COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
-  FROM cand c
-  JOIN ssize sa ON sa.doc_id = c.doc_a
-  JOIN ssize sb ON sb.doc_id = c.doc_b
-  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+        "near_dup_minhash_md5": _MD5_JAC_CTES + """
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+""",
+        # the same verified-pair pipeline closed transitively: recursive CTE
+        # reachability == connected components (pair graphs are tiny relative
+        # to the corpus; the Ray side runs real WCC over the members)
+        "dedup_cluster_documents": _MD5_JAC_CTES.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1) + """,
+vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+          UNION SELECT doc_b, doc_a FROM vpairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """,
         "lang_id": """
 WITH w AS (

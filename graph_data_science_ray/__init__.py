@@ -49,7 +49,7 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               minhash_md5_near_dups, simhash_table,
                               simhash_near_dups, embedding_dup_pairs,
                               embedding_dup_pairs_lsh, add_ngram_jaccard,
-                              ngram_contamination)
+                              ngram_contamination, cluster_dedup)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
@@ -92,7 +92,7 @@ __all__ = [
     # training-data pipeline operators
     "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
     "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "cosine_topk", "lsh_topk", "ivf_topk",
+    "embedding_dup_pairs_lsh", "cluster_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
     "train_ivf_centroids", "ivf_partition", "TokenCounter", "TextStats",
     "QualityScorer", "LanguageId", "Sha256", "Fingerprint",
     "tumbling_window", "sessionize", "hopping_window",

@@ -1041,3 +1041,68 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.9, *,
             "similarity": sims[keep].astype(np.float64)})
 
     return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+def cluster_dedup(docs_ds, pairs, *, id_col: str = "doc_id"):
+    """Fuzzy-dedup canonicalization: connected components over near-dup
+    pairs, ``cluster_id`` = min id per component (transitive: a~b, b~c puts
+    a, b, c in ONE cluster even when a, c never paired), ``kept`` marks the
+    cluster representative.  Returns one row per document:
+    (id_col, cluster_id, kept) — filter on ``kept`` for the survivor set.
+
+    Scale shape: ``pairs`` is the OUTPUT of a banded near-dup stage
+    (minhash/simhash/embedding LSH), so its row count is O(duplicate docs),
+    a small fraction of the corpus.  The component step runs the engine's
+    WCC (sharded BSP under ``execution="auto"``) over ONLY the pair
+    members; the corpus side then streams through one broadcast lookup
+    (two O(dup-member) int64 arrays via ``ray.put`` — never document text)
+    with no shuffle.  Composition mirrors the reference's
+    WCC-over-similarity-graph dedup recipe (algo/.../wcc/Wcc.java min-label
+    semantics over a projected pair graph)."""
+    import ray
+
+    from ..pipelines.wcc import wcc
+    from ..state.graph import Graph
+    from ..stages.blocks import nonempty_arrow_refs
+
+    if hasattr(pairs, "to_arrow_refs"):
+        refs, _ = nonempty_arrow_refs(pairs)
+        tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+        pairs = pa.concat_tables(tabs) if tabs else pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64())})
+    a = pairs.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if a.shape[0] == 0:
+        members = np.empty(0, dtype=np.int64)
+        clusters = np.empty(0, dtype=np.int64)
+    else:
+        members = np.unique(np.concatenate([a, b]))
+        g = Graph.from_edges(np.searchsorted(members, a),
+                             np.searchsorted(members, b), n=members.shape[0])
+        comp = wcc(g).table.column("component").to_numpy(zero_copy_only=False)
+        clusters = members[comp]  # min-vid comp == min doc id (members sorted)
+
+    m_ref = ray.put(members)
+    c_ref = ray.put(clusters)
+
+    class _Assign:
+        def __init__(self):
+            self.m = ray.get(m_ref)
+            self.c = ray.get(c_ref)
+            self.__name__ = "cluster_assign"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cluster = ids.copy()
+            if self.m.shape[0]:
+                pos = np.searchsorted(self.m, ids)
+                pos_c = np.minimum(pos, self.m.shape[0] - 1)
+                hit = self.m[pos_c] == ids
+                cluster[hit] = self.c[pos_c[hit]]
+            return pa.table({id_col: ids, "cluster_id": cluster,
+                             "kept": cluster == ids})
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        _Assign(), batch_format="pyarrow")

@@ -516,3 +516,45 @@ class TestSimilarityReviewRegressions:
                           "embedding": pa.array([], pa.list_(pa.float64()))})
         with pytest.raises(ValueError, match="empty"):
             train_ivf_centroids(rd.from_arrow(empty))
+
+
+class TestClusterDedup:
+    """cluster_dedup: connected components over near-dup pairs, min-id keep."""
+
+    def _docs(self, ids):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+    def test_transitive_clusters(self):
+        from graph_data_science_ray.functions.dedup import cluster_dedup
+        # 1~2, 2~3 (never 1~3) must land in ONE cluster; 5~6 separate
+        pairs = pa.table({"doc_a": pa.array([1, 2, 5], pa.int64()),
+                          "doc_b": pa.array([2, 3, 6], pa.int64())})
+        out = cluster_dedup(self._docs(range(8)), pairs) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.cluster_id.tolist() == [0, 1, 1, 1, 4, 5, 5, 7]
+        assert out.kept.tolist() == [True, True, False, False,
+                                     True, True, False, True]
+
+    def test_empty_pairs_identity(self):
+        from graph_data_science_ray.functions.dedup import cluster_dedup
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        out = cluster_dedup(self._docs([3, 9, 11]), empty) \
+            .to_pandas().sort_values("doc_id")
+        assert out.cluster_id.tolist() == [3, 9, 11]
+        assert out.kept.all()
+
+    def test_dataset_pairs_and_sparse_ids(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.dedup import cluster_dedup
+        # pair ids are sparse / non-contiguous; pairs arrive as a Dataset
+        pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array([1000, 7], pa.int64()),
+            "doc_b": pa.array([2000000, 1000], pa.int64())}))
+        out = cluster_dedup(self._docs([7, 1000, 2000000, 42]), pairs) \
+            .to_pandas().set_index("doc_id")
+        assert out.loc[7].cluster_id == 7
+        assert out.loc[1000].cluster_id == 7
+        assert out.loc[2000000].cluster_id == 7
+        assert out.loc[42].cluster_id == 42 and out.loc[42].kept
