@@ -1340,6 +1340,17 @@ def _q_hash_sample_documents(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-group fractional sampling (keep all en, 25% de, drop es, 50%
+    everything else) — the training-mixture rebalancing step; same md5
+    membership family as hash_sample, cut looked up per row from lang."""
+    from graph_data_science_ray import stratified_sample
+    ds = stratified_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                           "lang", {"en": 1.0, "de": 0.25, "es": 0.0},
+                           default=0.5)
+    return _to_table(ds)
+
+
 def _q_hash_split_documents(sf_dir: str):
     """Disjoint train/val/test hash splits; returns per-split counts + char
     sums so the driver compare is small while disjointness/exhaustiveness is
@@ -1469,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_mixture": _q_upsample_mixture,
         "chunk_documents": _q_chunk_documents,
         "hash_sample_documents": _q_hash_sample_documents,
+        "stratified_sample_documents": _q_stratified_sample,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
     }
@@ -2394,6 +2406,12 @@ FROM w
         "hash_sample_documents": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':s1') % 1000000 < 250000
+""",
+        "stratified_sample_documents": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':') % 1000000 <
+  CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 250000 WHEN 'es' THEN 0
+            ELSE 500000 END
 """,
         "hash_split_documents": """
 WITH h AS (

@@ -133,3 +133,47 @@ def upsample_by_weight(ds, group_col: str, weights: Dict[str, int], *,
         return out.append_column(epoch_col, pa.array(epoch))
 
     return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key_col: str, group_col: str,
+                      fractions: Dict[str, float], *,
+                      default: float = 1.0, salt: str = ""):
+    """Per-group fractional sampling — the language/domain rebalancing step
+    of a training mixture ("keep all en, 25% of de, drop es"): the same
+    deterministic md5 membership test as :func:`hash_sample`, but the cut
+    is looked up per row from ``group_col`` (``default`` for unlisted
+    groups).  Streaming map_batches, no shuffle, partition-layout
+    independent; composes with :func:`upsample_by_weight` for weights > 1
+    (integer part upsampled, fractional part stratified-sampled).
+
+    SQL-oracle equivalent (DuckDB)::
+
+        WHERE md5_number_lower(CAST(key AS VARCHAR) || ':' || salt) % 1e6
+              < CASE grp WHEN 'en' THEN 1000000 WHEN 'de' THEN 250000
+                         ELSE <default·1e6> END
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for group {g!r} is {f}, not in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction {default} not in [0, 1]")
+    cuts = {g: np.uint64(round(f * _DENOM)) for g, f in fractions.items()}
+    default_cut = np.uint64(round(default * _DENOM))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _key_hashes(t.column(key_col), salt) % np.uint64(_DENOM)
+        # dictionary-encode the group column: one cut lookup per DISTINCT
+        # group in the batch, then a vectorized gather over the indices
+        enc = t.column(group_col).combine_chunks().dictionary_encode()
+        import pyarrow.compute as pc
+        uniq_cuts = np.array(
+            [cuts.get(v, default_cut) for v in enc.dictionary.to_pylist()]
+            + [default_cut],  # sentinel slot for null groups
+            dtype=np.uint64)
+        idx = pc.fill_null(enc.indices, len(uniq_cuts) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(h < uniq_cuts[idx]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -173,3 +173,50 @@ class TestUpsampleByWeight:
         ds = ray.data.from_pandas(pd.DataFrame({"g": ["a"]}))
         with pytest.raises(ValueError):
             upsample_by_weight(ds, "g", {"a": -1})
+
+
+class TestStratifiedSample:
+    def _ds(self):
+        import ray.data as rd
+        n = 300
+        return rd.from_arrow(pa.table({
+            "key": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array((["a", "b", "c", None] * n)[:n])})) \
+            .repartition(7)
+
+    def test_matches_duckdb_case(self):
+        import duckdb
+        from graph_data_science_ray.functions.sampling import stratified_sample
+        out = stratified_sample(self._ds(), "key", "grp",
+                                {"a": 1.0, "b": 0.3, "c": 0.0}, default=0.6)
+        got = sorted(_ids(out))
+        tb = self._ds().to_pandas()
+        want = duckdb.sql("""
+            SELECT key FROM tb
+            WHERE md5_number_lower(CAST(key AS VARCHAR) || ':') % 1000000 <
+              CASE WHEN grp IS NULL THEN 600000
+                   WHEN grp = 'a' THEN 1000000
+                   WHEN grp = 'b' THEN 300000 ELSE 0 END
+            ORDER BY key""").df().key.tolist()
+        assert got == want
+        # group 'c' fully dropped, group 'a' fully kept
+        kept = set(got)
+        grp = {int(k): g for k, g in zip(tb.key, tb.grp) if g is not None}
+        assert all(k in kept for k, g in grp.items() if g == "a")
+        assert all(k not in kept for k, g in grp.items() if g == "c")
+
+    def test_partition_layout_invariant(self):
+        from graph_data_science_ray.functions.sampling import stratified_sample
+        fr = {"a": 0.5, "b": 0.25}
+        a = sorted(_ids(stratified_sample(self._ds().repartition(1),
+                                          "key", "grp", fr)))
+        b = sorted(_ids(stratified_sample(self._ds().repartition(13),
+                                          "key", "grp", fr)))
+        assert a == b
+
+    def test_bad_fraction_raises(self):
+        from graph_data_science_ray.functions.sampling import stratified_sample
+        with pytest.raises(ValueError):
+            stratified_sample(self._ds(), "key", "grp", {"a": 1.5})
+        with pytest.raises(ValueError):
+            stratified_sample(self._ds(), "key", "grp", {}, default=-0.1)
