@@ -1351,6 +1351,17 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle + sharding (the final training-data
+    packing step): shard = md5(key) % 8, intra-shard order by a second md5.
+    Output layout is a pure function of the keys — partition-independent,
+    resumable, and exactly reproducible in SQL via row_number()."""
+    from graph_data_science_ray import shard_shuffle
+    ds = shard_shuffle(_docs(sf_dir, ["doc_id", "lang"]), "doc_id", 8,
+                       salt="sh")
+    return _to_table(ds)
+
+
 def _q_hash_split_documents(sf_dir: str):
     """Disjoint train/val/test hash splits; returns per-split counts + char
     sums so the driver compare is small while disjointness/exhaustiveness is
@@ -1481,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "hash_sample_documents": _q_hash_sample_documents,
         "stratified_sample_documents": _q_stratified_sample,
+        "shard_shuffle_documents": _q_shard_shuffle,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
     }
@@ -2406,6 +2418,16 @@ FROM w
         "hash_sample_documents": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':s1') % 1000000 < 250000
+""",
+        "shard_shuffle_documents": """
+WITH h AS (
+  SELECT doc_id, lang,
+         (md5_number_lower(CAST(doc_id AS VARCHAR) || ':sh') % 8)::BIGINT AS shard,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || ':sh#pos') AS h2
+  FROM documents)
+SELECT doc_id, lang, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1)::BIGINT AS pos
+FROM h
 """,
         "stratified_sample_documents": """
 SELECT doc_id, lang FROM documents

@@ -70,7 +70,8 @@ from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
 from .functions.sampling import (hash_sample, hash_split,
-                                 sample_sql_predicate, stratified_sample,
+                                 sample_sql_predicate, shard_shuffle,
+                                 stratified_sample,
                                  upsample_by_weight)
 from .functions import util as gds_util
 
@@ -103,7 +104,7 @@ __all__ = [
     "similarity_euclidean", "similarity_euclidean_distance",
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
-    "hash_sample", "hash_split", "sample_sql_predicate", "stratified_sample",
+    "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",

@@ -177,3 +177,49 @@ def stratified_sample(ds, key_col: str, group_col: str,
         return t.filter(pa.array(h < uniq_cuts[idx]))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def shard_shuffle(ds, key_col: str, num_shards: int, *, salt: str = "",
+                  shard_col: str = "shard", pos_col: str = "pos"):
+    """Deterministic global shuffle + sharding — the final packing step of a
+    training-data pipeline: row → shard ``md5(key||':'||salt) % P``, ordered
+    within the shard by a SECOND md5 (``salt + '#pos'``) with the key as
+    tiebreak.  The (shard, pos) layout is a pure function of the keys: it is
+    independent of input partitioning, reproducible across reruns and
+    cluster sizes (unlike ``Dataset.random_shuffle``), and resumable —
+    compose with ``sources.sink.write_partitioned_parquet`` keyed on
+    ``shard`` to land one file per shard.
+
+    Shape: one streaming hash pass adds the shard + order keys, ONE
+    known-partitioner exchange routes rows to their shard's combine, and the
+    per-shard combine is a local sort (shards are corpus/P ≈ worker-sized by
+    construction).  SQL oracle: ``shard = md5_number_lower(...) % P``;
+    ``pos = row_number() OVER (PARTITION BY shard ORDER BY md5_2, key) - 1``.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import exchange
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = _key_hashes(t.column(key_col), salt)
+        h2 = _key_hashes(t.column(key_col), salt + "#pos")
+        t = t.append_column(shard_col, pa.array(
+            (h % np.uint64(num_shards)).astype(np.int64)))
+        return t.append_column("_ord", pa.array(h2, pa.uint64()))
+
+    def _combine(p: int, t: pa.Table) -> pa.Table:
+        order = np.lexsort((t.column(key_col).to_numpy(zero_copy_only=False),
+                            t.column("_ord").to_numpy(zero_copy_only=False)))
+        t = t.take(pa.array(order)).drop_columns(["_ord"])
+        return t.append_column(pos_col, pa.array(
+            np.arange(t.num_rows, dtype=np.int64)))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> np.ndarray:
+        return t.column(shard_col).to_numpy(zero_copy_only=False)
+
+    return exchange(tagged, _part, num_shards, combine=_combine)

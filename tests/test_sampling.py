@@ -220,3 +220,53 @@ class TestStratifiedSample:
             stratified_sample(self._ds(), "key", "grp", {"a": 1.5})
         with pytest.raises(ValueError):
             stratified_sample(self._ds(), "key", "grp", {}, default=-0.1)
+
+
+class TestShardShuffle:
+    def _ds(self, parts=5):
+        import ray.data as rd
+        n = 200
+        return rd.from_arrow(pa.table({
+            "key": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.float64))})) \
+            .repartition(parts)
+
+    def test_matches_duckdb_row_number(self):
+        import duckdb
+        from graph_data_science_ray.functions.sampling import shard_shuffle
+        out = shard_shuffle(self._ds(), "key", 4, salt="t") \
+            .to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+        tb = self._ds().to_pandas()
+        want = duckdb.sql("""
+            WITH h AS (
+              SELECT key, v,
+                     (md5_number_lower(CAST(key AS VARCHAR) || ':t') % 4)::BIGINT AS shard,
+                     md5_number_lower(CAST(key AS VARCHAR) || ':t#pos') AS h2
+              FROM tb)
+            SELECT key, v, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY h2, key) - 1)::BIGINT AS pos
+            FROM h ORDER BY shard, pos""").df().reset_index(drop=True)
+        assert out[["key", "v", "shard", "pos"]].equals(want)
+
+    def test_layout_invariant_and_dense_pos(self):
+        from graph_data_science_ray.functions.sampling import shard_shuffle
+        a = shard_shuffle(self._ds(1), "key", 3).to_pandas() \
+            .sort_values(["shard", "pos"]).reset_index(drop=True)
+        b = shard_shuffle(self._ds(11), "key", 3).to_pandas() \
+            .sort_values(["shard", "pos"]).reset_index(drop=True)
+        assert a.equals(b)
+        for _, g in a.groupby("shard"):
+            assert g.pos.tolist() == list(range(len(g)))
+
+    def test_single_shard_is_permutation(self):
+        from graph_data_science_ray.functions.sampling import shard_shuffle
+        out = shard_shuffle(self._ds(), "key", 1).to_pandas()
+        assert sorted(out.key) == list(range(200))
+        assert (out.shard == 0).all()
+        # the shuffle actually shuffles: not identity order
+        assert out.sort_values("pos").key.tolist() != list(range(200))
+
+    def test_bad_shards_raise(self):
+        from graph_data_science_ray.functions.sampling import shard_shuffle
+        with pytest.raises(ValueError):
+            shard_shuffle(self._ds(), "key", 0)
