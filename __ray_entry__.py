@@ -930,15 +930,20 @@ def _q_corpus_sha(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
-    """Multimodal plumbing: deterministic synthetic media table → actor-pool
-    decode/feature stage (decode stubbed; Ray-side pipeline real)."""
+    """Multimodal pipeline: deterministic synthetic media table whose image
+    rows carry REAL decodable PPM payloads → actor-pool decode →
+    nearest-resize → 16-dim feature (pure-numpy PPM/BMP decoders; compressed
+    formats are the documented codec integration point)."""
+    import pyarrow.compute as pc
     import ray.data
 
     from graph_data_science_ray.functions.multimodal import (
         ImageFeatureExtractor, synthetic_media_table)
-    media = ray.data.from_arrow(synthetic_media_table(200))
-    out = media.map_batches(ImageFeatureExtractor(fake=True),
-                            batch_format="pyarrow", batch_size=64)
+    media = synthetic_media_table(200, real_images=True)
+    images = ray.data.from_arrow(
+        media.filter(pc.equal(media.column("kind"), "image")))
+    out = images.map_batches(ImageFeatureExtractor(fake=False, resize_to=32),
+                             batch_format="pyarrow", batch_size=64)
     return _to_table(out)
 
 

@@ -73,6 +73,9 @@ from .functions.sampling import (hash_sample, hash_split,
                                  sample_sql_predicate, shard_shuffle,
                                  stratified_sample,
                                  upsample_by_weight)
+from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
+                                   decode_image, encode_ppm, resize_nearest,
+                                   image_feature, synthetic_media_table)
 from .functions import util as gds_util
 
 __all__ = [
@@ -95,7 +98,9 @@ __all__ = [
     "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
     "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "cluster_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
-    "train_ivf_centroids", "ivf_partition", "TokenCounter", "TextStats",
+    "train_ivf_centroids", "ivf_partition", "ImageFeatureExtractor",
+    "FrameSampler", "decode_image", "encode_ppm", "resize_nearest",
+    "image_feature", "synthetic_media_table", "TokenCounter", "TextStats",
     "QualityScorer", "LanguageId", "Sha256", "Fingerprint",
     "tumbling_window", "sessionize", "hopping_window",
     "asof_join", "range_join", "top_k_per_group", "grouped_quantiles",

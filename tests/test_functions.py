@@ -270,10 +270,84 @@ class TestMultimodal:
         assert np.allclose(np.stack(out["feature"].map(np.asarray)),
                            np.stack(out2["feature"].map(np.asarray)))
 
-    def test_decode_stub_raises(self):
+    def test_decode_unsupported_format_raises(self):
         from graph_data_science_ray.functions.multimodal import ImageFeatureExtractor
         with pytest.raises(NotImplementedError):
-            ImageFeatureExtractor(fake=False)._decode(b"\x89PNG")
+            ImageFeatureExtractor(fake=False)._decode(b"\x89PNG....")
+
+    def test_ppm_roundtrip_and_comments(self):
+        from graph_data_science_ray.functions.multimodal import (
+            decode_image, encode_ppm)
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        # header comments are legal PPM
+        commented = b"P6\n# a comment\n5 7\n# another\n255\n" + img.tobytes()
+        assert np.array_equal(decode_image(commented), img)
+
+    def test_bmp_decode_bottom_up_bgr_padding(self):
+        from graph_data_science_ray.functions.multimodal import decode_image
+        # 2x2 24-bit BMP, rows padded to 4 bytes, bottom-up, BGR storage
+        px = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+              (1, 0): (0, 0, 255), (1, 1): (10, 20, 30)}  # RGB truth
+        w = h = 2
+        stride = (w * 3 + 3) & ~3
+        rows = bytearray()
+        for y in reversed(range(h)):      # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = px[(y, x)]
+                row += bytes([b, g, r])   # BGR
+            row += b"\x00" * (stride - len(row))
+            rows += row
+        header = (b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+                  + (54).to_bytes(4, "little")
+                  + (40).to_bytes(4, "little")
+                  + w.to_bytes(4, "little", signed=True)
+                  + h.to_bytes(4, "little", signed=True)
+                  + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                  + (0).to_bytes(4, "little") + b"\x00" * 20)
+        img = decode_image(bytes(header) + bytes(rows))
+        for (y, x), rgb in px.items():
+            assert tuple(img[y, x]) == rgb
+
+    def test_resize_and_feature(self):
+        from graph_data_science_ray.functions.multimodal import (
+            image_feature, resize_nearest)
+        img = np.zeros((10, 20, 3), dtype=np.uint8)
+        img[:, 10:, :] = 255  # right half white
+        small = resize_nearest(img, 4, 2)
+        assert small.shape == (2, 4, 3)
+        assert small[:, :2].max() == 0 and small[:, 2:].min() == 255
+        f = image_feature(img)
+        assert f.shape == (16,)
+        assert abs(f[0] - 0.5) < 1e-6        # mean R of half-white image
+        assert abs(f[15] - 2.0) < 1e-6       # aspect ratio w/h
+        assert f[6] == 0.0 and abs(f[8] - 1.0) < 1e-6  # left/right grid cells
+
+    def test_real_decode_pipeline(self):
+        import ray.data
+
+        from graph_data_science_ray.functions.multimodal import (
+            ImageFeatureExtractor, decode_image, image_feature,
+            resize_nearest, synthetic_media_table)
+        media = synthetic_media_table(40, real_images=True)
+        import pyarrow.compute as pc
+        images = media.filter(pc.equal(media.column("kind"), "image"))
+        assert images.num_rows > 0
+        out = ray.data.from_arrow(images).map_batches(
+            ImageFeatureExtractor(fake=False, resize_to=16),
+            batch_format="pyarrow", batch_size=8).to_pandas() \
+            .set_index("media_id")
+        # spot-check one row against the sequential kernel
+        mid = int(images.column("media_id")[0].as_py())
+        payload = images.column("payload")[0].as_py()
+        want = image_feature(resize_nearest(decode_image(payload), 16, 16))
+        assert np.allclose(np.asarray(out.loc[mid].feature), want, atol=1e-6)
+        # metadata matches decoded pixels
+        img = decode_image(payload)
+        assert (img.shape[1], img.shape[0]) == \
+            (images.column("width")[0].as_py(), images.column("height")[0].as_py())
 
     def test_frame_sampler(self):
         from graph_data_science_ray.functions.multimodal import FrameSampler
