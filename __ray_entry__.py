@@ -1356,6 +1356,24 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_hll_registers(sf_dir: str):
+    """The mergeable HyperLogLog sketch itself (bucket, max-rank register) —
+    md5 hash family, bucket = low 10 bits, rank = leading zeros of the top
+    54 bits + 1; every register reproduces exactly in SQL."""
+    from graph_data_science_ray import hll_registers
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["user_id"]).repartition(8)
+    return hll_registers(ev, "user_id", precision=10)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT user_id): constant-size per-block
+    partials, elementwise-max merge — deterministic pure function of the
+    value set, so the ESTIMATE itself is oracle-checked, not just bounded."""
+    from graph_data_science_ray import approx_distinct
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["user_id"]).repartition(8)
+    return approx_distinct(ev, "user_id", precision=10)
+
+
 def _q_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle + sharding (the final training-data
     packing step): shard = md5(key) % 8, intra-shard order by a second md5.
@@ -1498,6 +1516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": _q_hash_sample_documents,
         "stratified_sample_documents": _q_stratified_sample,
         "shard_shuffle_documents": _q_shard_shuffle,
+        "hll_registers_events": _q_hll_registers,
+        "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
         "repetition_stats": _q_repetition_stats,
     }
@@ -2423,6 +2443,32 @@ FROM w
         "hash_sample_documents": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':s1') % 1000000 < 250000
+""",
+        "hll_registers_events": """
+WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv
+           FROM events),
+r AS (SELECT (hv % 1024)::BIGINT AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 55
+                  ELSE 54 - length(bin((hv >> 10)::UBIGINT)) + 1 END AS rank
+      FROM h)
+SELECT bucket, max(rank)::BIGINT AS register FROM r GROUP BY bucket
+""",
+        "approx_distinct_events": """
+WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv
+           FROM events),
+r AS (SELECT (hv % 1024)::BIGINT AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 55
+                  ELSE 54 - length(bin((hv >> 10)::UBIGINT)) + 1 END AS rank
+      FROM h),
+regs AS (SELECT bucket, max(rank) AS register FROM r GROUP BY bucket),
+s AS (SELECT sum(power(2.0, -register)) AS snz, count(*) AS nz FROM regs),
+e AS (SELECT (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+             / (snz + (1024 - nz)) AS raw,
+             1024 - nz AS zeros, nz FROM s)
+SELECT round(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                  THEN 1024 * ln(1024.0 / zeros) ELSE raw END, 6) AS estimate,
+       nz::BIGINT AS nonzero_buckets, 10::BIGINT AS precision
+FROM e
 """,
         "shard_shuffle_documents": """
 WITH h AS (

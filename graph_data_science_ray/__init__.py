@@ -76,6 +76,7 @@ from .functions.sampling import (hash_sample, hash_split,
 from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
                                    image_feature, synthetic_media_table)
+from .functions.sketch import approx_distinct, hll_estimate, hll_registers
 from .functions import util as gds_util
 
 __all__ = [
@@ -110,6 +111,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
+    "approx_distinct", "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",

@@ -1,0 +1,73 @@
+"""HyperLogLog sketch (functions/sketch.py)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from graph_data_science_ray.functions.sketch import (
+    _bit_length_u64, _partial_registers, approx_distinct, hll_estimate,
+    hll_registers)
+
+
+def test_bit_length_matches_python():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        np.array([0, 1, 2, 3, 2**63, 2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**63, 200).astype(np.uint64)])
+    got = _bit_length_u64(vals)
+    want = [int(v).bit_length() for v in vals]
+    assert got.tolist() == want
+
+
+def _ds(keys, parts=4):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(parts)
+
+
+class TestHll:
+    def test_layout_invariant_registers(self):
+        keys = [f"key{i}" for i in range(5000)]
+        a = hll_registers(_ds(keys, 1), "k").to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        b = hll_registers(_ds(keys, 17), "k").to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_duplicates_dont_change_sketch(self):
+        keys = [f"key{i}" for i in range(1000)]
+        a = approx_distinct(_ds(keys), "k").to_pandas()
+        b = approx_distinct(_ds(keys * 7, parts=9), "k").to_pandas()
+        assert a.equals(b)
+
+    def test_accuracy_bound(self):
+        n = 50_000
+        est = approx_distinct(_ds([f"u{i}" for i in range(n)]), "k",
+                              precision=10).to_pandas().estimate[0]
+        assert abs(est - n) / n < 0.10  # ~3σ at 1.04/sqrt(1024)
+
+    def test_merge_is_max(self):
+        # union sketch == elementwise max of the half sketches
+        a = _partial_registers(pa.array([f"a{i}" for i in range(500)]), 10, "hll")
+        b = _partial_registers(pa.array([f"b{i}" for i in range(500)]), 10, "hll")
+        u = _partial_registers(pa.array([f"a{i}" for i in range(500)] +
+                                        [f"b{i}" for i in range(500)]), 10, "hll")
+        assert np.array_equal(np.maximum(a, b), u)
+
+    def test_linear_counting_small_range(self):
+        est = approx_distinct(_ds([f"x{i}" for i in range(30)]), "k") \
+            .to_pandas().estimate[0]
+        assert abs(est - 30) < 3  # linear counting is near-exact here
+
+    def test_precision_bounds(self):
+        with pytest.raises(ValueError):
+            hll_registers(_ds(["a"]), "k", precision=2)
+
+    def test_empty_dataset(self):
+        t = approx_distinct(_ds([], parts=1), "k").to_pandas()
+        assert t.nonzero_buckets[0] == 0
+
+    def test_estimate_pure_function_of_registers(self):
+        regs = np.zeros(1024, dtype=np.uint8)
+        assert hll_estimate(regs.copy()) == hll_estimate(regs.copy())
+        regs[:10] = 3
+        e1 = hll_estimate(regs)
+        assert e1 > 0
