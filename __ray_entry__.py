@@ -1356,6 +1356,63 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_corpus_clean_pipeline(sf_dir: str):
+    """Five-stage end-to-end training-corpus pipeline, oracle-checked as ONE
+    composition: quality gate (n_chars) → fuzzy cluster dedup (md5
+    MinHash-LSH pairs → WCC → min-id representative) → stratified language
+    mixture → context-window chunking (32/8) → deterministic shard+shuffle.
+    Every stage is the engine's public operator; the oracle chains their SQL
+    forms (recursive closure included), so the hash-compare pins the whole
+    pipeline's row set, chunk text AND final (shard, pos) layout."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray import (chunk_documents, cluster_dedup,
+                                        hash_join, minhash_md5_near_dups,
+                                        shard_shuffle, stratified_sample)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).repartition(16)
+
+    def _gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_chars"), 150)) \
+            .drop_columns(["n_chars"])
+
+    gated = docs.map_batches(_gate, batch_format="pyarrow")
+
+    pairs = minhash_md5_near_dups(gated.select_columns(["doc_id", "text"]),
+                                  num_perms=16, num_bands=4, threshold=0.5)
+    assign = cluster_dedup(gated.select_columns(["doc_id"]), pairs)
+
+    def _keepers(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("kept")).select(["doc_id"])
+
+    keepers = assign.map_batches(_keepers, batch_format="pyarrow")
+    kept = hash_join(
+        gated, keepers, "doc_id", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]))
+
+    samp = stratified_sample(kept, "doc_id", "lang",
+                             {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.0},
+                             default=0.75, salt="mix")
+    chunks = chunk_documents(samp.select_columns(["doc_id", "text"]), 32,
+                             overlap=8)
+
+    def _skey(t: pa.Table) -> pa.Table:
+        sk = t.column("doc_id").to_numpy(zero_copy_only=False) * 1000 + \
+            t.column("chunk_id").to_numpy(zero_copy_only=False)
+        return t.drop_columns(["start_tok"]).append_column(
+            "skey", pa.array(sk.astype(np.int64)))
+
+    sharded = shard_shuffle(chunks.map_batches(_skey, batch_format="pyarrow"),
+                            "skey", 4, salt="out")
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["skey"])
+
+    return _to_table(sharded.map_batches(_final, batch_format="pyarrow"))
+
+
 def _q_hll_registers(sf_dir: str):
     """The mergeable HyperLogLog sketch itself (bucket, max-rank register) —
     md5 hash family, bucket = low 10 bits, rank = leading zeros of the top
@@ -1516,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": _q_hash_sample_documents,
         "stratified_sample_documents": _q_stratified_sample,
         "shard_shuffle_documents": _q_shard_shuffle,
+        "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2443,6 +2501,42 @@ FROM w
         "hash_sample_documents": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':s1') % 1000000 < 250000
+""",
+        "corpus_clean_pipeline": """WITH RECURSIVE docs_f AS (
+  SELECT doc_id, text, lang FROM documents WHERE n_chars >= 150),
+""" + _MD5_JAC_CTES.replace("WITH t AS", "t AS")
+                   .replace("FROM documents", "FROM docs_f") + """,
+vpairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.5),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+          UNION SELECT doc_b, doc_a FROM vpairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+keepers AS (
+  SELECT d.doc_id FROM docs_f d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
+samp AS (
+  SELECT d.doc_id, d.text FROM docs_f d JOIN keepers k ON k.doc_id = d.doc_id
+  WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':mix') % 1000000 <
+    CASE d.lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                WHEN 'fr' THEN 500000 WHEN 'es' THEN 0 ELSE 750000 END),
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM samp WHERE trim(text) <> ''),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS s FROM w),
+ch AS (SELECT doc_id, (s // 24)::BIGINT AS chunk_id,
+              least(32, len(ws) - s)::BIGINT AS n_chunk_tokens,
+              array_to_string(ws[s + 1 : s + 32], ' ') AS chunk_text FROM c),
+hs AS (SELECT *, doc_id * 1000 + chunk_id AS skey FROM ch),
+shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
+              (md5_number_lower(CAST(skey AS VARCHAR) || ':out') % 4)::BIGINT AS shard,
+              md5_number_lower(CAST(skey AS VARCHAR) || ':out#pos') AS h2
+       FROM hs)
+SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
+FROM shl
 """,
         "hll_registers_events": """
 WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv
