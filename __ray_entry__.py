@@ -1356,6 +1356,28 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_bloom_orders(sf_dir: str):
+    """Broadcast Bloom-filter semi-join: orders filtered by a 4096-bit/4-hash
+    filter built from low-nation customer keys.  Bits are md5-derived, so
+    membership INCLUDING the filter's false positives is a deterministic
+    pure function of the key sets — the oracle reproduces the exact kept set
+    (the bits sized small on purpose so FPs occur and are pinned)."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray import bloom_build, bloom_semi_join
+    cust = _rpc(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"])
+    build = cust.map_batches(
+        lambda t: t.filter(pc.less(t.column("c_nationkey"), 5))
+        .select(["c_custkey"]), batch_format="pyarrow")
+    bits = bloom_build(build, "c_custkey", num_bits=4096, num_hashes=4,
+                       salt="bl")
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    return _to_table(bloom_semi_join(orders, "o_custkey", bits,
+                                     num_hashes=4, salt="bl"))
+
+
 def _q_corpus_clean_pipeline(sf_dir: str):
     """Five-stage end-to-end training-corpus pipeline, oracle-checked as ONE
     composition: quality gate (n_chars) → fuzzy cluster dedup (md5
@@ -1574,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": _q_stratified_sample,
         "shard_shuffle_documents": _q_shard_shuffle,
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
+        "bloom_orders_filter": _q_bloom_orders,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2537,6 +2560,22 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "bloom_orders_filter": """
+WITH bk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey < 5),
+iv AS (SELECT unnest(range(4)) AS i),
+bits AS (SELECT DISTINCT
+           md5_number_lower(CAST(c_custkey AS VARCHAR) || ':bl#'
+                            || CAST(i AS VARCHAR)) % 4096 AS b
+         FROM bk CROSS JOIN iv),
+pr AS (SELECT o_orderkey, o_custkey,
+              md5_number_lower(CAST(o_custkey AS VARCHAR) || ':bl#'
+                               || CAST(i AS VARCHAR)) % 4096 AS b
+       FROM orders CROSS JOIN iv)
+SELECT pr.o_orderkey, pr.o_custkey
+FROM pr LEFT JOIN bits bt ON bt.b = pr.b
+GROUP BY pr.o_orderkey, pr.o_custkey
+HAVING count(bt.b) = 4
 """,
         "hll_registers_events": """
 WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv

@@ -120,3 +120,77 @@ def approx_distinct(ds, col: str, *, precision: int = 10,
             [int(np.count_nonzero(regs))], pa.int64()),
         "precision": pa.array([precision], pa.int64()),
     })
+
+
+def bloom_build(ds, col: str, *, num_bits: int = 1 << 20,
+                num_hashes: int = 4, salt: str = "bl") -> np.ndarray:
+    """Build a Bloom filter over ``col``: packed uint8 bitset of
+    ``num_bits`` bits (num_bits/8 bytes on the driver — 128 KiB at the
+    default 2^20).  Per-block partial bitsets OR-fold, so the build is one
+    streaming pass with constant-size combine traffic, like the HLL sketch.
+
+    Bit positions are ``md5(str(key) || ':<salt>#<i>') % num_bits`` for
+    i in range(num_hashes) — the same DuckDB-equal hash family as
+    functions/sampling.py, so membership (INCLUDING false positives) is a
+    deterministic pure function of the key sets and reproduces exactly in
+    SQL."""
+    import ray
+
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+
+    def _p(t: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits, dtype=bool)
+        if t.num_rows:
+            for i in range(num_hashes):
+                pos = _key_hashes(t.column(col), f"{salt}#{i}") \
+                    % np.uint64(num_bits)
+                bits[pos.astype(np.int64)] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        _p, batch_format="pyarrow").materialize()
+    packed = np.zeros(num_bits // 8, dtype=np.uint8)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue
+        for blob in t.column("bits").to_pylist():
+            packed |= np.frombuffer(blob, dtype=np.uint8)
+    return packed
+
+
+def bloom_semi_join(ds, col: str, packed_bits, *, num_hashes: int = 4,
+                    salt: str = "bl"):
+    """Keep rows whose key passes the Bloom filter (all ``num_hashes`` bit
+    positions set) — the compact broadcast semi-join for key sets too large
+    for ``semi_join_filter``'s exact sorted array: the filter ships ONCE via
+    ``ray.put`` (bits/8 bytes however many build keys) and every probe block
+    streams with no shuffle.  May keep false positives — deterministically,
+    so the operator is still exactly SQL-checkable; compose with an exact
+    join downstream when exactness is required (the classic two-phase
+    filter-then-join at scale)."""
+    import ray
+
+    packed = np.asarray(packed_bits, dtype=np.uint8)
+    num_bits = packed.shape[0] * 8
+    ref = ray.put(packed)
+
+    class _F:
+        def __init__(self):
+            self.bits = ray.get(ref)
+            self.__name__ = "bloom_semi_join"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            keep = np.ones(t.num_rows, dtype=bool)
+            for i in range(num_hashes):
+                pos = (_key_hashes(t.column(col), f"{salt}#{i}")
+                       % np.uint64(num_bits)).astype(np.int64)
+                # MSB-first bit order == np.packbits
+                keep &= (self.bits[pos >> 3] >> (7 - (pos & 7))) & 1 == 1
+            return t.filter(pa.array(keep))
+
+    return ds.map_batches(_F(), batch_format="pyarrow")

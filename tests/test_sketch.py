@@ -71,3 +71,53 @@ class TestHll:
         regs[:10] = 3
         e1 = hll_estimate(regs)
         assert e1 > 0
+
+
+class TestBloom:
+    def _ds(self, keys, parts=4):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(parts)
+
+    def test_no_false_negatives(self):
+        from graph_data_science_ray.functions.sketch import (bloom_build,
+                                                             bloom_semi_join)
+        build = [f"m{i}" for i in range(2000)]
+        bits = bloom_build(self._ds(build), "k", num_bits=1 << 16)
+        kept = bloom_semi_join(self._ds(build, parts=7), "k", bits) \
+            .to_pandas().k.tolist()
+        assert sorted(kept) == sorted(build)  # every member passes
+
+    def test_deterministic_false_positives(self):
+        from graph_data_science_ray.functions.sketch import (bloom_build,
+                                                             bloom_semi_join)
+        build = [f"m{i}" for i in range(500)]
+        probe = [f"p{i}" for i in range(5000)]
+        bits = bloom_build(self._ds(build), "k", num_bits=2048, num_hashes=3)
+        k1 = bloom_semi_join(self._ds(probe, 3), "k", bits, num_hashes=3) \
+            .to_pandas().k.tolist()
+        k2 = bloom_semi_join(self._ds(probe, 11), "k", bits, num_hashes=3) \
+            .to_pandas().k.tolist()
+        assert sorted(k1) == sorted(k2)      # FPs are layout-independent
+        assert 0 < len(k1) < len(probe)      # tight filter: some FPs, not all
+
+    def test_build_layout_invariant(self):
+        from graph_data_science_ray.functions.sketch import bloom_build
+        keys = [f"m{i}" for i in range(3000)]
+        a = bloom_build(self._ds(keys, 1), "k", num_bits=1 << 14)
+        b = bloom_build(self._ds(keys, 13), "k", num_bits=1 << 14)
+        assert np.array_equal(a, b)
+
+    def test_fp_rate_reasonable(self):
+        from graph_data_science_ray.functions.sketch import (bloom_build,
+                                                             bloom_semi_join)
+        build = [f"m{i}" for i in range(1000)]
+        probe = [f"p{i}" for i in range(20000)]
+        bits = bloom_build(self._ds(build), "k", num_bits=1 << 16)
+        kept = bloom_semi_join(self._ds(probe), "k", bits).count()
+        # theoretical FP ~ (1-exp(-4*1000/65536))^4 ~ 1.2e-5 -> expect ~0
+        assert kept < 40
+
+    def test_num_bits_validation(self):
+        from graph_data_science_ray.functions.sketch import bloom_build
+        with pytest.raises(ValueError):
+            bloom_build(self._ds(["a"]), "k", num_bits=1001)
