@@ -1356,6 +1356,20 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_cms_customer_orders(sf_dir: str):
+    """Count-Min estimated order count per customer: (512×4) sketch built
+    over orders.o_custkey in one streaming pass (constant-size sum-fold
+    partials), then broadcast-probed by the customer table.  Counters are
+    exact integers — the whole sketch, collisions included, reproduces in
+    SQL as 4 GROUP BYs + a min over the probe's cells."""
+    from graph_data_science_ray import cms_build, cms_lookup
+    orders = _rpc(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    m = cms_build(orders, "o_custkey", width=512, depth=4, salt="cms")
+    cust = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return _to_table(cms_lookup(cust, "c_custkey", m, salt="cms",
+                                est_col="est_orders"))
+
+
 def _q_bloom_orders(sf_dir: str):
     """Broadcast Bloom-filter semi-join: orders filtered by a 4096-bit/4-hash
     filter built from low-nation customer keys.  Bits are md5-derived, so
@@ -1597,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle_documents": _q_shard_shuffle,
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "bloom_orders_filter": _q_bloom_orders,
+        "cms_customer_orders": _q_cms_customer_orders,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2560,6 +2575,21 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "cms_customer_orders": """
+WITH iv AS (SELECT unnest(range(4)) AS i),
+cnt AS (SELECT i,
+               md5_number_lower(CAST(o_custkey AS VARCHAR) || ':cms#'
+                                || CAST(i AS VARCHAR)) % 512 AS c,
+               count(*) AS n
+        FROM orders CROSS JOIN iv GROUP BY 1, 2),
+pr AS (SELECT c_custkey, i,
+              md5_number_lower(CAST(c_custkey AS VARCHAR) || ':cms#'
+                               || CAST(i AS VARCHAR)) % 512 AS c
+       FROM customer CROSS JOIN iv)
+SELECT pr.c_custkey, min(COALESCE(cnt.n, 0))::BIGINT AS est_orders
+FROM pr LEFT JOIN cnt ON cnt.i = pr.i AND cnt.c = pr.c
+GROUP BY pr.c_custkey
 """,
         "bloom_orders_filter": """
 WITH bk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey < 5),

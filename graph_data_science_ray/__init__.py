@@ -77,7 +77,8 @@ from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
                                    image_feature, synthetic_media_table)
 from .functions.sketch import (approx_distinct, bloom_build,
-                               bloom_semi_join, hll_estimate, hll_registers)
+                               bloom_semi_join, cms_build, cms_lookup,
+                               hll_estimate, hll_registers)
 from .functions import util as gds_util
 
 __all__ = [
@@ -112,7 +113,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
-    "approx_distinct", "bloom_build", "bloom_semi_join",
+    "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",

@@ -194,3 +194,67 @@ def bloom_semi_join(ds, col: str, packed_bits, *, num_hashes: int = 4,
             return t.filter(pa.array(keep))
 
     return ds.map_batches(_F(), batch_format="pyarrow")
+
+
+def cms_build(ds, col: str, *, width: int = 512, depth: int = 4,
+              salt: str = "cms") -> np.ndarray:
+    """Count-Min sketch over ``col``: a (depth, width) int64 counter matrix
+    (depth·width·8 bytes on the driver — 16 KiB at the defaults).  Per-block
+    partial matrices SUM-fold (associative), so the build is one streaming
+    pass with constant-size combine traffic.  Row i hashes with
+    ``md5(str(key) || ':<salt>#<i>') % width`` — counters are exact integers
+    and reproduce in SQL as d GROUP BYs."""
+    import ray
+
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be positive")
+
+    def _p(t: pa.Table) -> pa.Table:
+        m = np.zeros((depth, width), dtype=np.int64)
+        if t.num_rows:
+            for i in range(depth):
+                pos = (_key_hashes(t.column(col), f"{salt}#{i}")
+                       % np.uint64(width)).astype(np.int64)
+                np.add.at(m[i], pos, 1)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        _p, batch_format="pyarrow").materialize()
+    out = np.zeros((depth, width), dtype=np.int64)
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue
+        for blob in t.column("m").to_pylist():
+            out += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return out
+
+
+def cms_lookup(ds, col: str, counts, *, salt: str = "cms",
+               est_col: str = "est"):
+    """Append ``est_col`` = Count-Min frequency estimate of each row's key
+    (min over the depth rows — an upper bound on the true count, exact when
+    the key's cells are collision-free).  The counter matrix broadcasts once
+    via ``ray.put``; probe blocks stream with no shuffle."""
+    import ray
+
+    counts = np.asarray(counts, dtype=np.int64)
+    depth, width = counts.shape
+    ref = ray.put(counts)
+
+    class _L:
+        def __init__(self):
+            self.m = ray.get(ref)
+            self.__name__ = "cms_lookup"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(est_col, pa.array([], pa.int64()))
+            est = np.full(t.num_rows, np.iinfo(np.int64).max, dtype=np.int64)
+            for i in range(depth):
+                pos = (_key_hashes(t.column(col), f"{salt}#{i}")
+                       % np.uint64(width)).astype(np.int64)
+                est = np.minimum(est, self.m[i][pos])
+            return t.append_column(est_col, pa.array(est))
+
+    return ds.map_batches(_L(), batch_format="pyarrow")

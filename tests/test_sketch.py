@@ -121,3 +121,41 @@ class TestBloom:
         from graph_data_science_ray.functions.sketch import bloom_build
         with pytest.raises(ValueError):
             bloom_build(self._ds(["a"]), "k", num_bits=1001)
+
+
+class TestCountMin:
+    def _ds(self, keys, parts=4):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(parts)
+
+    def test_upper_bound_and_exactness_when_wide(self):
+        from graph_data_science_ray.functions.sketch import cms_build, cms_lookup
+        keys = [f"k{i % 50}" for i in range(5000)]  # each key 100 times
+        m = cms_build(self._ds(keys), "k", width=1 << 14, depth=4)
+        probe = self._ds([f"k{i}" for i in range(50)], parts=2)
+        est = cms_lookup(probe, "k", m, est_col="est").to_pandas()
+        # wide sketch, 50 keys: collisions effectively impossible
+        assert (est.est == 100).all()
+
+    def test_never_underestimates(self):
+        from graph_data_science_ray.functions.sketch import cms_build, cms_lookup
+        import collections
+        keys = [f"k{i % 37}" for i in range(3700)]
+        truth = collections.Counter(keys)
+        m = cms_build(self._ds(keys, 9), "k", width=64, depth=3)  # collisions
+        est = cms_lookup(self._ds(sorted(truth), 2), "k", m,
+                         est_col="est").to_pandas().set_index("k")
+        for k, n in truth.items():
+            assert est.loc[k].est >= n
+
+    def test_layout_invariant(self):
+        from graph_data_science_ray.functions.sketch import cms_build
+        keys = [f"k{i % 20}" for i in range(2000)]
+        a = cms_build(self._ds(keys, 1), "k", width=128, depth=2)
+        b = cms_build(self._ds(keys, 13), "k", width=128, depth=2)
+        assert np.array_equal(a, b)
+
+    def test_validation(self):
+        from graph_data_science_ray.functions.sketch import cms_build
+        with pytest.raises(ValueError):
+            cms_build(self._ds(["a"]), "k", width=0)
