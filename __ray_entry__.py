@@ -1397,56 +1397,18 @@ def _q_corpus_clean_pipeline(sf_dir: str):
     composition: quality gate (n_chars) → fuzzy cluster dedup (md5
     MinHash-LSH pairs → WCC → min-id representative) → stratified language
     mixture → context-window chunking (32/8) → deterministic shard+shuffle.
-    Every stage is the engine's public operator; the oracle chains their SQL
-    forms (recursive closure included), so the hash-compare pins the whole
-    pipeline's row set, chunk text AND final (shard, pos) layout."""
-    import pyarrow.compute as pc
-
-    from graph_data_science_ray import (chunk_documents, cluster_dedup,
-                                        hash_join, minhash_md5_near_dups,
-                                        shard_shuffle, stratified_sample)
+    Every stage is the engine's public operator (pipelines/corpus_clean.py);
+    the oracle chains their SQL forms (recursive closure included), so the
+    hash-compare pins the whole pipeline's row set, chunk text AND final
+    (shard, pos) layout."""
+    from graph_data_science_ray import clean_corpus
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).repartition(16)
-
-    def _gate(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n_chars"), 150)) \
-            .drop_columns(["n_chars"])
-
-    gated = docs.map_batches(_gate, batch_format="pyarrow")
-
-    pairs = minhash_md5_near_dups(gated.select_columns(["doc_id", "text"]),
-                                  num_perms=16, num_bands=4, threshold=0.5)
-    assign = cluster_dedup(gated.select_columns(["doc_id"]), pairs)
-
-    def _keepers(t: pa.Table) -> pa.Table:
-        return t.filter(t.column("kept")).select(["doc_id"])
-
-    keepers = assign.map_batches(_keepers, batch_format="pyarrow")
-    kept = hash_join(
-        gated, keepers, "doc_id", num_buckets=16,
-        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
-                               ("lang", pa.string())]),
-        right_schema=pa.schema([("doc_id", pa.int64())]))
-
-    samp = stratified_sample(kept, "doc_id", "lang",
-                             {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.0},
-                             default=0.75, salt="mix")
-    chunks = chunk_documents(samp.select_columns(["doc_id", "text"]), 32,
-                             overlap=8)
-
-    def _skey(t: pa.Table) -> pa.Table:
-        sk = t.column("doc_id").to_numpy(zero_copy_only=False) * 1000 + \
-            t.column("chunk_id").to_numpy(zero_copy_only=False)
-        return t.drop_columns(["start_tok"]).append_column(
-            "skey", pa.array(sk.astype(np.int64)))
-
-    sharded = shard_shuffle(chunks.map_batches(_skey, batch_format="pyarrow"),
-                            "skey", 4, salt="out")
-
-    def _final(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["skey"])
-
-    return _to_table(sharded.map_batches(_final, batch_format="pyarrow"))
+    out = clean_corpus(docs, min_chars=150, pair_family="md5",
+                       mixture={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.0},
+                       default_frac=0.75, chunk_tokens=32, chunk_overlap=8,
+                       num_shards=4)
+    return _to_table(out)
 
 
 def _q_hll_registers(sf_dir: str):

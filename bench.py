@@ -209,6 +209,22 @@ def run_bench() -> dict:
         q(SF_DIR)
         timings[name] = time.perf_counter() - t0
 
+    # 6. the five-stage corpus cleaner end-to-end on the PRODUCTION hash
+    #    family (blake2b minhash; the md5 twin is the oracle-checked driver
+    #    query): gate → cluster dedup → mixture → chunk → shard+shuffle
+    from graph_data_science_ray import clean_corpus
+    from graph_data_science_ray.sources.io import read_parquet_clean
+    t0 = time.perf_counter()
+    docs = read_parquet_clean(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"]).repartition(16)
+    cleaned = clean_corpus(docs, min_chars=150,
+                           mixture={"en": 1.0, "de": 0.5, "fr": 0.5,
+                                    "es": 0.0}, default_frac=0.75,
+                           chunk_tokens=32, chunk_overlap=8, num_shards=8)
+    extra["corpus_clean_chunks"] = cleaned.count()
+    timings["corpus_clean"] = time.perf_counter() - t0
+
     ray.shutdown()
     extra["vm_canary_sec_after"] = _vm_canary()
     total = sum(timings.values())

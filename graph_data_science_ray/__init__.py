@@ -69,6 +69,7 @@ from .functions.pairwise import (add_pairwise_similarity, as_vector,
                                  similarity_jaccard, similarity_overlap,
                                  similarity_pearson)
 from .pipelines.windows import tumbling_window, sessionize, hopping_window
+from .pipelines.corpus_clean import clean_corpus
 from .functions.sampling import (hash_sample, hash_split,
                                  sample_sql_predicate, shard_shuffle,
                                  stratified_sample,
@@ -114,6 +115,7 @@ __all__ = [
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
+    "clean_corpus",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
