@@ -1356,6 +1356,15 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_unigram_lm_scores(sf_dir: str):
+    """Unigram LM quality signal (the library-free perplexity-filter
+    analogue): distributed term counting (term-hash exchange), model
+    broadcast once, streaming per-doc mean negative log-probability."""
+    from graph_data_science_ray import unigram_lm_scores
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(8)
+    return _to_table(unigram_lm_scores(docs))
+
+
 def _q_cms_customer_orders(sf_dir: str):
     """Count-Min estimated order count per customer: (512×4) sketch built
     over orders.o_custkey in one streaming pass (constant-size sum-fold
@@ -1574,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_pipeline": _q_corpus_clean_pipeline,
         "bloom_orders_filter": _q_bloom_orders,
         "cms_customer_orders": _q_cms_customer_orders,
+        "unigram_lm_scores": _q_unigram_lm_scores,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2537,6 +2547,18 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "unigram_lm_scores": """
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split(lower(text), ' '),
+                                       w -> w <> '')) AS term
+             FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+n AS (SELECT sum(c)::DOUBLE AS n FROM cnt)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(-avg(ln(c / (SELECT n FROM n))), 6) AS avg_neg_logprob
+FROM tok t JOIN cnt USING (term)
+GROUP BY t.doc_id
 """,
         "cms_customer_orders": """
 WITH iv AS (SELECT unnest(range(4)) AS i),

@@ -487,3 +487,123 @@ def chunk_documents(docs_ds, max_tokens: int, *, overlap: int = 0,
             "chunk_text": pa.array(out_text, pa.string())})
 
     return docs_ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def corpus_term_counts(docs_ds, *, text_col: str = "text",
+                       num_buckets: int = 0):
+    """Global term → count over the corpus (the ``vocab_top_terms`` family
+    without the top-k cut): per-batch Arrow ``value_counts`` partials, a
+    term-hash exchange so each term's total lands in exactly one partition,
+    per-partition sum.  Returns the counts as a Dataset (term, cnt)."""
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import exchange
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(batch.column(text_col)), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks.combine_chunks()
+                             if isinstance(toks, pa.ChunkedArray) else toks)
+        return pa.table({"term": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    partial = docs_ds.map_batches(_partial, batch_format="pyarrow")
+    if num_buckets <= 0:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(docs_ds))
+
+    from zlib import crc32
+
+    def _part(t: pa.Table) -> np.ndarray:
+        return np.asarray([crc32(x.encode()) % num_buckets
+                           for x in t.column("term").to_pylist()],
+                          dtype=np.int64)
+
+    def _sum(p: int, g: pa.Table) -> pa.Table:
+        return g.group_by(["term"]).aggregate([("cnt", "sum")]) \
+            .rename_columns(["term", "cnt"])
+
+    return exchange(partial, _part, num_buckets, combine=_sum)
+
+
+def unigram_lm_scores(docs_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", counts=None,
+                      pseudo_count: float = 0.5):
+    """Unigram language-model quality signal — the library-free analogue of
+    the perplexity filter (CCNet-style): per document, the mean negative
+    log-probability of its tokens under the corpus unigram distribution.
+    High score = tokens rare in the corpus = "surprising" text.
+
+    Returns (id_col, n_tokens, avg_neg_logprob); documents with no tokens
+    are dropped (no distribution to score under).  ``counts`` may be a
+    precomputed (term, cnt) table/Dataset (e.g. pruned, or from a reference
+    corpus — OOV terms then score ``ln(pseudo_count / N)``); by default the
+    model is trained on ``docs_ds`` itself in one distributed counting pass.
+
+    Scale shape: counting is the term-hash-exchange family (shuffle carries
+    distinct (term, cnt) partials, never text); the trained model broadcasts
+    ONCE via ``ray.put`` as two sorted arrays and scoring streams with no
+    shuffle.  At web scale prune the vocab (min count) before broadcast —
+    the pseudo-count floor keeps semantics defined.  Deterministic and
+    SQL-exact: numpy log == DuckDB ln at the compare precision."""
+    import ray
+
+    if counts is None:
+        counts = corpus_term_counts(docs_ds, text_col=text_col)
+    if hasattr(counts, "to_arrow_refs"):
+        from ..stages.blocks import nonempty_arrow_refs
+        refs, _ = nonempty_arrow_refs(counts)
+        tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+        counts = pa.concat_tables(tabs) if tabs else pa.table(
+            {"term": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())})
+    terms = np.asarray(counts.column("term").to_pylist(), dtype=object)
+    cnts = counts.column("cnt").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    order = np.argsort(terms)
+    terms, cnts = terms[order], cnts[order]
+    total = float(cnts.sum())
+    t_ref, c_ref = ray.put(terms), ray.put(cnts)
+
+    class _Score:
+        def __init__(self):
+            self.terms = ray.get(t_ref)
+            self.cnts = ray.get(c_ref)
+            self.__name__ = "unigram_lm_scores"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            lists = pc.split_pattern(
+                pc.utf8_lower(batch.column(text_col)), " ")
+            flat = pc.list_flatten(lists)
+            nonempty = pc.not_equal(flat, "")
+            # per-doc token counts AFTER dropping empty strings
+            lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(lens.shape[0]), lens)
+            keep = nonempty.to_numpy(zero_copy_only=False)
+            doc_idx = doc_idx[keep]
+            toks = np.asarray(flat.filter(nonempty).to_pylist(), dtype=object)
+            if self.terms.shape[0]:
+                pos = np.searchsorted(self.terms, toks)
+                posc = np.minimum(pos, self.terms.shape[0] - 1)
+                hit = self.terms[posc] == toks
+                c = np.where(hit, self.cnts[posc], pseudo_count)
+            else:
+                c = np.full(toks.shape[0], pseudo_count)
+            logp = np.log(c / total) if total > 0 else np.zeros(0)
+            n_docs = batch.num_rows
+            sums = np.zeros(n_docs, dtype=np.float64)
+            ntok = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(sums, doc_idx, logp)
+            np.add.at(ntok, doc_idx, 1)
+            has = ntok > 0
+            score = np.zeros(n_docs, dtype=np.float64)
+            score[has] = -sums[has] / ntok[has]
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: ids[has],
+                "n_tokens": pa.array(ntok[has]),
+                "avg_neg_logprob": pa.array(np.round(score[has], 6))})
+
+    return docs_ds.map_batches(_Score(), batch_format="pyarrow")

@@ -217,3 +217,52 @@ SELECT doc_id, s // 5 AS chunk_id, s AS start_tok,
        array_to_string(ws[s + 1 : s + 8], ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_id""").df()
         pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+class TestUnigramLm:
+    def _ds(self, texts, parts=3):
+        import ray.data as rd
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({
+            "doc_id": list(range(len(texts))), "text": texts})).repartition(parts)
+
+    def test_known_distribution(self):
+        import numpy as np
+        from graph_data_science_ray.functions.text import unigram_lm_scores
+        # corpus: "a" x3, "b" x1 -> p(a)=3/4, p(b)=1/4
+        out = unigram_lm_scores(self._ds(["a a b", "a"])) \
+            .to_pandas().set_index("doc_id")
+        import math
+        pa_, pb = 3 / 4, 1 / 4
+        want0 = -(2 * math.log(pa_) + math.log(pb)) / 3
+        assert abs(out.loc[0].avg_neg_logprob - round(want0, 6)) < 1e-9
+        assert abs(out.loc[1].avg_neg_logprob - round(-math.log(pa_), 6)) < 1e-9
+        assert out.loc[0].n_tokens == 3 and out.loc[1].n_tokens == 1
+
+    def test_empty_docs_dropped_and_layout_invariant(self):
+        from graph_data_science_ray.functions.text import unigram_lm_scores
+        texts = ["x y z", "", "   ", "x x"]
+        a = unigram_lm_scores(self._ds(texts, 1)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = unigram_lm_scores(self._ds(texts, 4)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.doc_id.tolist() == [0, 3]  # empty/whitespace docs dropped
+        assert a.equals(b)
+
+    def test_external_counts_and_oov_floor(self):
+        import math
+        import pyarrow as pa
+        from graph_data_science_ray.functions.text import unigram_lm_scores
+        counts = pa.table({"term": ["known"], "cnt": [10]})
+        out = unigram_lm_scores(self._ds(["known oovword"]), counts=counts,
+                                pseudo_count=0.5).to_pandas()
+        want = -(math.log(10 / 10) + math.log(0.5 / 10)) / 2
+        assert abs(out.avg_neg_logprob[0] - round(want, 6)) < 1e-9
+
+    def test_rare_tokens_score_higher(self):
+        from graph_data_science_ray.functions.text import unigram_lm_scores
+        common = " ".join(["the"] * 20)
+        rare = "zqx wvu jkl"
+        out = unigram_lm_scores(self._ds([common] * 5 + [rare])) \
+            .to_pandas().set_index("doc_id")
+        assert out.loc[5].avg_neg_logprob > out.loc[0].avg_neg_logprob
