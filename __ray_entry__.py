@@ -1356,6 +1356,13 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-ish (GPT-2 pre-tokenizer) token counts via Arrow's RE2 C kernel —
+    the same regex engine DuckDB runs, so counts are engine-equal."""
+    from graph_data_science_ray import bpe_token_counts
+    return _to_table(bpe_token_counts(_docs(sf_dir, ["doc_id", "text"])))
+
+
 def _q_unigram_lm_scores(sf_dir: str):
     """Unigram LM quality signal (the library-free perplexity-filter
     analogue): distributed term counting (term-hash exchange), model
@@ -1584,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_orders_filter": _q_bloom_orders,
         "cms_customer_orders": _q_cms_customer_orders,
         "unigram_lm_scores": _q_unigram_lm_scores,
+        "bpe_token_counts": _q_bpe_token_counts,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2547,6 +2555,12 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "bpe_token_counts": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+       AS n_bpe_tokens
+FROM documents
 """,
         "unigram_lm_scores": """
 WITH tok AS (SELECT doc_id,

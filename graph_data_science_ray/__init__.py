@@ -56,7 +56,8 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
                              RepetitionStats, repetition_filter, tfidf_top_terms,
                              json_extract_scalar, redact_pii, chunk_documents,
-                             corpus_term_counts, unigram_lm_scores)
+                             corpus_term_counts, unigram_lm_scores,
+                             bpe_token_counts, BPE_PRETOKEN_PATTERN)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions)
 from .functions.joins import hash_join, semi_join_filter
@@ -117,6 +118,7 @@ __all__ = [
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores",
+    "bpe_token_counts", "BPE_PRETOKEN_PATTERN",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",

@@ -607,3 +607,30 @@ def unigram_lm_scores(docs_ds, *, text_col: str = "text",
                 "avg_neg_logprob": pa.array(np.round(score[has], 6))})
 
     return docs_ds.map_batches(_Score(), batch_format="pyarrow")
+
+
+#: GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead — RE2 has
+#: none, so the trailing-space refinement of the original GPT-2 pattern is
+#: omitted; contractions, letter runs, digit runs, punctuation runs and
+#: whitespace runs are split identically).  Shared VERBATIM with the DuckDB
+#: oracle — both Arrow and DuckDB execute RE2, so counts are engine-equal.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(docs_ds, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     pattern: str = BPE_PRETOKEN_PATTERN):
+    """Per-document BPE-ish token count: the GPT-2 pre-tokenizer regex run
+    as Arrow's ``count_substring_regex`` RE2 C kernel — one vectorized
+    streaming pass, no Python loop, no shuffle.  A real BPE vocab merges
+    pre-tokens downstream; the pre-token count is the standard
+    budget-estimation signal (and an upper bound on merged-BPE tokens).
+    SQL oracle: ``len(regexp_extract_all(text, <same pattern>))``."""
+    import pyarrow.compute as pc
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col), pattern)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_bpe_tokens": n.cast(pa.int64())})
+
+    return docs_ds.map_batches(_count, batch_format="pyarrow")

@@ -266,3 +266,22 @@ class TestUnigramLm:
         out = unigram_lm_scores(self._ds([common] * 5 + [rare])) \
             .to_pandas().set_index("doc_id")
         assert out.loc[5].avg_neg_logprob > out.loc[0].avg_neg_logprob
+
+
+class TestBpeTokenCounts:
+    def test_known_counts_and_duckdb_equal(self):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+        from graph_data_science_ray.functions.text import (
+            BPE_PRETOKEN_PATTERN, bpe_token_counts)
+        texts = ["I'm here, we'll go 42 times!", "  hello   world  ", "",
+                 "naïve café 3.14", "a'b''c"]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                     "text": texts})).repartition(2)
+        out = bpe_token_counts(ds).to_pandas().sort_values("doc_id")
+        want = duckdb.connect().execute(
+            "select len(regexp_extract_all(t, ?)) from (select unnest(?) as t)",
+            [BPE_PRETOKEN_PATTERN, texts]).df().iloc[:, 0].tolist()
+        assert out.n_bpe_tokens.tolist() == want
+        assert out.n_bpe_tokens.tolist()[0] == 10  # I|'m| here|,| we|'ll| go| 42| times|!
