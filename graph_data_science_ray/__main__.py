@@ -64,7 +64,9 @@ def _build_parser():
     d.add_argument("--out", required=True, help="output partition directory")
     d.add_argument("--ops", default="dedup,repetition,redact",
                    help="comma-ORDERED stages: sample:<frac> | dedup | "
-                        "repetition | redact | chunk:<max>[:<overlap>]")
+                        "repetition | redact | chunk:<max>[:<overlap>] | "
+                        "shuffle:<shards> (deterministic global shuffle; "
+                        "must be last — output parts become the shards)")
     d.add_argument("--num-partitions", type=int, default=16)
     return p
 
@@ -78,6 +80,7 @@ def _run_data_pipeline(args) -> dict:
 
     ds = read_parquet_clean(args.input, columns=["doc_id", "text"])
     applied = []
+    shuffle_shards = None
     for op in args.ops.split(","):
         op = op.strip()
         if not op:
@@ -102,11 +105,38 @@ def _run_data_pipeline(args) -> dict:
             mx = int(params[0])
             ov = int(params[1]) if len(params) > 1 else 0
             ds = chunk_documents(ds, mx, overlap=ov)
+        elif name == "shuffle":
+            import numpy as np
+
+            import pyarrow as pa
+
+            from .functions.sampling import shard_shuffle
+            nsh = int(params[0])
+
+            def _k(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                cid = (t.column("chunk_id").to_numpy(zero_copy_only=False)
+                       if "chunk_id" in t.column_names
+                       else np.zeros(len(ids), dtype=np.int64))
+                return t.append_column(
+                    "skey", pa.array((ids * 1000 + cid).astype(np.int64)))
+
+            ds = shard_shuffle(ds.map_batches(_k, batch_format="pyarrow"),
+                               "skey", nsh, salt="cli")
+            shuffle_shards = nsh
         else:
             raise SystemExit(f"unknown data op {name!r}")
         applied.append(op)
-    man = write_partitioned_parquet(ds, args.out, "doc_id",
-                                    P=args.num_partitions)
+    if shuffle_shards is not None:
+        # rows already carry their shard: range-partition on the shard id so
+        # part NNNNN IS shard NNNNN (pruning-friendly, resumable)
+        import numpy as np
+        man = write_partitioned_parquet(
+            ds, args.out, "shard",
+            bounds=np.arange(shuffle_shards + 1, dtype=np.int64))
+    else:
+        man = write_partitioned_parquet(ds, args.out, "doc_id",
+                                        P=args.num_partitions)
     return {"out": args.out, "ops": applied, "parts": man.num_rows,
             "rows": int(sum(man.column("rows").to_pylist())),
             "skipped_parts": int(sum(man.column("skipped").to_pylist()))}

@@ -143,3 +143,33 @@ def test_data_pipeline_chunk_and_sample(tmp_path):
     assert res["rows"] == 80
     back = pq.read_table(str(tmp_path / "chunks")).to_pandas()
     assert set(back.columns) >= {"doc_id", "chunk_id", "chunk_text"}
+
+
+def test_data_pipeline_shuffle_sharding(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame({"doc_id": range(40),
+                       "text": [" ".join(f"w{i}x{j}" for j in range(12))
+                                for i in range(40)]})
+    src = tmp_path / "d.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(src))
+    out = tmp_path / "sharded"
+    res = main(["data", "--input", str(src), "--out", str(out),
+                "--ops", "chunk:8:2,shuffle:4"])
+    assert res["parts"] == 4
+    back = pq.read_table(str(out)).to_pandas()
+    assert res["rows"] == len(back)
+    # each output part IS one shard (range layout), pos dense per shard
+    for s, g in back.groupby("shard"):
+        assert sorted(g.pos.tolist()) == list(range(len(g)))
+    # deterministic: re-run into a second dir yields identical layout
+    out2 = tmp_path / "sharded2"
+    main(["data", "--input", str(src), "--out", str(out2),
+          "--ops", "chunk:8:2,shuffle:4"])
+    b2 = pq.read_table(str(out2)).to_pandas()
+    cols = sorted(back.columns)
+    assert back[cols].sort_values(cols).reset_index(drop=True).equals(
+        b2[cols].sort_values(cols).reset_index(drop=True))
