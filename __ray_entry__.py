@@ -1356,6 +1356,18 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered funnel signup → view → click → purchase: per-user depth via
+    ONE user-hash exchange + a vectorized per-partition step sweep (strict
+    time ordering, earliest-match-greedy); driver sees only per-step user
+    counts.  Oracle: iterated min-over-previous-step-time CTEs."""
+    from graph_data_science_ray.functions.funnel import funnel_counts
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"],
+                         num_buckets=8)
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """BPE-ish (GPT-2 pre-tokenizer) token counts via Arrow's RE2 C kernel —
     the same regex engine DuckDB runs, so counts are engine-equal."""
@@ -1592,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_customer_orders": _q_cms_customer_orders,
         "unigram_lm_scores": _q_unigram_lm_scores,
         "bpe_token_counts": _q_bpe_token_counts,
+        "funnel_events": _q_funnel_events,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2555,6 +2568,28 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "funnel_events": """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t
+       GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s3 ON s3.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t
+       GROUP BY e.user_id)
+SELECT * FROM (VALUES
+  (1::BIGINT, 'signup',   (SELECT count(*) FROM s1)),
+  (2::BIGINT, 'view',     (SELECT count(*) FROM s2)),
+  (3::BIGINT, 'click',    (SELECT count(*) FROM s3)),
+  (4::BIGINT, 'purchase', (SELECT count(*) FROM s4))
+) AS v(step, event_type, users_reached)
 """,
         "bpe_token_counts": """
 SELECT doc_id,

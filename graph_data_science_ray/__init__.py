@@ -79,6 +79,7 @@ from .functions.sampling import (hash_sample, hash_split,
 from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
                                    image_feature, synthetic_media_table)
+from .functions.funnel import funnel_counts, funnel_depths
 from .functions.sketch import (approx_distinct, bloom_build,
                                bloom_semi_join, cms_build, cms_lookup,
                                hll_estimate, hll_registers)
@@ -118,7 +119,7 @@ __all__ = [
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores",
-    "bpe_token_counts", "BPE_PRETOKEN_PATTERN",
+    "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
