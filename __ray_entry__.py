@@ -1356,6 +1356,19 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """Symmetric int8 embedding quantization (q = round(x·127/max|x|),
+    scale = max|x|/127) — the ANN storage scale path, exact vs SQL."""
+    from graph_data_science_ray import quantize_embeddings
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"]).repartition(8)
+    t = _to_table(quantize_embeddings(emb))
+    qs = [",".join(str(v) for v in row) for row in t.column("qvec").to_pylist()]
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "qvec": pa.array(qs, pa.string()),
+                     "scale": t.column("scale")})
+
+
 def _q_funnel_events(sf_dir: str):
     """Ordered funnel signup → view → click → purchase: per-user depth via
     ONE user-hash exchange + a vectorized per-partition step sweep (strict
@@ -1605,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_scores": _q_unigram_lm_scores,
         "bpe_token_counts": _q_bpe_token_counts,
         "funnel_events": _q_funnel_events,
+        "quantize_embeddings": _q_quantize_embeddings,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2568,6 +2582,19 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "quantize_embeddings": """
+WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings)
+SELECT vec_id,
+       array_to_string(CASE WHEN mx = 0
+                            THEN list_transform(embedding, x -> 0::TINYINT)
+                            ELSE list_transform(embedding,
+                                 x -> round(x * 127 / mx)::TINYINT) END,
+                       ',') AS qvec,
+       round(mx / 127, 6) AS scale
+FROM m
 """,
         "funnel_events": """
 WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events

@@ -51,7 +51,8 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               embedding_dup_pairs_lsh, add_ngram_jaccard,
                               ngram_contamination, cluster_dedup)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
-                                   train_ivf_centroids, ivf_partition)
+                                   train_ivf_centroids, ivf_partition,
+                                   quantize_embeddings)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
                              RepetitionStats, repetition_filter, tfidf_top_terms,
@@ -118,7 +119,7 @@ __all__ = [
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
-    "clean_corpus", "corpus_term_counts", "unigram_lm_scores",
+    "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",

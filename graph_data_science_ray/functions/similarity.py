@@ -256,3 +256,34 @@ def ivf_topk(emb_ds, query_vec: np.ndarray, k: int = 10, *,
         .drop_columns(["ivf_list"]),
         batch_format="pyarrow")
     return cosine_topk(cand, q, k, exclude_id=exclude_id)
+
+
+def quantize_embeddings(emb_ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Symmetric int8 quantization per vector — the embedding-storage scale
+    path (4-8× smaller ANN shards; score int8 dot products, rescale by
+    scale_a·scale_b): ``q = round(x · 127 / max|x|)`` (SQL half-away
+    rounding), ``scale = max|x| / 127``; all-zero vectors quantize to zeros
+    with scale 0.  One streaming vectorized pass, no shuffle; arithmetic
+    order (x·127)/m matches the SQL oracle term for term."""
+    from .compat import round_half_away
+
+    def _q(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        flat = np.asarray(col.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        n = t.num_rows
+        dim = flat.shape[0] // max(n, 1) if n else 0
+        x = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        m = np.abs(x).max(axis=1) if dim else np.zeros(n)
+        safe = np.where(m == 0, 1.0, m)
+        q = round_half_away(x * 127.0 / safe[:, None], 0).astype(np.int8)
+        q[m == 0] = 0
+        return pa.table({
+            id_col: t.column(id_col),
+            "qvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), pa.int8()), dim).cast(
+                pa.list_(pa.int8())),
+            "scale": pa.array(round_half_away(m / 127.0, 6))})
+
+    return emb_ds.map_batches(_q, batch_format="pyarrow")

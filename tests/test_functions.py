@@ -632,3 +632,35 @@ class TestClusterDedup:
         assert out.loc[1000].cluster_id == 7
         assert out.loc[2000000].cluster_id == 7
         assert out.loc[42].cluster_id == 42 and out.loc[42].kept
+
+
+class TestQuantizeEmbeddings:
+    def _ds(self, vecs, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64()))})) \
+            .repartition(parts)
+
+    def test_roundtrip_error_and_range(self):
+        from graph_data_science_ray.functions.similarity import (
+            quantize_embeddings)
+        rng = np.random.default_rng(4)
+        vecs = [list(rng.normal(0, 2, 16)) for _ in range(40)]
+        out = quantize_embeddings(self._ds(vecs)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        for i, v in enumerate(vecs):
+            q = np.asarray(out.qvec[i], dtype=np.float64)
+            s = out.scale[i]
+            assert np.abs(q).max() <= 127
+            # dequantized error bounded by half a quantization step
+            assert np.abs(q * s - np.asarray(v)).max() <= s / 2 + 1e-12
+
+    def test_zero_vector(self):
+        from graph_data_science_ray.functions.similarity import (
+            quantize_embeddings)
+        out = quantize_embeddings(self._ds([[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+                                           parts=1)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert list(out.qvec[0]) == [0, 0, 0] and out.scale[0] == 0.0
+        assert list(out.qvec[1]) == [64, -127, 32]  # 1*127/2=63.5 -> away=64
