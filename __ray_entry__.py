@@ -1356,6 +1356,33 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_knn_cosine_int8(sf_dir: str):
+    """int8-quantized brute-force cosine top-k — the memory scale path.
+    Integer dot products + double norms are deterministic on BOTH engines,
+    so the quantized kernel is fully oracle-checked (not just recall-bound):
+    the SQL reproduces quantization, dot, norms and tie-break exactly."""
+    import pyarrow.compute as pc
+
+    from graph_data_science_ray.functions.similarity import cosine_topk_int8
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    q = None
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=1024):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if hit.shape[0]:
+            q = np.asarray(b.column("embedding").to_pylist()[int(hit[0])],
+                           dtype=np.float64)
+            break
+    rest = emb.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("vec_id"), 0)),
+        batch_format="pyarrow")
+    t = cosine_topk_int8(rest, q, k=10)
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "cos_sim": pa.array(_round6(
+                         t.column("cos_sim").to_numpy(zero_copy_only=False)))})
+
+
 def _q_quantize_embeddings(sf_dir: str):
     """Symmetric int8 embedding quantization (q = round(x·127/max|x|),
     scale = max|x|/127) — the ANN storage scale path, exact vs SQL."""
@@ -1619,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "funnel_events": _q_funnel_events,
         "quantize_embeddings": _q_quantize_embeddings,
+        "knn_cosine_int8": _q_knn_cosine_int8,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2582,6 +2610,27 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "knn_cosine_int8": """
+WITH q0 AS (SELECT embedding AS e,
+                   list_max(list_transform(embedding, x -> abs(x))) AS m
+            FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT list_transform(e, x -> round(x * 127 /
+                 CASE WHEN m = 0 THEN 1 ELSE m END)) AS v FROM q0),
+rw AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(x))) AS m
+       FROM embeddings WHERE vec_id <> 0),
+rq AS (SELECT vec_id,
+              list_transform(embedding, x -> round(x * 127 /
+                 CASE WHEN m = 0 THEN 1 ELSE m END)) AS v FROM rw),
+s AS (SELECT vec_id,
+             list_dot_product(v, (SELECT v FROM qq)) /
+             ((CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1e-30
+                    ELSE sqrt(list_dot_product(v, v)) END) *
+              sqrt((SELECT list_dot_product(v, v) FROM qq))) AS sim
+      FROM rq)
+SELECT vec_id, round(sim, 6) AS cos_sim FROM s
+ORDER BY sim DESC, vec_id LIMIT 10
 """,
         "quantize_embeddings": """
 WITH m AS (SELECT vec_id, embedding,

@@ -52,7 +52,7 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               ngram_contamination, cluster_dedup)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition,
-                                   quantize_embeddings)
+                                   quantize_embeddings, cosine_topk_int8)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
                              RepetitionStats, repetition_filter, tfidf_top_terms,
@@ -120,6 +120,7 @@ __all__ = [
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
     "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
+    "cosine_topk_int8",
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",

@@ -300,3 +300,28 @@ class TestMsbfs:
         from graph_data_science_ray.pipelines.centrality import _popcount64
         x = np.array([0, 1, 3, (1 << 64) - 1, 1 << 63], dtype=np.uint64)
         np.testing.assert_array_equal(_popcount64(x), [0, 1, 2, 64, 1])
+
+
+class TestCosineTopKInt8:
+    def test_recall_vs_exact_and_sim_accuracy(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from graph_data_science_ray.functions.similarity import (
+            cosine_topk, cosine_topk_int8)
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(0, 1, (500, 24))
+        t = pa.table({"vec_id": pa.array(range(500), pa.int64()),
+                      "embedding": pa.array([list(v) for v in vecs],
+                                            pa.list_(pa.float64()))})
+        ds = rd.from_arrow(t).repartition(6)
+        q = list(rng.normal(0, 1, 24))
+        exact = cosine_topk(ds, q, k=10).to_pandas()
+        got = cosine_topk_int8(ds, q, k=10).to_pandas()
+        overlap = len(set(exact.vec_id) & set(got.vec_id))
+        assert overlap >= 8  # int8 quantization: high but not perfect recall
+        # similarity values close to the float kernel for shared ids
+        e = exact.set_index("vec_id").cos_sim
+        g = got.set_index("vec_id").cos_sim
+        for vid in set(exact.vec_id) & set(got.vec_id):
+            assert abs(e.loc[vid] - g.loc[vid]) < 0.05
