@@ -1356,6 +1356,15 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_approx_distinct_by_type(sf_dir: str):
+    """Per-group HLL: approximate distinct users per event_type, estimate
+    oracle-checked per group (same register/estimator formulas, GROUP BY)."""
+    from graph_data_science_ray import approx_distinct_by
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type"]).repartition(8)
+    return approx_distinct_by(ev, "user_id", "event_type", precision=10)
+
+
 def _q_knn_cosine_int8(sf_dir: str):
     """int8-quantized brute-force cosine top-k — the memory scale path.
     Integer dot products + double norms are deterministic on BOTH engines,
@@ -1647,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_cosine_int8": _q_knn_cosine_int8,
+        "approx_distinct_users_by_type": _q_approx_distinct_by_type,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2610,6 +2620,28 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "approx_distinct_users_by_type": """
+WITH h AS (SELECT event_type,
+                  md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv
+           FROM events),
+r AS (SELECT event_type, (hv % 1024)::BIGINT AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 55
+                  ELSE 54 - length(bin((hv >> 10)::UBIGINT)) + 1 END AS rank
+      FROM h),
+regs AS (SELECT event_type, bucket, max(rank) AS register
+         FROM r GROUP BY event_type, bucket),
+s AS (SELECT event_type, sum(power(2.0, -register)) AS snz,
+             count(*) AS nz FROM regs GROUP BY event_type),
+e AS (SELECT event_type,
+             (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+             / (snz + (1024 - nz)) AS raw,
+             1024 - nz AS zeros, nz FROM s)
+SELECT event_type,
+       round(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                  THEN 1024 * ln(1024.0 / zeros) ELSE raw END, 6) AS estimate,
+       nz::BIGINT AS nonzero_buckets
+FROM e
 """,
         "knn_cosine_int8": """
 WITH q0 AS (SELECT embedding AS e,

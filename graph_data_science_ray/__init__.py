@@ -81,7 +81,8 @@ from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
                                    image_feature, synthetic_media_table)
 from .functions.funnel import funnel_counts, funnel_depths
-from .functions.sketch import (approx_distinct, bloom_build,
+from .functions.sketch import (approx_distinct, approx_distinct_by,
+                               bloom_build,
                                bloom_semi_join, cms_build, cms_lookup,
                                hll_estimate, hll_registers)
 from .functions import util as gds_util
@@ -118,7 +119,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
-    "approx_distinct", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
+    "approx_distinct", "approx_distinct_by", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
     "cosine_topk_int8",
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths",

@@ -159,3 +159,31 @@ class TestCountMin:
         from graph_data_science_ray.functions.sketch import cms_build
         with pytest.raises(ValueError):
             cms_build(self._ds(["a"]), "k", width=0)
+
+
+class TestGroupedHll:
+    def test_per_group_equals_filtered_global(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.sketch import (approx_distinct,
+                                                             approx_distinct_by)
+        keys = [f"u{i % 97}" for i in range(2000)]
+        grps = [("a" if i % 3 else "b") for i in range(2000)]
+        ds = rd.from_arrow(pa.table({"k": keys, "g": grps})).repartition(7)
+        by = approx_distinct_by(ds, "k", "g").to_pandas().set_index("g")
+        for g in ("a", "b"):
+            import pyarrow.compute as pc
+            sub = rd.from_arrow(pa.table({
+                "k": [k for k, gg in zip(keys, grps) if gg == g]}))
+            solo = approx_distinct(sub, "k").to_pandas()
+            assert by.loc[g].estimate == solo.estimate[0]
+            assert by.loc[g].nonzero_buckets == solo.nonzero_buckets[0]
+
+    def test_layout_invariant(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.sketch import approx_distinct_by
+        keys = [f"u{i % 50}" for i in range(1000)]
+        grps = [f"g{i % 4}" for i in range(1000)]
+        t = pa.table({"k": keys, "g": grps})
+        a = approx_distinct_by(rd.from_arrow(t).repartition(1), "k", "g")
+        b = approx_distinct_by(rd.from_arrow(t).repartition(13), "k", "g")
+        assert a.equals(b)
