@@ -1356,6 +1356,15 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention matrix over the event log (cohort = ISO week of the
+    user's first event): one user-hash exchange + vectorized fold; driver
+    sums tiny (cohort, offset, n) partials."""
+    from graph_data_science_ray.functions.funnel import retention_cohorts
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev, num_buckets=8)
+
+
 def _q_approx_distinct_by_type(sf_dir: str):
     """Per-group HLL: approximate distinct users per event_type, estimate
     oracle-checked per group (same register/estimator formulas, GROUP BY)."""
@@ -1657,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "knn_cosine_int8": _q_knn_cosine_int8,
         "approx_distinct_users_by_type": _q_approx_distinct_by_type,
+        "retention_cohorts_events": _q_retention_cohorts,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2620,6 +2630,18 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "retention_cohorts_events": """
+WITH w AS (SELECT user_id,
+                  (date_diff('day', DATE '1970-01-05',
+                             date_trunc('week', ts)) // 7)::BIGINT AS wk
+           FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS off
+      FROM w JOIN f USING (user_id))
+SELECT cohort AS cohort_week, off AS week_offset,
+       count(*)::BIGINT AS active_users
+FROM a GROUP BY 1, 2
 """,
         "approx_distinct_users_by_type": """
 WITH h AS (SELECT event_type,

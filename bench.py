@@ -198,6 +198,12 @@ def run_bench() -> dict:
     extra["synthetic_edges"] = gs.num_edges
     extra["synthetic_pagerank_iterations"] = prs.ran_iterations
     extra["synthetic_edges_per_sec"] = prs.ran_iterations * gs.num_edges / best
+    # drop the 31M-edge synthetic graph (driver arrays + cached shard refs)
+    # before the sf-dir stages: a pinned ~0.5 GB object-store footprint
+    # otherwise competes with the query stages' working set
+    del prs, gs
+    import gc
+    gc.collect()
 
     # 5. TPC-H-derived graph + data-pipeline queries at $GRAFT_SF_DIR
     import __ray_entry__ as em

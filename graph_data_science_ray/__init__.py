@@ -80,7 +80,7 @@ from .functions.sampling import (hash_sample, hash_split,
 from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
                                    image_feature, synthetic_media_table)
-from .functions.funnel import funnel_counts, funnel_depths
+from .functions.funnel import funnel_counts, funnel_depths, retention_cohorts
 from .functions.sketch import (approx_distinct, approx_distinct_by,
                                bloom_build,
                                bloom_semi_join, cms_build, cms_lookup,
@@ -122,7 +122,7 @@ __all__ = [
     "approx_distinct", "approx_distinct_by", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
     "cosine_topk_int8",
-    "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths",
+    "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths", "retention_cohorts",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",

@@ -93,3 +93,69 @@ def funnel_counts(events_ds, steps, **kw):
         "event_type": pa.array(list(steps), pa.string()),
         "users_reached": pa.array(reached[1:]),
     })
+
+
+def retention_cohorts(events_ds, *, user_col: str = "user_id",
+                      ts_col: str = "ts", num_buckets: int = 0):
+    """Weekly retention matrix: cohort = ISO week (Monday-aligned index,
+    weeks since 1970-01-05) of each user's FIRST event; cell
+    (cohort_week, week_offset) counts users from that cohort active
+    ``offset`` weeks later.  One user-hash exchange (a user's whole history
+    in one partition), vectorized per-partition fold, and the driver sums
+    only the tiny per-partition (cohort, offset, n) matrices.
+    SQL oracle: date_trunc('week') + date_diff arithmetic, exact integers."""
+    import ray
+
+    from ..stages.blocks import nonempty_arrow_refs
+    from ..stages.exchange import exchange, hash_parts
+
+    if num_buckets <= 0:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(events_ds))
+
+    US_PER_DAY = 86_400_000_000
+
+    def _fold(p: int, t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "week_offset": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        users = t.column(user_col).to_numpy(zero_copy_only=False)
+        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.floor_divide(us, US_PER_DAY)
+        monday = d - np.mod(d + 3, 7)      # Monday of the event's ISO week
+        wk = np.floor_divide(monday - 4, 7)  # weeks since Monday 1970-01-05
+        # distinct (user, week), user's min week = cohort
+        order = np.lexsort((wk, users))
+        u, w = users[order], wk[order]
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        u, w = u[keep], w[keep]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        cohort = np.repeat(w[first], np.diff(
+            np.append(np.flatnonzero(first), u.shape[0])))
+        off = w - cohort
+        key = cohort * 100_000 + off       # offsets are < ~2000 weeks
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(np.floor_divide(kk, 100_000)),
+            "week_offset": pa.array(np.mod(kk, 100_000)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    parts = exchange(events_ds.select_columns([user_col, ts_col]),
+                     hash_parts(user_col, P=num_buckets), num_buckets,
+                     combine=_fold)
+    refs, _ = nonempty_arrow_refs(parts)
+    acc: dict = {}
+    for t in ray.get(list(refs)):
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue
+        for c, o, n in zip(t.column("cohort_week").to_pylist(),
+                           t.column("week_offset").to_pylist(),
+                           t.column("n").to_pylist()):
+            acc[(c, o)] = acc.get((c, o), 0) + n
+    ks = sorted(acc)
+    return pa.table({
+        "cohort_week": pa.array([k[0] for k in ks], pa.int64()),
+        "week_offset": pa.array([k[1] for k in ks], pa.int64()),
+        "active_users": pa.array([acc[k] for k in ks], pa.int64())})

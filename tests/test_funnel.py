@@ -62,3 +62,52 @@ class TestFunnel:
         from graph_data_science_ray.functions.funnel import funnel_depths
         with pytest.raises(ValueError):
             funnel_depths(_events([(0, 1, "A", 1)]), [])
+
+
+class TestRetentionCohorts:
+    def _ev(self, rows, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })).repartition(parts)
+
+    def test_known_matrix(self):
+        from graph_data_science_ray.functions.funnel import retention_cohorts
+        WEEK = 7 * 86_400_000_000
+        # epoch 345600us*1e6 = 1970-01-05 Monday 00:00 -> week index 0
+        w0 = 4 * 86_400_000_000
+        rows = [
+            (1, w0), (1, w0 + WEEK), (1, w0 + 2 * WEEK),   # active w0,w1,w2
+            (2, w0), (2, w0 + 2 * WEEK),                   # active w0,w2
+            (3, w0 + WEEK),                                # cohort w1 only
+            (1, w0 + 10),                                  # same week dup
+        ]
+        out = retention_cohorts(self._ev(rows), num_buckets=4).to_pandas()
+        got = {(c, o): n for c, o, n in
+               zip(out.cohort_week, out.week_offset, out.active_users)}
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+    def test_matches_duckdb(self):
+        import duckdb
+        from graph_data_science_ray.functions.funnel import retention_cohorts
+        rng = np.random.default_rng(3)
+        base = 1_700_000_000_000_000  # somewhere in 2023
+        rows = [(int(rng.integers(0, 30)),
+                 base + int(rng.integers(0, 90)) * 86_400_000_000)
+                for _ in range(400)]
+        out = retention_cohorts(self._ev(rows, 7), num_buckets=4) \
+            .to_pandas().reset_index(drop=True)
+        tb = self._ev(rows, 1).to_pandas()
+        want = duckdb.sql("""
+            WITH w AS (SELECT user_id,
+                              (date_diff('day', DATE '1970-01-05',
+                                         date_trunc('week', ts)) // 7)::BIGINT AS wk
+                       FROM tb),
+            f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+            a AS (SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS off
+                  FROM w JOIN f USING (user_id))
+            SELECT cohort AS cohort_week, off AS week_offset,
+                   count(*)::BIGINT AS active_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2""").df().reset_index(drop=True)
+        assert out.equals(want)
