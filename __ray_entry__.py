@@ -1356,6 +1356,15 @@ def _q_stratified_sample(sf_dir: str):
     return _to_table(ds)
 
 
+def _q_approx_distinct_hourly(sf_dir: str):
+    """Hourly tumbling-window HLL distinct users — the streaming "uniques
+    per hour" shape; per-window registers AND estimates SQL-exact."""
+    from graph_data_science_ray import approx_distinct_windowed
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["user_id", "ts"]).repartition(8)
+    return approx_distinct_windowed(ev, "user_id", "ts", precision=10)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly retention matrix over the event log (cohort = ISO week of the
     user's first event): one user-hash exchange + vectorized fold; driver
@@ -1667,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_int8": _q_knn_cosine_int8,
         "approx_distinct_users_by_type": _q_approx_distinct_by_type,
         "retention_cohorts_events": _q_retention_cohorts,
+        "approx_distinct_hourly": _q_approx_distinct_hourly,
         "hll_registers_events": _q_hll_registers,
         "approx_distinct_events": _q_approx_distinct,
         "hash_split_documents": _q_hash_split_documents,
@@ -2630,6 +2640,26 @@ shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
 SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, skey) - 1)::BIGINT AS pos
 FROM shl
+""",
+        "approx_distinct_hourly": """
+WITH h AS (SELECT date_trunc('hour', ts) AS w,
+                  md5_number_lower(CAST(user_id AS VARCHAR) || ':hll') AS hv
+           FROM events),
+r AS (SELECT w, (hv % 1024)::BIGINT AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 55
+                  ELSE 54 - length(bin((hv >> 10)::UBIGINT)) + 1 END AS rank
+      FROM h),
+regs AS (SELECT w, bucket, max(rank) AS register FROM r GROUP BY w, bucket),
+s AS (SELECT w, sum(power(2.0, -register)) AS snz, count(*) AS nz
+      FROM regs GROUP BY w),
+e AS (SELECT w, (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                / (snz + (1024 - nz)) AS raw,
+             1024 - nz AS zeros, nz FROM s)
+SELECT w AS window_start,
+       round(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                  THEN 1024 * ln(1024.0 / zeros) ELSE raw END, 6) AS estimate,
+       nz::BIGINT AS nonzero_buckets
+FROM e
 """,
         "retention_cohorts_events": """
 WITH w AS (SELECT user_id,

@@ -82,6 +82,7 @@ from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    image_feature, synthetic_media_table)
 from .functions.funnel import funnel_counts, funnel_depths, retention_cohorts
 from .functions.sketch import (approx_distinct, approx_distinct_by,
+                               approx_distinct_windowed,
                                bloom_build,
                                bloom_semi_join, cms_build, cms_lookup,
                                hll_estimate, hll_registers)
@@ -119,7 +120,7 @@ __all__ = [
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
     "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
-    "approx_distinct", "approx_distinct_by", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
+    "approx_distinct", "approx_distinct_by", "approx_distinct_windowed", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
     "cosine_topk_int8",
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths", "retention_cohorts",

@@ -308,3 +308,53 @@ def approx_distinct_by(ds, col: str, group_col: str, *, precision: int = 10,
         "nonzero_buckets": pa.array(
             [int(np.count_nonzero(merged[g])) for g in gs], pa.int64()),
     })
+
+
+def approx_distinct_windowed(ds, col: str, ts_col: str = "ts", *,
+                             window_us: int = 3_600_000_000,
+                             precision: int = 10, salt: str = "hll"):
+    """Tumbling-window HLL: approximate distinct ``col`` per time window
+    (default hourly) — the streaming-analytics "unique visitors per hour"
+    shape.  Per batch, rows fold into one register set PER WINDOW present in
+    the batch; the driver max-merges blocks × windows partial rows (a
+    window's registers are 2^precision bytes; months of hourly windows are
+    still KBs).  Returns (window_start timestamp, estimate,
+    nonzero_buckets), SQL-exact like the other HLL surfaces."""
+    import ray
+
+    if not 4 <= precision <= 16:
+        raise ValueError("precision must be in [4, 16]")
+
+    def _p(t: pa.Table) -> pa.Table:
+        ws, blobs = [], []
+        if t.num_rows:
+            us = t.column(ts_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            w = (us // window_us) * window_us
+            for wv in np.unique(w):
+                sel = t.filter(pa.array(w == wv))
+                ws.append(int(wv))
+                blobs.append(_partial_registers(
+                    sel.column(col), precision, salt).tobytes())
+        return pa.table({"w": pa.array(ws, pa.int64()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    parts = ds.select_columns([ts_col, col]).map_batches(
+        _p, batch_format="pyarrow").materialize()
+    merged: dict = {}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue
+        for wv, blob in zip(t.column("w").to_pylist(),
+                            t.column("regs").to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            merged[wv] = np.maximum(merged[wv], r) if wv in merged else r
+    ws = sorted(merged)
+    return pa.table({
+        "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
+        "estimate": pa.array([round(hll_estimate(merged[w]), 6)
+                              for w in ws], pa.float64()),
+        "nonzero_buckets": pa.array(
+            [int(np.count_nonzero(merged[w])) for w in ws], pa.int64()),
+    })

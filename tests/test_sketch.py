@@ -187,3 +187,39 @@ class TestGroupedHll:
         a = approx_distinct_by(rd.from_arrow(t).repartition(1), "k", "g")
         b = approx_distinct_by(rd.from_arrow(t).repartition(13), "k", "g")
         assert a.equals(b)
+
+
+class TestWindowedHll:
+    def test_per_window_equals_filtered_global(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.sketch import (
+            approx_distinct, approx_distinct_windowed)
+        HOUR = 3_600_000_000
+        rows_k, rows_t = [], []
+        for i in range(900):
+            rows_k.append(f"u{i % 61}")
+            rows_t.append((i % 3) * HOUR + (i * 7919) % HOUR)
+        t = pa.table({"k": rows_k,
+                      "ts": pa.array(rows_t, pa.timestamp("us"))})
+        out = approx_distinct_windowed(
+            rd.from_arrow(t).repartition(7), "k", "ts").to_pandas()
+        assert len(out) == 3
+        for w in range(3):
+            sub = pa.table({"k": [k for k, ts in zip(rows_k, rows_t)
+                                  if ts // HOUR == w]})
+            solo = approx_distinct(rd.from_arrow(sub), "k").to_pandas()
+            import pandas as pd
+            row = out[out.window_start == pd.Timestamp(w * HOUR, unit="us")]
+            assert len(row) == 1
+            assert row.estimate.iloc[0] == solo.estimate[0]
+
+    def test_layout_invariant(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.sketch import (
+            approx_distinct_windowed)
+        t = pa.table({"k": [f"u{i % 9}" for i in range(200)],
+                      "ts": pa.array([i * 60_000_000 for i in range(200)],
+                                     pa.timestamp("us"))})
+        a = approx_distinct_windowed(rd.from_arrow(t).repartition(1), "k", "ts")
+        b = approx_distinct_windowed(rd.from_arrow(t).repartition(11), "k", "ts")
+        assert a.equals(b)
