@@ -205,6 +205,12 @@ def run_bench() -> dict:
     import gc
     gc.collect()
 
+    # re-warm the task worker pool untimed: the actor-BSP stages above
+    # displaced idle task workers (actors are separate processes), so the
+    # next task stage would otherwise pay the fork+import cost again —
+    # measured ~2-3s landing inside dedup/minhash on a 32-CPU box
+    ray.get([_noop.remote(i) for i in range(NUM_CPUS)])
+
     # 5. TPC-H-derived graph + data-pipeline queries at $GRAFT_SF_DIR
     import __ray_entry__ as em
     for name in ["pagerank_hierarchy", "wcc_chain", "dedup_exact_documents",
