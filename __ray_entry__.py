@@ -2632,7 +2632,7 @@ c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS s FROM w),
 ch AS (SELECT doc_id, (s // 24)::BIGINT AS chunk_id,
               least(32, len(ws) - s)::BIGINT AS n_chunk_tokens,
               array_to_string(ws[s + 1 : s + 32], ' ') AS chunk_text FROM c),
-hs AS (SELECT *, doc_id * 1000 + chunk_id AS skey FROM ch),
+hs AS (SELECT *, doc_id * 1000000 + chunk_id AS skey FROM ch),
 shl AS (SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, skey,
               (md5_number_lower(CAST(skey AS VARCHAR) || ':out') % 4)::BIGINT AS shard,
               md5_number_lower(CAST(skey AS VARCHAR) || ':out#pos') AS h2

@@ -119,7 +119,7 @@ def _run_data_pipeline(args) -> dict:
                        if "chunk_id" in t.column_names
                        else np.zeros(len(ids), dtype=np.int64))
                 return t.append_column(
-                    "skey", pa.array((ids * 1000 + cid).astype(np.int64)))
+                    "skey", pa.array((ids * 1_000_000 + cid).astype(np.int64)))
 
             ds = shard_shuffle(ds.map_batches(_k, batch_format="pyarrow"),
                                "skey", nsh, salt="cli")

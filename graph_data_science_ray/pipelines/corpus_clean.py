@@ -84,7 +84,7 @@ def clean_corpus(docs_ds, *, min_chars: int = 150,
                              chunk_tokens, overlap=chunk_overlap)
 
     def _skey(t: pa.Table) -> pa.Table:
-        sk = t.column("doc_id").to_numpy(zero_copy_only=False) * 1000 + \
+        sk = t.column("doc_id").to_numpy(zero_copy_only=False) * 1_000_000 + \
             t.column("chunk_id").to_numpy(zero_copy_only=False)
         return t.drop_columns(["start_tok"]).append_column(
             "skey", pa.array(sk.astype(np.int64)))
