@@ -78,14 +78,34 @@ def _run_data_pipeline(args) -> dict:
     from .sources.io import read_parquet_clean
     from .sources.sink import write_partitioned_parquet
 
+    import pyarrow as pa
+
     ds = read_parquet_clean(args.input, columns=["doc_id", "text"])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
     applied = []
     shuffle_shards = None
+    chunked = False  # chunk changes the schema; later joins can't assume it
     for op in args.ops.split(","):
         op = op.strip()
         if not op:
             continue
+        if shuffle_shards is not None:
+            raise SystemExit(f"data op {op!r} after shuffle: shuffle assigns "
+                             "the final (shard, pos) layout and must be last")
         name, *params = op.split(":")
+        try:
+            if name == "sample":
+                float(params[0])
+            elif name == "chunk":
+                int(params[0])
+                if len(params) > 1:
+                    int(params[1])
+            elif name == "shuffle":
+                int(params[0])
+        except (IndexError, ValueError):
+            raise SystemExit(f"malformed data op {op!r}: expected "
+                             "sample:<frac> | chunk:<max>[:<overlap>] | "
+                             "shuffle:<shards>")
         if name == "sample":
             from .functions.sampling import hash_sample
             ds = hash_sample(ds, "doc_id", float(params[0]))
@@ -93,7 +113,9 @@ def _run_data_pipeline(args) -> dict:
             from .functions.dedup import exact_dedup
             from .functions.joins import hash_join
             winners = exact_dedup(ds).select_columns(["doc_id"])
-            ds = hash_join(ds, winners, "doc_id")
+            ds = hash_join(ds, winners, "doc_id",
+                           left_schema=None if chunked else doc_schema,
+                           right_schema=pa.schema([("doc_id", pa.int64())]))
         elif name == "repetition":
             from .functions.text import repetition_filter
             ds = repetition_filter(ds)
@@ -105,10 +127,9 @@ def _run_data_pipeline(args) -> dict:
             mx = int(params[0])
             ov = int(params[1]) if len(params) > 1 else 0
             ds = chunk_documents(ds, mx, overlap=ov)
+            chunked = True
         elif name == "shuffle":
             import numpy as np
-
-            import pyarrow as pa
 
             from .functions.sampling import shard_shuffle
             nsh = int(params[0])

@@ -42,7 +42,8 @@ def funnel_depths(events_ds, steps, *, user_col: str = "user_id",
                              "depth": pa.array([], pa.int64())})
         users = t.column(user_col).to_numpy(zero_copy_only=False)
         types = np.asarray(t.column(type_col).to_pylist(), dtype=object)
-        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.timestamp("us"), safe=False) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = t.column(id_col).to_numpy(zero_copy_only=False)
         # sort by (user, ts, event_id): each user's events contiguous in
         # deterministic time order
@@ -122,7 +123,8 @@ def retention_cohorts(events_ds, *, user_col: str = "user_id",
         if t.num_rows == 0:
             return empty
         users = t.column(user_col).to_numpy(zero_copy_only=False)
-        us = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = t.column(ts_col).cast(pa.timestamp("us"), safe=False) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         d = np.floor_divide(us, US_PER_DAY)
         monday = d - np.mod(d + 3, 7)      # Monday of the event's ISO week
         wk = np.floor_divide(monday - 4, 7)  # weeks since Monday 1970-01-05

@@ -123,18 +123,19 @@ MEDIA_SCHEMA = pa.schema([
 class ImageFeatureExtractor:
     """Actor-pool decode → resize → feature stage.
 
-    ``fake=False`` (the real path) runs :func:`decode_image` — actual pixel
+    ``fake=False`` runs the real path: :func:`decode_image` — actual pixel
     decode for PPM/BMP payloads, NotImplementedError for compressed formats
     (the codec integration point) — then nearest-resizes to
     ``resize_to``×``resize_to`` and emits the 16-dim :func:`image_feature`.
-    ``fake=True`` keeps the format-independent plumbing variant (feature =
-    payload blake2b), useful when payloads are opaque placeholders.
+    ``fake=True`` (the default, kept for payload-agnostic compatibility)
+    is the format-independent plumbing variant (feature = payload blake2b)
+    for opaque placeholder payloads.
     Keep ``batch_size`` small for large payloads so batch × concurrency fits
     the worker heap (the object store spills the rest)."""
 
     FEATURE_DIM = 16
 
-    def __init__(self, fake: bool = False, resize_to: int = 32):
+    def __init__(self, fake: bool = True, resize_to: int = 32):
         self.fake = fake
         self.resize_to = int(resize_to)
         self.__name__ = "image_features"

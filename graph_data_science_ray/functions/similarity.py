@@ -325,7 +325,10 @@ def cosine_topk_int8(emb_ds, query_vec, k: int = 10, *,
             sims = dots / (norms * self.qn)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             if ids.shape[0] > k:
-                top = np.argpartition(-sims, k)[:k]
+                # deterministic cut: ties at the k boundary break by id, the
+                # same (sim DESC, id) order the global merge and the SQL
+                # oracle use — argpartition would keep an arbitrary subset
+                top = np.lexsort((ids, -sims))[:k]
                 ids, sims = ids[top], sims[top]
             return pa.table({id_col: ids, "cos_sim": sims.astype(np.float64)})
 

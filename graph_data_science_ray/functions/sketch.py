@@ -328,8 +328,8 @@ def approx_distinct_windowed(ds, col: str, ts_col: str = "ts", *,
     def _p(t: pa.Table) -> pa.Table:
         ws, blobs = [], []
         if t.num_rows:
-            us = t.column(ts_col).cast(pa.int64()) \
-                .to_numpy(zero_copy_only=False)
+            us = t.column(ts_col).cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
             w = (us // window_us) * window_us
             for wv in np.unique(w):
                 sel = t.filter(pa.array(w == wv))

@@ -564,6 +564,9 @@ def unigram_lm_scores(docs_ds, *, text_col: str = "text",
     order = np.argsort(terms)
     terms, cnts = terms[order], cnts[order]
     total = float(cnts.sum())
+    if total <= 0:
+        raise ValueError("unigram_lm_scores: counts table is empty (or all "
+                         "zero) — no distribution to score under")
     t_ref, c_ref = ray.put(terms), ray.put(cnts)
 
     class _Score:
@@ -591,7 +594,7 @@ def unigram_lm_scores(docs_ds, *, text_col: str = "text",
                 c = np.where(hit, self.cnts[posc], pseudo_count)
             else:
                 c = np.full(toks.shape[0], pseudo_count)
-            logp = np.log(c / total) if total > 0 else np.zeros(0)
+            logp = np.log(c / total)
             n_docs = batch.num_rows
             sums = np.zeros(n_docs, dtype=np.float64)
             ntok = np.zeros(n_docs, dtype=np.int64)

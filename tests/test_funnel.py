@@ -111,3 +111,19 @@ class TestRetentionCohorts:
                    count(*)::BIGINT AS active_users
             FROM a GROUP BY 1, 2 ORDER BY 1, 2""").df().reset_index(drop=True)
         assert out.equals(want)
+
+
+def test_retention_ns_timestamps_match_us():
+    """timestamp[ns] input (the pandas default) must produce the same matrix
+    as timestamp[us] — the unit-normalization regression the review caught."""
+    import ray.data as rd
+    from graph_data_science_ray.functions.funnel import retention_cohorts
+    base = 1_700_000_000_000_000
+    rows_u = [(i % 9, base + (i % 40) * 86_400_000_000) for i in range(120)]
+    t_us = pa.table({"user_id": pa.array([r[0] for r in rows_u], pa.int64()),
+                     "ts": pa.array([r[1] for r in rows_u], pa.timestamp("us"))})
+    t_ns = t_us.set_column(1, "ts", t_us.column("ts").cast(pa.timestamp("ns")))
+    a = retention_cohorts(rd.from_arrow(t_us).repartition(3), num_buckets=2)
+    b = retention_cohorts(rd.from_arrow(t_ns).repartition(3), num_buckets=2)
+    assert a.equals(b)
+    assert a.num_rows > 1

@@ -173,3 +173,18 @@ def test_data_pipeline_shuffle_sharding(tmp_path):
     cols = sorted(back.columns)
     assert back[cols].sort_values(cols).reset_index(drop=True).equals(
         b2[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_data_pipeline_op_validation(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["hello world"]})
+    src = tmp_path / "one.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(src))
+    for bad in ["chunk", "sample:abc", "shuffle:2,sample:0.5", "bogus"]:
+        with pytest.raises(SystemExit):
+            main(["data", "--input", str(src), "--out",
+                  str(tmp_path / "x"), "--ops", bad])

@@ -223,3 +223,17 @@ class TestWindowedHll:
         a = approx_distinct_windowed(rd.from_arrow(t).repartition(1), "k", "ts")
         b = approx_distinct_windowed(rd.from_arrow(t).repartition(11), "k", "ts")
         assert a.equals(b)
+
+
+def test_windowed_hll_ns_timestamps_match_us():
+    import pandas as pd
+    import ray.data as rd
+    from graph_data_science_ray.functions.sketch import approx_distinct_windowed
+    t_us = pa.table({"k": [f"u{i % 11}" for i in range(300)],
+                     "ts": pa.array([i * 60_000_000 for i in range(300)],
+                                    pa.timestamp("us"))})
+    t_ns = t_us.set_column(1, "ts", t_us.column("ts").cast(pa.timestamp("ns")))
+    a = approx_distinct_windowed(rd.from_arrow(t_us).repartition(3), "k", "ts")
+    b = approx_distinct_windowed(rd.from_arrow(t_ns).repartition(3), "k", "ts")
+    assert a.equals(b)
+    assert a.num_rows == 5  # 300 minutes = 5 hourly windows
