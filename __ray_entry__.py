@@ -803,6 +803,29 @@ def _q_near_dup_minhash_md5(sf_dir: str):
                                  threshold=0.5)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Continual-ingestion dedup: new docs (all documents) flagged against a
+    seen-corpus fingerprint store (every 3rd document's sha256) — Bloom
+    prefilter then exact join verify; result equals the exact NOT IN SQL."""
+    from graph_data_science_ray import incremental_dedup
+    docs = _docs(sf_dir, ["doc_id", "text"]).repartition(8)
+    import pyarrow.compute as pc
+    seen = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0)),
+        batch_format="pyarrow")
+    # fingerprint store: sha256(text) of the seen docs only
+    import hashlib as _h
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = [_h.sha256(x.encode()).hexdigest()
+               for x in t.column("text").to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    store = seen.map_batches(_fp, batch_format="pyarrow")
+    return _to_table(incremental_dedup(docs, store, num_bits=1 << 14))
+
+
 def _q_dedup_cluster(sf_dir: str):
     """Fuzzy-dedup canonicalization end-to-end: md5 MinHash-LSH verified
     pairs → connected components (the engine's WCC over just the pair
@@ -1639,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups_md5": _q_simhash_near_dups_md5,
         "near_dup_minhash_md5": _q_near_dup_minhash_md5,
         "dedup_cluster_documents": _q_dedup_cluster,
+        "incremental_dedup_documents": _q_incremental_dedup,
         "image_features": _q_image_features,
         "node2vec_embeddings": _q_node2vec,
         "hits_hierarchy": _q_hits_hierarchy,
@@ -2835,6 +2859,12 @@ WITH h AS (
 SELECT doc_id, lang, shard,
        (row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1)::BIGINT AS pos
 FROM h
+""",
+        "incremental_dedup_documents": """
+WITH seen AS (SELECT sha256(text) AS fp FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id,
+       sha256(text) NOT IN (SELECT fp FROM seen) AS is_new
+FROM documents
 """,
         "stratified_sample_documents": """
 SELECT doc_id, lang FROM documents

@@ -49,7 +49,8 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               minhash_md5_near_dups, simhash_table,
                               simhash_near_dups, embedding_dup_pairs,
                               embedding_dup_pairs_lsh, add_ngram_jaccard,
-                              ngram_contamination, cluster_dedup)
+                              ngram_contamination, cluster_dedup,
+                              incremental_dedup)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition,
                                    quantize_embeddings, cosine_topk_int8)
@@ -107,7 +108,7 @@ __all__ = [
     # training-data pipeline operators
     "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
     "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "cluster_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
+    "embedding_dup_pairs_lsh", "cluster_dedup", "incremental_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
     "train_ivf_centroids", "ivf_partition", "ImageFeatureExtractor",
     "FrameSampler", "decode_image", "encode_ppm", "resize_nearest",
     "image_feature", "synthetic_media_table", "TokenCounter", "TextStats",

@@ -1106,3 +1106,77 @@ def cluster_dedup(docs_ds, pairs, *, id_col: str = "doc_id"):
 
     return docs_ds.select_columns([id_col]).map_batches(
         _Assign(), batch_format="pyarrow")
+
+
+def incremental_dedup(docs_ds, seen_fps, *, fp_col: str = "fp",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_bits: int = 1 << 22, num_hashes: int = 4):
+    """Continual-ingestion dedup: flag which NEW documents already exist in a
+    previously-ingested corpus, given only that corpus's sha256 fingerprint
+    store (never its text).  Two-phase at scale:
+
+      1. a Bloom filter over the seen fingerprints builds in one streaming
+         pass (constant-size OR-fold partials; num_bits/8 bytes broadcast
+         once) and prefilters the new side with no shuffle;
+      2. only the bloom-POSITIVE candidates — true dups plus the filter's
+         few false positives — pay the exact partitioned hash join against
+         the store, so the wide verify is O(dups), not O(new corpus).
+
+    The result (id_col, is_new) is EXACT — bloom false positives are removed
+    by the verify — and equals the one-line SQL ``fp NOT IN (SELECT fp FROM
+    seen)`` oracle.  The driver holds only the duplicate id list (O(dups))."""
+    import ray
+
+    from .joins import hash_join
+    from .sketch import bloom_build, bloom_semi_join
+    from ..stages.blocks import nonempty_arrow_refs
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.sha256(x.encode()).hexdigest()
+               for x in t.column(text_col).to_pylist()]
+        return pa.table({id_col: t.column(id_col),
+                         "fp": pa.array(fps, pa.string())})
+
+    fps = docs_ds.map_batches(_fp, batch_format="pyarrow")
+    bits = bloom_build(seen_fps, fp_col, num_bits=num_bits,
+                       num_hashes=num_hashes)
+    cand = bloom_semi_join(fps, "fp", bits, num_hashes=num_hashes)
+
+    def _tag_seen(t: pa.Table) -> pa.Table:
+        if fp_col != "fp":
+            t = t.rename_columns(["fp" if c == fp_col else c
+                                  for c in t.column_names])
+        return t.select(["fp"]).append_column(
+            "_seen", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    store = seen_fps.map_batches(_tag_seen, batch_format="pyarrow")
+    truly = hash_join(
+        cand, store, "fp", num_buckets=16,
+        left_schema=pa.schema([(id_col, pa.int64()), ("fp", pa.string())]),
+        right_schema=pa.schema([("fp", pa.string()), ("_seen", pa.int8())]))
+
+    refs, _ = nonempty_arrow_refs(truly)
+    dup_ids = []
+    for t in ray.get(list(refs)):
+        if t.num_rows and t.num_columns:
+            dup_ids.extend(t.column(id_col).to_pylist())
+    dup_arr = np.unique(np.asarray(dup_ids, dtype=np.int64))
+    ref = ray.put(dup_arr)
+
+    class _Flag:
+        def __init__(self):
+            self.dups = ray.get(ref)
+            self.__name__ = "flag_is_new"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if self.dups.shape[0]:
+                pos = np.minimum(np.searchsorted(self.dups, ids),
+                                 self.dups.shape[0] - 1)
+                is_new = self.dups[pos] != ids
+            else:
+                is_new = np.ones(ids.shape[0], dtype=bool)
+            return pa.table({id_col: ids, "is_new": is_new})
+
+    return docs_ds.select_columns([id_col]).map_batches(
+        _Flag(), batch_format="pyarrow")

@@ -664,3 +664,34 @@ class TestQuantizeEmbeddings:
             .sort_values("vec_id").reset_index(drop=True)
         assert list(out.qvec[0]) == [0, 0, 0] and out.scale[0] == 0.0
         assert list(out.qvec[1]) == [64, -127, 32]  # 1*127/2=63.5 -> away=64
+
+
+class TestIncrementalDedup:
+    def _ds(self, ids, texts, parts=3):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+
+    def test_exact_vs_store_with_tight_bloom(self):
+        import hashlib
+        import ray.data as rd
+        from graph_data_science_ray.functions.dedup import incremental_dedup
+        old = [f"old doc {i} content" for i in range(60)]
+        new = [f"new doc {i} content" for i in range(40)] + old[:15]
+        store = rd.from_arrow(pa.table({"fp": pa.array(
+            [hashlib.sha256(t.encode()).hexdigest() for t in old])}))
+        # tiny filter → bloom false positives guaranteed; verify must fix them
+        out = incremental_dedup(self._ds(range(len(new)), new), store,
+                                num_bits=256, num_hashes=2) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (~out.is_new[40:]).all()      # the 15 re-ingested docs
+        assert out.is_new[:40].all()         # genuinely new docs survive FPs
+
+    def test_empty_store_all_new(self):
+        import ray.data as rd
+        from graph_data_science_ray.functions.dedup import incremental_dedup
+        store = rd.from_arrow(pa.table({"fp": pa.array([], pa.string())}))
+        out = incremental_dedup(self._ds([1, 2], ["a", "b"]), store) \
+            .to_pandas()
+        assert out.is_new.all()
