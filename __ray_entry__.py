@@ -48,7 +48,9 @@ def _docs(sf_dir, columns=None):
 
 def _to_table(ds) -> pa.Table:
     import ray
-    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+    if hasattr(ds, "materialize"):
+        ds = ds.materialize()  # one execution; avoids the lazy-to_arrow_refs
+    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs())  # Limit[1] race
             if t.num_rows and t.num_columns]
     return pa.concat_tables(tabs)
 
@@ -1570,7 +1572,7 @@ def _q_hash_split_documents(sf_dir: str):
     for name, ds in parts.items():
         n = 0
         chars = 0
-        for ref in ds.to_arrow_refs():
+        for ref in ds.materialize().to_arrow_refs():
             t = ray.get(ref)
             if t.num_rows and t.num_columns:
                 n += t.num_rows

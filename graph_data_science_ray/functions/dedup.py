@@ -742,7 +742,7 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.9, *,
     if arithmetic not in ("float64", "f32seq"):
         raise ValueError(f"unknown arithmetic {arithmetic!r}")
     dtype = np.float32 if arithmetic == "f32seq" else np.float64
-    refs = list(emb_ds.to_arrow_refs())
+    refs = list(emb_ds.materialize().to_arrow_refs())  # materialize: one execution, no Limit[1] schema-fetch race
 
     @ray.remote
     def _block_pairs(my_block, all_refs):

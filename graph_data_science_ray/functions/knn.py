@@ -75,7 +75,7 @@ def knn_graph(emb_ds, k: int = 10, *, batch_size: int = 1024,
         raise ValueError("f32seq arithmetic is defined for cosine only")
     dtype = np.float32 if arithmetic == "f32seq" else np.float64
 
-    refs = [r for r in emb_ds.to_arrow_refs()]
+    refs = [r for r in emb_ds.materialize().to_arrow_refs()]  # materialize: one execution, no Limit[1] schema-fetch race
 
     @ray.remote
     def _block_topk(my_block, all_refs):

@@ -234,7 +234,7 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
                                    "similarity": pa.array([], pa.float64())}))
         if as_dataset:
             return topk_ds
-        raw = [ray.get(r) for r in topk_ds.to_arrow_refs()]
+        raw = [ray.get(r) for r in topk_ds.materialize().to_arrow_refs()]
         raw = [pa.Table.from_pandas(t, preserve_index=False)
                if isinstance(t, pd.DataFrame) else t for t in raw]
         refs = [t for t in raw if t.num_rows and t.num_columns]
@@ -254,7 +254,7 @@ def node_similarity(graph: Graph, *, top_k: int = 10, top_n: int = 0,
 
     if as_dataset and not (top_k and top_k > 0):
         return sims
-    raw = [ray.get(r) for r in sims.to_arrow_refs()]
+    raw = [ray.get(r) for r in sims.materialize().to_arrow_refs()]
     # blocks may come back as pandas when upstream stages were pandas-typed
     raw = [pa.Table.from_pandas(t, preserve_index=False)
            if isinstance(t, pd.DataFrame) else t for t in raw]

@@ -73,6 +73,7 @@ def cosine_topk(emb_ds, query_vec: np.ndarray, k: int = 10, exclude_id=None):
     # the final merge is over #blocks*k rows — a driver-side concat + one
     # argsort, not a Ray sort stage (an all-to-all for a k-row result)
     import ray.data
+    scored = scored.materialize()  # materialize: one execution, no Limit[1] schema-fetch race
     tabs = [t for t in (ray.get(r) for r in scored.to_arrow_refs())
             if t.num_rows and t.num_columns]
     if not tabs:
@@ -334,6 +335,7 @@ def cosine_topk_int8(emb_ds, query_vec, k: int = 10, *,
 
     partial = emb_ds.map_batches(_TopK(), batch_format="pyarrow")
     import ray as _ray
+    partial = partial.materialize()  # materialize: one execution, no Limit[1] schema-fetch race
     tabs = [t for t in (_ray.get(r) for r in partial.to_arrow_refs())
             if t.num_rows and t.num_columns]
     allt = pa.concat_tables(tabs) if tabs else pa.table(

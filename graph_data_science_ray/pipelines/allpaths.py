@@ -138,7 +138,8 @@ def all_shortest_paths(graph: Graph, *, weighted: Optional[bool] = None,
             if as_dataset:
                 return out
             import ray
-            tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+            tabs = [t for t in ray.get(out.materialize().to_arrow_refs())
+                    if t.num_rows]
             return (pa.concat_tables(tabs) if tabs else
                     pa.table({"source": pa.array([], pa.int64()),
                               "target": pa.array([], pa.int64()),

@@ -1132,7 +1132,7 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
             break
         superstep += 1
     out_cols = ["vid"] + [c for c in comp.output_cols.values()]
-    final = state_ds.select_columns(out_cols).to_arrow_refs()
+    final = state_ds.select_columns(out_cols).materialize().to_arrow_refs()
     tables = [t for t in (ray.get(r) for r in final)
               if t.num_rows > 0 and t.num_columns > 0]
     tbl = pa.concat_tables(tables)

@@ -35,7 +35,8 @@ def _read(sf_dir: str, table: str, columns):
 
 def _to_table(ds) -> pa.Table:
     import ray
-    tabs = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in (ray.get(r) for r in ds.materialize().to_arrow_refs())
+            if t.num_rows]
     return pa.concat_tables(tabs) if tabs else None
 
 

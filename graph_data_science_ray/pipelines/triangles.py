@@ -873,6 +873,7 @@ def triangle_stream(graph: Graph, *, execution: str = "auto",
     rows = grouped_exchange(wedges.union(key_rows), "bucket", B, _match_rows)
     if as_dataset:
         return rows
+    rows = rows.materialize()  # materialize: one execution, no Limit[1] schema-fetch race
     tabs = [t for t in (ray.get(r) for r in rows.to_arrow_refs())
             if t.num_rows]
     if not tabs:

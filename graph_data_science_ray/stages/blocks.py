@@ -87,9 +87,19 @@ def nonempty_arrow_refs(ds) -> Tuple[List, List[int]]:
     when the dataset is materialized (no remote calls at all); otherwise a
     num_cpus=0 probe per block — either way the driver sees two ints per
     block, never block data.  A zero-column block is always zero-row, so
-    filtering on rows alone is sufficient in the metadata path."""
-    import ray
+    filtering on rows alone is sufficient in the metadata path.
 
+    Lazy inputs are materialized FIRST: ``to_arrow_refs()`` on a lazy
+    dataset runs the pipeline AND a second ``Limit[1]`` schema-fetch
+    execution, whose in-flight task cancellation can strike a Ray-core race
+    (task_manager.cc "Tried to complete task that was not pending" —
+    observed twice on this VM under load); materializing gives one
+    execution, metadata-only schema, and the metadata row-count fast path."""
+    import ray
+    import ray.data
+
+    if not isinstance(ds, ray.data.dataset.MaterializedDataset):
+        ds = ds.materialize()
     refs = list(ds.to_arrow_refs())
     meta_counts = _metadata_row_counts(ds)
     if meta_counts is not None and len(meta_counts) == len(refs):
