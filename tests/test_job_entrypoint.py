@@ -66,8 +66,8 @@ def test_driver_contract_key_consistency():
     qs = set(e.queries().keys())
     sqls = set(e.oracle_sql().keys())
     assert sqls <= qs, sorted(sqls - qs)
-    assert len(qs) >= 99
-    assert len(sqls) >= 90
+    assert len(qs) >= 105
+    assert len(sqls) >= 96
 
 
 def test_cli_new_algos(tmp_path):
