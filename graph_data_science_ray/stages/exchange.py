@@ -83,7 +83,11 @@ def _split_table(t: pa.Table, part_of, P: int):
         empty = t.slice(0, 0)
         return [empty] * P
     part = np.asarray(part_of(t), dtype=np.int64)
-    if part.shape[0] and (part.min() < 0 or part.max() >= P):
+    if part.shape[0] != t.num_rows:
+        raise ValueError(
+            f"partitioner returned {part.shape[0]} ids for {t.num_rows} "
+            "rows — rows would be silently dropped")
+    if part.min() < 0 or part.max() >= P:
         raise ValueError(
             f"partitioner emitted ids outside [0, {P}): "
             f"min={part.min()}, max={part.max()} — rows would be dropped")
@@ -192,6 +196,9 @@ def exchange_refs(block_refs: Sequence, part_of, P: int,
     """
     if P < 1:
         raise ValueError("P must be >= 1")
+    if combine_num_returns > 1 and combine is None:
+        raise ValueError("combine_num_returns > 1 requires a combine "
+                         "(the default concat returns one object)")
 
     n_in = len(block_refs)
     if n_in == 0:
@@ -287,6 +294,8 @@ def exchange(ds, part_of, P: int,
 
     from .blocks import metadata_total_bytes, nonempty_arrow_refs
 
+    if P < 1:
+        raise ValueError("P must be >= 1")
     mat = ds.materialize()
     refs, counts = nonempty_arrow_refs(mat)
     if not refs:
@@ -308,13 +317,15 @@ def exchange(ds, part_of, P: int,
                 # it only feed Ray's skip-the-UDF schema-less path downstream
                 live = [t for t in outs if t.num_rows > 0]
                 return ray.data.from_arrow(live if live else outs[:1])
-        return ds  # zero-column input: no schema to preserve
+        return mat  # zero-column input: no schema to preserve (already executed)
     # rows gate the one-task fast path; a small-row table of LARGE payloads
     # (long texts, binary columns) must still take the distributed shape —
     # signal that by reporting the row total as unknown above 64 MB
     total_rows: Optional[int] = sum(counts)
     tb = metadata_total_bytes(mat)
-    if tb is not None and tb > 64 * 1024 * 1024:
+    if tb is None or tb > 64 * 1024 * 1024:
+        # unknown size counts as large: a small-row table of huge payloads
+        # must not ride the one-task fast path on a missing size_bytes
         total_rows = None
     out, counts_ref = exchange_refs(refs, part_of, P, combine=combine,
                                     map_fn=map_fn, total_rows=total_rows,
@@ -323,7 +334,12 @@ def exchange(ds, part_of, P: int,
         # small fast path: the one task already finished its split+combines —
         # drop zero-row partitions so downstream map_batches never sees Ray's
         # skip-the-UDF schema-less empty blocks (the round-4 crash class; the
-        # blocking get costs nothing, the counts vector rides the same task)
+        # blocking get costs nothing, the counts vector rides the same task).
+        # The DISTRIBUTED path below cannot drop empties without blocking on
+        # every combine (serializing the pipeline); its zero-row partitions
+        # keep their schema, and every to_arrow_refs consumer in the repo
+        # filters by row count (nonempty_arrow_refs / _to_table) — pinned by
+        # TestDistributedEmptyPartitions
         cnts = ray.get(counts_ref)
         live = [r for r, c in zip(out, cnts) if c > 0]
         out = live if live else out[:1]  # keep one typed block for schema

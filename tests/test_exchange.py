@@ -393,3 +393,65 @@ class TestReviewRegressions:
                                      total_rows=60, small_rows=0,
                                      return_counts=True)
         assert cref2 is None and len(refs2) == 4
+
+
+class TestDistributedEmptyPartitions:
+    """The DISTRIBUTED exchange path keeps zero-row (typed) partitions; this
+    pins that the standard downstream chain — map_batches over the exchange
+    output, then a row-count-filtering consumer — survives them (the
+    round-4 schema-less-empty-block crash class)."""
+
+    def test_downstream_map_batches_then_concat(self):
+        import ray
+        import ray.data as rd
+
+        from graph_data_science_ray.stages.blocks import nonempty_arrow_refs
+        from graph_data_science_ray.stages.exchange import exchange, hash_parts
+        t = pa.table({"k": pa.array([1, 1, 1, 5, 5], pa.int64()),
+                      "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+        ds = rd.from_arrow(t).repartition(3)
+        # small_rows=0 forces the distributed path; 16 partitions vs 2 keys
+        # guarantees many empty partitions
+        out = exchange(ds, hash_parts("k", P=16), 16, small_rows=0)
+
+        def _scale(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.set_column(b.column_names.index("v"), "v",
+                                pc.multiply(b.column("v"), 2.0))
+
+        mapped = out.map_batches(_scale, batch_format="pyarrow")
+        refs, counts = nonempty_arrow_refs(mapped)
+        tabs = [x for x in ray.get(list(refs)) if x.num_rows and x.num_columns]
+        allt = pa.concat_tables(tabs)
+        assert allt.num_rows == 5
+        assert sorted(allt.column("v").to_pylist()) == [2.0, 4.0, 6.0, 8.0, 10.0]
+
+    def test_partitioner_length_mismatch_raises(self):
+        import ray.data as rd
+
+        from graph_data_science_ray.stages.exchange import exchange
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        ds = rd.from_arrow(t)
+
+        def bad_part(tab):
+            return np.zeros(tab.num_rows - 1, dtype=np.int64)  # short!
+
+        with pytest.raises(Exception, match="rows would be silently dropped"):
+            exchange(ds, bad_part, 2, small_rows=0).materialize()
+
+    def test_combine_num_returns_without_combine_rejected(self):
+        import ray
+
+        from graph_data_science_ray.stages.exchange import exchange_refs
+        t = pa.table({"k": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError, match="requires a combine"):
+            exchange_refs([ray.put(t)], lambda x: np.zeros(1, dtype=np.int64),
+                          2, combine_num_returns=2)
+
+    def test_invalid_p_rejected_even_on_empty_input(self):
+        import ray.data as rd
+
+        from graph_data_science_ray.stages.exchange import exchange
+        empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+        with pytest.raises(ValueError, match="P must be >= 1"):
+            exchange(empty, lambda t: np.zeros(0, dtype=np.int64), 0)
