@@ -96,9 +96,12 @@ class Computation:
     # like the reference).  This engine picks one deterministic interleaving
     # (a fixed partition sweep, see _run_local_async) out of the reference's
     # thread-nondeterministic schedules.
-    state_spec: list = []        # [(name, np.dtype)] algorithm state columns
+    # immutable defaults: subclasses REDECLARE these (a mutable shared
+    # default would leak `self.state_spec.append(...)` mutations into every
+    # other computation in the process)
+    state_spec: tuple = ()       # [(name, np.dtype)] algorithm state columns
     output_cols: dict = {}       # result column name -> state column name
-    master_cols: list = []       # state cols summed globally between supersteps
+    master_cols: tuple = ()      # state cols summed globally between supersteps
 
     def init_part(self, vids: np.ndarray, shard: CsrShard, st: dict) -> None:
         raise NotImplementedError
@@ -366,6 +369,19 @@ def slice_payload_grouped(comp: Computation, pl, group_bounds: np.ndarray) -> li
     return slice_payload(comp, pl, group_bounds)
 
 
+def _msg_count(msg) -> int:
+    """Incoming-message metric for a merged per-partition message structure:
+    vertices with >= 1 message (KeyedMsg counts (vertex, key) entries;
+    QueueMsg counts raw queued messages)."""
+    if isinstance(msg, KeyedMsg):
+        return int(msg.local.shape[0])
+    if isinstance(msg, QueueMsg):
+        return int(msg.local.shape[0])
+    if isinstance(msg, NonKeyedMsg):
+        return int(np.count_nonzero(msg.has))
+    return 0
+
+
 def merge_payloads(comp: Computation, lo: int, hi: int, payloads: list):
     """Final combine: slice/filter each global payload to [lo, hi) and reduce."""
     nloc = hi - lo
@@ -560,6 +576,18 @@ def _msg_table(part: np.ndarray, vid: np.ndarray, key, val: np.ndarray,
     cols["m_key"] = key.astype(np.int64) if key is not None else np.zeros(n, dtype=np.int64)
     cols["m_val"] = val.astype(np.float64)
     return pa.table(cols)
+
+
+def _resume_part(t: pa.Table, bounds, p: int) -> pa.Table:
+    """Checkpoint rows for partition ``p`` selected by CURRENT vid bounds —
+    NOT by the saved ``part`` column: the checkpoint may have been written
+    under a different num_partitions (the actor-mode default is derived from
+    the machine's CPU count), and filtering on the stale part ids silently
+    drops every vertex of parts >= nparts.  _table_to_state re-sorts by vid,
+    so range selection is layout-independent."""
+    vcol = t.column("vid").to_numpy(zero_copy_only=False)
+    lo, hi = int(bounds[p]), int(bounds[p + 1])
+    return t.filter(pa.array((vcol >= lo) & (vcol < hi)))
 
 
 def _table_to_state(t: pa.Table, comp: Computation):
@@ -791,6 +819,10 @@ def _available_memory_bytes(execution: str = "local") -> int:
                     return int(mem)
         except Exception:
             pass
+        # distributed run, cluster budget unknown (Ray not initialized yet):
+        # do NOT validate against the driver's RAM — a busy driver would
+        # spuriously abort a run that fits the cluster
+        return 1 << 62
     try:
         return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
     except (ValueError, OSError, AttributeError):
@@ -837,6 +869,12 @@ def run_pregel(graph: Graph, comp: Computation, *, max_iterations: int,
     ``GDS_PAYLOAD_MODE`` env var, else "shared"."""
     if payload_mode is None:
         payload_mode = os.environ.get("GDS_PAYLOAD_MODE", "shared")
+    if comp.weighted and getattr(graph, "weight", None) is None and \
+            not getattr(graph, "is_weighted", False):
+        raise ValueError(
+            f"{type(comp).__name__} has weighted=True but the graph carries "
+            "no edge weights — results would silently fall back to "
+            "unweighted messages")
     if payload_mode not in ("shared", "sliced", "grouped"):
         raise ValueError(f"unknown payload_mode {payload_mode!r}")
     if getattr(comp, "asynchronous", False):
@@ -896,10 +934,8 @@ def _run_local(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
     if ckpt and resume and (latest := ckpt.latest()) is not None:
         start_superstep = latest + 1
         t = ckpt.read_all(latest)
-        pcol = t.column("part").to_numpy(zero_copy_only=False)
         for p in range(nparts):
-            sub = t.filter(pa.array(pcol == p))
-            vids, st = _table_to_state(sub, comp)
+            vids, st = _table_to_state(_resume_part(t, bounds, p), comp)
             parts.append((vids, st))
     else:
         for p in range(nparts):
@@ -985,10 +1021,8 @@ def _run_local_async(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
     if latest is not None:
         start_superstep = latest + 1
         t = ckpt.read_all(latest)
-        pcol = t.column("part").to_numpy(zero_copy_only=False)
         for p in range(nparts):
-            sub = t.filter(pa.array(pcol == p))
-            vids, st = _table_to_state(sub, comp)
+            vids, st = _table_to_state(_resume_part(t, bounds, p), comp)
             parts.append((vids, st))
     else:
         for p in range(nparts):
@@ -1111,16 +1145,19 @@ def _run_ray(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval, resume):
         state_ds = grouped_exchange(
             unioned, "part", nparts,
             _ApplyWorker(comp, shards_refs, bounds, superstep))
-        aggs = state_ds.aggregate(
-            Sum("sending", alias_name="s"), Sum("changed", alias_name="c"),
-            *[Sum(c, alias_name=f"m_{c}") for c in comp.master_cols])
         if _has_master(comp):
-            scalars = {c: float(aggs.get(f"m_{c}") or 0.0) for c in comp.master_cols}
+            # master pass rewrites state, so sending/changed sums are only
+            # meaningful AFTER it — fetch just the master-col sums first
+            # (one aggregate each, not a discarded sending/changed pass)
+            maggs = state_ds.aggregate(
+                *[Sum(c, alias_name=f"m_{c}") for c in comp.master_cols])
+            scalars = {c: float(maggs.get(f"m_{c}") or 0.0)
+                       for c in comp.master_cols}
             state_ds = state_ds.map_batches(
                 _MasterWorker(comp, scalars, superstep, bounds),
                 batch_format="pyarrow", zero_copy_batch=True).materialize()
-            aggs = state_ds.aggregate(Sum("sending", alias_name="s"),
-                                      Sum("changed", alias_name="c"))
+        aggs = state_ds.aggregate(Sum("sending", alias_name="s"),
+                                  Sum("changed", alias_name="c"))
         sum_sending = int(aggs.get("s") or 0)
         sum_changed = int(aggs.get("c") or 0)
         metrics.append({"superstep": superstep, "sending": sum_sending,
@@ -1199,7 +1236,11 @@ class _ShardActor:
         self.comp.apply_part(self.vids, self.st, msg, superstep, self.shard)
         stats = {"sending": int(self.st["sending"].sum()),
                  "changed": int(self.st["changed"].sum()),
-                 "messages": 0}
+                 # vertices with >= 1 incoming message this superstep (the
+                 # pre-combined exchange makes raw edge-message counts
+                 # unobservable here by design — receivers see combined
+                 # per-vertex payloads)
+                 "messages": _msg_count(msg)}
         for c in self.comp.master_cols:
             stats[f"m_{c}"] = float(self.st[c].sum())
         return stats
@@ -1350,8 +1391,7 @@ def _run_ray_actors(graph, comp, max_iterations, P, ckpt_dir, ckpt_interval,
     if ckpt and resume and (latest := ckpt.latest()) is not None:
         start_superstep = latest + 1
         t = ckpt.read_all(latest)
-        pcol = t.column("part").to_numpy(zero_copy_only=False)
-        ray.get([workers[p].load_state.remote(t.filter(pa.array(pcol == p)))
+        ray.get([workers[p].load_state.remote(_resume_part(t, bounds, p))
                  for p in range(nparts)])
     else:
         ray.get([w.init.remote() for w in workers])

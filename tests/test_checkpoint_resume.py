@@ -128,3 +128,32 @@ def test_fingerprint_distinguishes_array_config(tmp_path, medium_graph):
     np.testing.assert_allclose(
         res.table.column("score").to_numpy(zero_copy_only=False),
         ref.table.column("score").to_numpy(zero_copy_only=False), atol=1e-12)
+
+
+def test_resume_across_partition_counts():
+    """A checkpoint written at P=4 must resume correctly at P=2 and P=6:
+    rows route by CURRENT vid bounds, not the saved part column (the actor
+    default P is machine-derived, so cross-machine resumes change P)."""
+    import tempfile
+
+    import numpy as np
+
+    from graph_data_science_ray import Graph, pagerank
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 200, 1500)
+    dst = rng.integers(0, 200, 1500)
+    g = Graph.from_edges(src, dst, n=200)
+
+    full = pagerank(g, tolerance=0.0, max_iterations=8,
+                    execution="local").table.column("score").to_numpy()
+    for p_resume in (2, 6):
+        with tempfile.TemporaryDirectory() as d:
+            pagerank(g, tolerance=0.0, max_iterations=4, execution="local",
+                     num_partitions=4, checkpoint_dir=d)
+            res = pagerank(g, tolerance=0.0, max_iterations=8,
+                           execution="local", num_partitions=p_resume,
+                           checkpoint_dir=d, resume=True)
+            got = res.table.column("score").to_numpy()
+            assert got.shape[0] == 200
+            np.testing.assert_allclose(got, full, atol=1e-12)
