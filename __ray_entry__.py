@@ -1581,6 +1581,35 @@ def _q_hash_split_documents(sf_dir: str):
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["split"]))
 
 
+def _q_rolling_user_events(sf_dir: str):
+    """Rolling-frame aggregates (functions/relational.rolling_agg): trailing
+    5-event count/sum/min/max/avg per user, ordered by (ts, event_id) —
+    SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW.  min/max are order-exact;
+    sum/avg are 6dp-rounded (≤5 doubles per frame, reduction-order-safe)."""
+    from graph_data_science_ray.functions.relational import rolling_agg
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_agg(ev, partition_col="user_id", order_col="ts",
+                      value_col="value", window=5, tiebreak="event_id",
+                      round_digits=6)
+    t = _to_table(out)
+    return t.select(["event_id", "user_id", "roll_cnt", "roll_sum",
+                     "roll_min", "roll_max", "roll_avg"])
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (functions/dedup.semantic_dedup), seed-
+    centroid variant: nearest-seed assignment (8 smallest-id embeddings as
+    centers) then per-cluster any-smaller-id cosine >= 0.3 dup flags.  The
+    f32seq compat kernel makes assignment AND threshold cut bit-equal to
+    DuckDB's list_cosine_similarity, so the whole pipeline is ★."""
+    from graph_data_science_ray.functions.dedup import semantic_dedup
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, threshold=0.3, num_clusters=8,
+                          centroids="seed", arithmetic="f32seq")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -1678,6 +1707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands": _q_orders_price_bands,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "event_value_quantiles": _q_event_value_quantiles,
+        "rolling_user_events": _q_rolling_user_events,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
@@ -2467,6 +2498,37 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3
+""",
+        "rolling_user_events": """
+SELECT event_id, user_id,
+       count(*) OVER w AS roll_cnt,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(min(value) OVER w, 6) AS roll_min,
+       round(max(value) OVER w, 6) AS roll_max,
+       round(avg(value) OVER w, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "semantic_dedup_embeddings": """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT s.cid FROM seeds s
+          ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cid
+          LIMIT 1) AS cluster
+  FROM embeddings e
+)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM assign b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+       ) THEN 1 ELSE 0 END AS is_dup
+FROM assign a
 """,
         "event_value_quantiles": """
 SELECT event_type, q::DOUBLE AS q, round(v, 6) AS value FROM (

@@ -50,7 +50,7 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               simhash_near_dups, embedding_dup_pairs,
                               embedding_dup_pairs_lsh, add_ngram_jaccard,
                               ngram_contamination, cluster_dedup,
-                              incremental_dedup)
+                              incremental_dedup, semantic_dedup)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition,
                                    quantize_embeddings, cosine_topk_int8)
@@ -61,7 +61,8 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              corpus_term_counts, unigram_lm_scores,
                              bpe_token_counts, BPE_PRETOKEN_PATTERN)
 from .functions.relational import (asof_join, range_join, top_k_per_group,
-                                   grouped_quantiles, window_functions)
+                                   grouped_quantiles, window_functions,
+                                   rolling_agg)
 from .functions.joins import hash_join, semi_join_filter
 from .functions.packing import global_prefix_sum, pack_documents
 from .sources.sink import (read_partitioned_parquet,
@@ -108,7 +109,8 @@ __all__ = [
     # training-data pipeline operators
     "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
     "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
-    "embedding_dup_pairs_lsh", "cluster_dedup", "incremental_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
+    "embedding_dup_pairs_lsh", "cluster_dedup", "incremental_dedup",
+    "semantic_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
     "train_ivf_centroids", "ivf_partition", "ImageFeatureExtractor",
     "FrameSampler", "decode_image", "encode_ppm", "resize_nearest",
     "image_feature", "synthetic_media_table", "TokenCounter", "TextStats",
@@ -126,7 +128,7 @@ __all__ = [
     "cosine_topk_int8",
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths", "retention_cohorts",
     "hll_estimate", "hll_registers",
-    "RepetitionStats", "repetition_filter", "window_functions",
+    "RepetitionStats", "repetition_filter", "window_functions", "rolling_agg",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "pack_documents", "add_ngram_jaccard",
     "ngram_contamination", "upsample_by_weight", "chunk_documents",

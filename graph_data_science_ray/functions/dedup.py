@@ -1180,3 +1180,171 @@ def incremental_dedup(docs_ds, seen_fps, *, fp_col: str = "fp",
 
     return docs_ds.select_columns([id_col]).map_batches(
         _Flag(), batch_format="pyarrow")
+
+
+def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
+                   centroids: str = "seed", arithmetic: str = "f32seq",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   block_cols: int = 2048, kmeans_sample_rows: int = 4096,
+                   kmeans_iters: int = 8, seed: int = 29,
+                   as_dataset: bool = False):
+    """SemDeDup-style semantic deduplication over an embedding table:
+    cluster with a tiny broadcast quantizer, then mark near-duplicates by
+    pairwise cosine WITHIN each cluster only (Abbas et al. 2023, "SemDeDup" —
+    the clustering bounds the pairwise scan so the job is
+    sum(n_c^2) << n^2).
+
+    Shape (the 100 TB path): the centroid matrix is tiny and broadcast ONCE
+    (``ray.put``, read per task); assignment is one streaming ``map_batches``
+    pass; the pairwise stage runs inside a cluster-keyed known-partitioner
+    exchange (``cluster`` IS the partition id), so each cluster's scan
+    happens where its rows landed and nothing transits the driver.
+    Per-cluster scratch is O(n_c × block_cols); at scale pick
+    ``num_clusters`` so clusters stay worker-sized (the paper runs tens of
+    thousands of clusters for billions of rows).  Skew is the caller's
+    responsibility per the exchange contract — a degenerate corpus that
+    collapses into one cluster degrades to the exact kernel's O(n^2).
+
+    ``centroids="seed"``: the ``num_clusters`` smallest-id embeddings are
+    the cluster centers (one-step nearest-seed assignment) — fully
+    deterministic AND SQL-expressible, so the WHOLE pipeline
+    (assign → cluster scan → dup flags) is oracle-checkable end-to-end.
+    ``centroids="kmeans"``: deterministic spherical k-means over a bounded
+    streaming sample (similarity.train_ivf_centroids), the production
+    quantizer.
+
+    A row is a duplicate iff some smaller-id row of the SAME cluster has
+    cosine >= threshold (the dedup family's greedy keep-min-id convention;
+    feed the flagged ids through cluster_dedup when transitive
+    canonicalization is wanted).  ``arithmetic="f32seq"`` replays DuckDB's
+    float32 sequential ``list_cosine_similarity`` accumulation (compat.py)
+    and compares in float64, so both the argmax assignment and the
+    threshold cut are bit-identical to the SQL oracle; "float64" is the
+    library-precision path.
+
+    Returns (id_col, cluster, is_dup) — is_dup int64 0/1, one row per input
+    row — as a pa.Table, or a Dataset when ``as_dataset=True``.
+    """
+    import ray
+    import ray.data
+
+    from .compat import cosine_f32_sequential
+    from .knn import _unpack
+    from ..stages.blocks import concat_nonempty
+    from ..stages.exchange import exchange
+
+    if arithmetic not in ("f32seq", "float64"):
+        raise ValueError(f"unknown arithmetic {arithmetic!r}")
+    if centroids not in ("seed", "kmeans"):
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    if num_clusters < 1:
+        raise ValueError("num_clusters must be >= 1")
+    dtype = np.float32 if arithmetic == "f32seq" else np.float64
+
+    def _canon(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t.column(id_col).cast(pa.int64()),
+                         "embedding": t.column(vec_col)})
+
+    narrow = emb_ds.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    if centroids == "kmeans":
+        from .similarity import train_ivf_centroids
+        cmat = np.ascontiguousarray(
+            train_ivf_centroids(narrow, num_lists=num_clusters,
+                                sample_rows=kmeans_sample_rows,
+                                iters=kmeans_iters, seed=seed), dtype=dtype)
+    else:
+        # the num_clusters smallest-id rows: per-block partials (≤ k rows
+        # each), driver merges only blocks×k candidate rows — never the table
+        k = num_clusters
+
+        def _ksmall(t: pa.Table) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = np.argsort(ids, kind="stable")[:k]
+            return t.take(pa.array(keep, type=pa.int64()))
+
+        cand = pa.concat_tables(
+            narrow.map_batches(_ksmall, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+        if cand.num_rows == 0:
+            raise ValueError("semantic_dedup: empty embedding table")
+        ids = cand.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        _, cmat = _unpack(cand.take(pa.array(order, type=pa.int64())),
+                          dtype)
+        cmat = np.ascontiguousarray(cmat)
+    if arithmetic == "float64":
+        nrm = np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+        cmat = cmat / nrm
+    P = cmat.shape[0]          # ≤ num_clusters when the table is tiny
+    cref = ray.put(cmat)
+
+    class _Assign:
+        """Nearest-centroid (max-cosine) assignment; ties take the smallest
+        cluster id (np.argmax first-hit == SQL ORDER BY sim DESC, cid ASC)."""
+
+        def __init__(self):
+            self.c = None
+            self.__name__ = "semantic_assign"
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.c is None:
+                self.c = ray.get(cref)
+            ids, m = _unpack(t, dtype)
+            if ids.shape[0] == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "embedding": pa.array([], t.schema.field(
+                                     "embedding").type if t.num_columns
+                                     else pa.list_(pa.float32())),
+                                 "cluster": pa.array([], pa.int64())})
+            if arithmetic == "f32seq":
+                sims = cosine_f32_sequential(m, self.c)
+            else:
+                nr = np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-30)
+                sims = (m / nr) @ self.c.T
+            cl = np.argmax(sims, axis=1).astype(np.int64)
+            return t.append_column("cluster", pa.array(cl))
+
+    assigned = narrow.map_batches(_Assign(), batch_format="pyarrow")
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "is_dup": pa.array([], pa.int64())})
+
+    def _part(t: pa.Table) -> np.ndarray:
+        return t.column("cluster").to_numpy(zero_copy_only=False)
+
+    def _comb(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        ids, m = _unpack(g, dtype)
+        cl = g.column("cluster").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, m, cl = ids[order], np.ascontiguousarray(m[order]), cl[order]
+        n = ids.shape[0]
+        if arithmetic == "float64":
+            nr = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            m = m / nr
+        is_dup = np.zeros(n, dtype=bool)
+        for j0 in range(1, n, block_cols):
+            j1 = min(j0 + block_cols, n)
+            if arithmetic == "f32seq":
+                sims = cosine_f32_sequential(m[:j1], m[j0:j1])
+            else:
+                sims = m[:j1] @ m[j0:j1].T
+            # float64 compare on both sides: DuckDB promotes the float32
+            # sim to DOUBLE before `>= threshold`, so must we — a bare
+            # float32 compare would round the threshold itself
+            mask = sims.astype(np.float64) >= threshold
+            mask &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            is_dup[j0:j1] |= mask.any(axis=0)
+        return pa.table({id_col: ids, "cluster": cl,
+                         "is_dup": is_dup.astype(np.int64)})
+
+    out = exchange(assigned, _part, P, combine=_comb)
+    if as_dataset:
+        return out
+    return concat_nonempty(out, empty_schema=empty.schema)

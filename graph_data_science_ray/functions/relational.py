@@ -486,3 +486,118 @@ def window_functions(ds, *, partition_col: str, order_col: str,
     from ..stages.exchange import grouped_exchange
     return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
                             empty_result=empty)
+
+
+def _rolling_kernel(g: pa.Table, partition_col: str, order_col: str,
+                    value_col: str, tiebreak: Optional[str],
+                    window: int, round_digits: Optional[int]) -> pa.Table:
+    """Rolling-frame aggregates over one hash partition: one lexsort, then a
+    single (n × window) clamped-gather — every frame is materialized as one
+    masked row, so min/max/sum/avg are pure axis-1 reductions.  Memory is
+    O(rows × window) per partition, which is the kernel's contract (see
+    rolling_agg); a deque/segment-tree kernel is the integration point for
+    very large windows."""
+    gcol = g.column(partition_col)
+    if pa.types.is_integer(gcol.type):
+        garr = gcol.to_numpy(zero_copy_only=False)
+    else:
+        garr = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
+                         return_inverse=True)[1]
+    o = g.column(order_col).to_numpy(zero_copy_only=False)
+    vcol = g.column(value_col)
+    if vcol.null_count:
+        raise ValueError(f"rolling_agg: value column {value_col!r} contains "
+                         f"{vcol.null_count} null(s) — SQL frames skip nulls, "
+                         "this kernel does not; filter or fill them upstream")
+    v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+    keys = [o, garr]
+    if tiebreak is not None:
+        keys.insert(0, g.column(tiebreak).to_numpy(zero_copy_only=False))
+    order = np.lexsort(tuple(keys))
+    gs, vs = garr[order], v[order]
+    n = order.shape[0]
+    idx = np.arange(n)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = gs[1:] != gs[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    lo = np.maximum(grp_start, idx - window + 1)
+    cnt = idx - lo + 1
+    cols = lo[:, None] + np.arange(window)[None, :]
+    valid = cols <= idx[:, None]
+    frame = vs[np.minimum(cols, idx[:, None])]       # clamp: no OOB gather
+    rsum = np.where(valid, frame, 0.0).sum(axis=1)
+    rmin = np.where(valid, frame, np.inf).min(axis=1)
+    rmax = np.where(valid, frame, -np.inf).max(axis=1)
+    ravg = rsum / cnt
+    if round_digits is not None:
+        from .compat import round_half_away
+        rsum = round_half_away(rsum, round_digits)
+        rmin = round_half_away(rmin, round_digits)
+        rmax = round_half_away(rmax, round_digits)
+        ravg = round_half_away(ravg, round_digits)
+    out = g.take(pa.array(order, type=pa.int64()))
+    for name, arr, typ in (("roll_cnt", cnt, pa.int64()),
+                           ("roll_sum", rsum, pa.float64()),
+                           ("roll_min", rmin, pa.float64()),
+                           ("roll_max", rmax, pa.float64()),
+                           ("roll_avg", ravg, pa.float64())):
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out
+
+
+def rolling_agg(ds, *, partition_col: str, order_col: str, value_col: str,
+                window: int, tiebreak: Optional[str] = None,
+                round_digits: Optional[int] = None,
+                num_buckets: Optional[int] = None, schema=None):
+    """Rolling-frame aggregates — SQL
+    ``agg(value) OVER (PARTITION BY key ORDER BY order[, tiebreak]
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` for
+    count / sum / min / max / avg, appended as ``roll_cnt`` / ``roll_sum`` /
+    ``roll_min`` / ``roll_max`` / ``roll_avg``.
+
+    The moving-average / trailing-window features an event-log or
+    time-series pipeline derives per entity (trailing spend, w-event peak,
+    smoothed rates).  Complements :func:`window_functions`, which covers the
+    unbounded-preceding frames (running totals) and offset functions.
+
+    Shape: identical to window_functions — rows hash-route ONCE to their
+    partition key's bucket via the known-partitioner exchange (no sampled
+    sort), then one lexsort + one (rows × window) masked gather per bucket
+    computes all five aggregates vectorized.  min/max are order-independent
+    and float-exact vs any SQL engine; sum/avg reduce ≤ ``window`` doubles
+    per row (pass ``round_digits`` to pin SQL-comparable rounding,
+    compat.round_half_away semantics).
+
+    Partitioning assumptions (documented per the custom-operator contract):
+    all rows of one partition key fit a worker, and per-bucket scratch is
+    O(rows × window) — size ``window`` accordingly (≤ ~1024; a monotonic-
+    deque kernel is the documented integration point for larger frames).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
+
+    cols = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    cols.update({"roll_cnt": pa.int64(), "roll_sum": pa.float64(),
+                 "roll_min": pa.float64(), "roll_max": pa.float64(),
+                 "roll_avg": pa.float64()})
+    empty = pa.table({n: pa.array([], t) for n, t in cols.items()})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = _col_bucket_values(t.column(partition_col), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        return _rolling_kernel(g.drop_columns([_BUCKET]), partition_col,
+                               order_col, value_col, tiebreak, window,
+                               round_digits)
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
+                            empty_result=empty)

@@ -695,3 +695,85 @@ class TestIncrementalDedup:
         out = incremental_dedup(self._ds([1, 2], ["a", "b"]), store) \
             .to_pandas()
         assert out.is_new.all()
+
+
+class TestSemanticDedup:
+    def _emb(self, m=300, d=12, seed=5, dup_every=13):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(0, 1, (m, d)).astype(np.float32)
+        for i in range(0, m - 7, dup_every):
+            base[i + 7] = base[i] + rng.normal(0, .01, d).astype(np.float32)
+        return pa.table({
+            "vec_id": np.arange(m, dtype=np.int64),
+            "embedding": pa.array(base.tolist(), pa.list_(pa.float32()))})
+
+    def _brute(self, t, threshold, num_clusters):
+        """Driver-side reference: nearest-seed assignment + per-cluster
+        any-smaller-id pairwise cut, float32 sequential arithmetic."""
+        from graph_data_science_ray.functions.compat import (
+            cosine_f32_sequential)
+        ids = t.column("vec_id").to_numpy()
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        c = m[:num_clusters]
+        cl = np.argmax(cosine_f32_sequential(m, c), axis=1)
+        is_dup = np.zeros(ids.shape[0], dtype=np.int64)
+        sims = cosine_f32_sequential(m, m).astype(np.float64)
+        for j in range(ids.shape[0]):
+            same = (cl == cl[j]) & (ids < ids[j]) & (sims[:, j] >= threshold)
+            is_dup[j] = int(same.any())
+        return ids, cl.astype(np.int64), is_dup
+
+    def test_matches_brute_force_seed_mode(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        t = self._emb()
+        ds = ray.data.from_arrow(t).repartition(5)
+        out = semantic_dedup(ds, threshold=0.85, num_clusters=6).sort_by(
+            "vec_id")
+        ids, cl, is_dup = self._brute(t, 0.85, 6)
+        assert is_dup.sum() > 0, "fixture must plant same-cluster dups"
+        np.testing.assert_array_equal(out.column("vec_id").to_numpy(), ids)
+        np.testing.assert_array_equal(out.column("cluster").to_numpy(), cl)
+        np.testing.assert_array_equal(out.column("is_dup").to_numpy(), is_dup)
+
+    def test_layout_invariance_and_dataset_mode(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        t = self._emb(m=120)
+        a = semantic_dedup(ray.data.from_arrow(t).repartition(2),
+                           threshold=0.9, num_clusters=4).sort_by("vec_id")
+        dsb = semantic_dedup(ray.data.from_arrow(t).repartition(9),
+                             threshold=0.9, num_clusters=4, as_dataset=True)
+        import ray
+        b = pa.concat_tables(
+            [x for x in ray.get(dsb.materialize().to_arrow_refs())
+             if x.num_rows and x.num_columns]).sort_by("vec_id")
+        assert a.equals(b)
+
+    def test_kmeans_mode_flags_planted_dups(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        t = self._emb(m=200)
+        out = semantic_dedup(ray.data.from_arrow(t).repartition(3),
+                             threshold=0.95, num_clusters=5,
+                             centroids="kmeans", arithmetic="float64",
+                             seed=11).sort_by("vec_id")
+        assert out.num_rows == 200
+        dup = out.column("is_dup").to_numpy()
+        # planted near-identical rows land in the planted row's cluster and
+        # must be flagged; every flagged id has a smaller-id near neighbor
+        assert dup.sum() >= 5
+        assert dup[0] == 0  # smallest id can never be a dup
+
+    def test_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        ds = ray.data.from_arrow(self._emb(m=20))
+        with pytest.raises(ValueError, match="arithmetic"):
+            semantic_dedup(ds, arithmetic="f16")
+        with pytest.raises(ValueError, match="centroids"):
+            semantic_dedup(ds, centroids="random")
+        with pytest.raises(ValueError, match="num_clusters"):
+            semantic_dedup(ds, num_clusters=0)

@@ -341,3 +341,79 @@ class TestReviewRegressions:
         from graph_data_science_ray.state.models import ModelCatalog
         with pytest.raises(ValueError, match="base_dir"):
             ModelCatalog().load("m")
+
+
+class TestRollingAgg:
+    def _run(self, t, window, nparts=6, **kw):
+        import ray.data
+        from graph_data_science_ray.functions.relational import rolling_agg
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = rolling_agg(ds, partition_col="user_id", order_col="ts",
+                          value_col="value", window=window,
+                          tiebreak="event_id", round_digits=6, **kw)
+        return _to_table(out)
+
+    def _oracle(self, t, window):
+        con = duckdb.connect()
+        con.register("ev", t)
+        return con.sql(f"""
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS roll_cnt,
+                   round(sum(value) OVER w, 6) AS roll_sum,
+                   round(min(value) OVER w, 6) AS roll_min,
+                   round(max(value) OVER w, 6) AS roll_max,
+                   round(avg(value) OVER w, 6) AS roll_avg
+            FROM ev WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""").arrow()
+
+    def _tab(self, n=1500, keys=40, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, keys, n).astype(np.int64),
+            "ts": rng.integers(0, 500, n).astype(np.int64),  # many ties
+            "value": rng.normal(50, 30, n)})
+
+    def test_matches_duckdb(self):
+        t = self._tab()
+        got = self._run(t, window=5).sort_by("event_id")
+        exp = self._oracle(t, window=5)
+        _assert_tables_equal(got, exp)
+
+    def test_window_one_is_identity(self):
+        t = self._tab(n=300, keys=7)
+        got = self._run(t, window=1).sort_by("event_id")
+        v = got.column("value").to_numpy()
+        from graph_data_science_ray.functions.compat import round_half_away
+        np.testing.assert_array_equal(got.column("roll_sum").to_numpy(),
+                                      round_half_away(v, 6))
+        assert (got.column("roll_cnt").to_numpy() == 1).all()
+
+    def test_window_exceeds_partition(self):
+        # window larger than any key's row count == unbounded-preceding frame
+        t = self._tab(n=200, keys=50)
+        got = self._run(t, window=1000).sort_by("event_id")
+        exp = self._oracle(t, window=1000)
+        _assert_tables_equal(got, exp)
+
+    def test_partition_layout_invariance(self):
+        t = self._tab(n=600, keys=11)
+        a = self._run(t, window=4, nparts=2).sort_by("event_id")
+        b = self._run(t, window=4, nparts=13).sort_by("event_id")
+        _assert_tables_equal(a, b)
+
+    def test_rejects_bad_window_and_null_values(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import rolling_agg
+        t = self._tab(n=50, keys=3)
+        with pytest.raises(ValueError, match="window"):
+            rolling_agg(ray.data.from_arrow(t), partition_col="user_id",
+                        order_col="ts", value_col="value", window=0)
+        tn = t.set_column(t.schema.get_field_index("value"), "value",
+                          pa.array([None] * t.num_rows, pa.float64()))
+        with pytest.raises(Exception, match="null"):
+            _to_table(rolling_agg(ray.data.from_arrow(tn),
+                                  partition_col="user_id", order_col="ts",
+                                  value_col="value", window=3))
