@@ -1610,6 +1610,16 @@ def _q_semantic_dedup(sf_dir: str):
                           centroids="seed", arithmetic="f32seq")
 
 
+def _q_substring_dup(sf_dir: str):
+    """Per-document exact-substring duplication stats (functions/dedup.
+    substring_dup_stats, ExactSubstr signal): 16-token windows, stride 8; a
+    window is duplicated iff its text occurs >= 2 times corpus-wide.  md5
+    family == DuckDB md5() so occurrence counting is oracle-exact."""
+    from graph_data_science_ray.functions.dedup import substring_dup_stats
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return substring_dup_stats(docs, k=16, stride=8, hash_fn="md5")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -1709,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "rolling_user_events": _q_rolling_user_events,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "substring_dup_documents": _q_substring_dup,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
@@ -2498,6 +2509,21 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3
+""",
+        "substring_dup_documents": """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''),
+c AS (SELECT doc_id, unnest(range(0, greatest(len(ws) - 15, 1), 8)) AS st, ws
+      FROM w),
+wins AS (SELECT doc_id, md5(array_to_string(ws[st + 1 : st + 16], ' ')) AS h
+         FROM c),
+cnt AS (SELECT h, count(*) AS c FROM wins GROUP BY h)
+SELECT wins.doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+       round(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             6) AS dup_fraction
+FROM wins JOIN cnt USING (h) GROUP BY wins.doc_id
 """,
         "rolling_user_events": """
 SELECT event_id, user_id,

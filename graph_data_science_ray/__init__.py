@@ -50,7 +50,8 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               simhash_near_dups, embedding_dup_pairs,
                               embedding_dup_pairs_lsh, add_ngram_jaccard,
                               ngram_contamination, cluster_dedup,
-                              incremental_dedup, semantic_dedup)
+                              incremental_dedup, semantic_dedup,
+                              substring_dup_stats)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition,
                                    quantize_embeddings, cosine_topk_int8)
@@ -110,7 +111,8 @@ __all__ = [
     "exact_dedup", "minhash_near_dups", "minhash_md5_near_dups",
     "simhash_table", "simhash_near_dups", "embedding_dup_pairs",
     "embedding_dup_pairs_lsh", "cluster_dedup", "incremental_dedup",
-    "semantic_dedup", "cosine_topk", "lsh_topk", "ivf_topk",
+    "semantic_dedup", "substring_dup_stats",
+    "cosine_topk", "lsh_topk", "ivf_topk",
     "train_ivf_centroids", "ivf_partition", "ImageFeatureExtractor",
     "FrameSampler", "decode_image", "encode_ppm", "resize_nearest",
     "image_feature", "synthetic_media_table", "TokenCounter", "TextStats",

@@ -1348,3 +1348,118 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
     if as_dataset:
         return out
     return concat_nonempty(out, empty_schema=empty.schema)
+
+
+def substring_dup_stats(docs_ds, *, k: int = 16, stride: int = 8,
+                        hash_fn: str = "blake2b", text_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 32,
+                        as_dataset: bool = False):
+    """Per-document exact-substring duplication stats — the ExactSubstr
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), windowed: every k-token window (stride ``stride``) is
+    fingerprinted, a window is DUPLICATED iff its text occurs >= 2 times
+    anywhere in the corpus (any document, including its own), and each
+    document reports (n_windows, n_dup_windows, dup_fraction) — the gate a
+    repetition-contamination filter cuts on.
+
+    Tokenization is the repo's DuckDB-equal whitespace family
+    (chunk_documents semantics: ``t.split()``; empty texts emit nothing);
+    window starts are ``range(0, max(n_tokens - k + 1, 1), stride)`` — a
+    document shorter than k tokens contributes its whole text as one
+    window, mirroring the shingle convention.
+
+    Shape (the 100 TB path): windows never carry text past the first stage —
+    each becomes one 16-byte digest row.  One fingerprint-hash exchange
+    lands every occurrence of a window in exactly one partition, where
+    occurrence counting AND the per-document partial reduction happen
+    (output: <= distinct-docs-per-partition rows); a second doc-hash
+    exchange sums the partials.  Nothing materializes on the driver;
+    per-partition scratch is O(rows/P).  ``hash_fn="md5"`` is the
+    SQL-reproducible family (DuckDB ``md5()``), "blake2b" the production
+    default — identical pipeline, cheaper digest.
+
+    Returns (id_col, n_windows, n_dup_windows, dup_fraction[6dp]) with one
+    row per document that produced at least one window.
+    """
+    import hashlib
+
+    from .compat import round_half_away
+    from ..stages.blocks import concat_nonempty
+    from ..stages.exchange import exchange, hash_parts
+
+    if k < 1 or stride < 1:
+        raise ValueError("k and stride must be >= 1")
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    digest = ((lambda b: hashlib.md5(b).digest()) if hash_fn == "md5"
+              else (lambda b: hashlib.blake2b(b, digest_size=16).digest()))
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_h = [], []
+        for i, t in zip(ids, texts):
+            toks = t.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            ii = int(i)
+            for s in range(0, max(n - k + 1, 1), stride):
+                out_id.append(ii)
+                out_h.append(digest(" ".join(toks[s:s + k]).encode()))
+        return pa.table({id_col: pa.array(
+            np.asarray(out_id, dtype=np.int64)),
+            "h": pa.array(out_h, pa.binary(16))})
+
+    win = docs_ds.map_batches(_windows, batch_format="pyarrow")
+
+    def _hpart(t: pa.Table) -> np.ndarray:
+        raw = t.column("h").combine_chunks()
+        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype="<u8")
+        return (flat[::2] % np.uint64(num_buckets)).astype(np.int64)
+
+    partial_empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "nw": pa.array([], pa.int64()),
+                              "nd": pa.array([], pa.int64())})
+
+    def _count(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return partial_empty
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        hs = np.asarray(g.column("h").to_pylist(), dtype="S16")
+        _, inv, cnt = np.unique(hs, return_inverse=True, return_counts=True)
+        dup = cnt[inv] >= 2
+        docs, dinv = np.unique(ids, return_inverse=True)
+        nw = np.bincount(dinv, minlength=docs.shape[0])
+        nd = np.bincount(dinv, weights=dup.astype(np.float64),
+                         minlength=docs.shape[0]).astype(np.int64)
+        return pa.table({id_col: docs, "nw": nw.astype(np.int64), "nd": nd})
+
+    partials = exchange(win, _hpart, num_buckets, combine=_count)
+
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_windows": pa.array([], pa.int64()),
+                          "n_dup_windows": pa.array([], pa.int64()),
+                          "dup_fraction": pa.array([], pa.float64())})
+
+    def _final(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return out_empty
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        nw = g.column("nw").to_numpy(zero_copy_only=False)
+        nd = g.column("nd").to_numpy(zero_copy_only=False)
+        docs, dinv = np.unique(ids, return_inverse=True)
+        tw = np.bincount(dinv, weights=nw.astype(np.float64),
+                         minlength=docs.shape[0]).astype(np.int64)
+        td = np.bincount(dinv, weights=nd.astype(np.float64),
+                         minlength=docs.shape[0]).astype(np.int64)
+        frac = round_half_away(td / np.maximum(tw, 1), 6)
+        return pa.table({id_col: docs, "n_windows": tw,
+                         "n_dup_windows": td, "dup_fraction": frac})
+
+    nparts = max(4, num_buckets // 4)
+    out = exchange(partials, hash_parts(id_col, P=nparts), nparts,
+                   combine=_final)
+    if as_dataset:
+        return out
+    return concat_nonempty(out, empty_schema=out_empty.schema)

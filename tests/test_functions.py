@@ -777,3 +777,70 @@ class TestSemanticDedup:
             semantic_dedup(ds, centroids="random")
         with pytest.raises(ValueError, match="num_clusters"):
             semantic_dedup(ds, num_clusters=0)
+
+
+class TestSubstringDupStats:
+    def _docs(self):
+        sent = "the quick brown fox jumps over the lazy dog again and again"
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                sent + " unique tail zero",      # shares a window with doc 1
+                sent + " different ending one",
+                "totally unrelated words nowhere repeated in corpus",
+                "short"], pa.string())})
+
+    def test_planted_duplication_and_short_doc(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import substring_dup_stats
+        t = self._docs()
+        out = substring_dup_stats(
+            ray.data.from_arrow(t).repartition(3), k=8, stride=4,
+            num_buckets=8).sort_by("doc_id")
+        assert out.column("doc_id").to_pylist() == [0, 1, 2, 3]
+        nd = out.column("n_dup_windows").to_numpy()
+        # docs 0 and 1 share their first 8-token window; 2 and 3 share none
+        assert nd[0] >= 1 and nd[1] >= 1 and nd[2] == 0 and nd[3] == 0
+        # a doc shorter than k tokens still contributes exactly one window
+        assert out.column("n_windows").to_numpy()[3] == 1
+
+    def test_within_doc_repetition_counts(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import substring_dup_stats
+        rep = " ".join(["alpha beta gamma delta"] * 6)   # self-repeating
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([rep], pa.string())})
+        out = substring_dup_stats(ray.data.from_arrow(t), k=4, stride=4,
+                                  num_buckets=4)
+        assert out.column("dup_fraction").to_numpy()[0] == 1.0
+
+    def test_layout_invariance_and_families(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import substring_dup_stats
+        rng = np.random.default_rng(3)
+        words = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(words, rng.integers(5, 60)))
+                 for _ in range(40)]
+        t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        a = substring_dup_stats(ray.data.from_arrow(t).repartition(2),
+                                k=5, stride=2, num_buckets=4).sort_by("doc_id")
+        b = substring_dup_stats(ray.data.from_arrow(t).repartition(11),
+                                k=5, stride=2, num_buckets=16,
+                                hash_fn="md5").sort_by("doc_id")
+        # md5 and blake2b families count identical window-text multiplicity
+        for c in ("doc_id", "n_windows", "n_dup_windows", "dup_fraction"):
+            np.testing.assert_array_equal(a.column(c).to_numpy(),
+                                          b.column(c).to_numpy())
+
+    def test_empty_text_skipped_and_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import substring_dup_stats
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["", "some actual words"], pa.string())})
+        out = substring_dup_stats(ray.data.from_arrow(t), k=4, stride=2)
+        assert out.column("doc_id").to_pylist() == [1]
+        with pytest.raises(ValueError, match="k and stride"):
+            substring_dup_stats(ray.data.from_arrow(t), k=0)
+        with pytest.raises(ValueError, match="hash_fn"):
+            substring_dup_stats(ray.data.from_arrow(t), hash_fn="sha1")
