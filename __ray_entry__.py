@@ -1606,8 +1606,8 @@ def _q_semantic_dedup(sf_dir: str):
     from graph_data_science_ray.functions.dedup import semantic_dedup
     emb = _rpc(f"{sf_dir}/embeddings.parquet",
                columns=["vec_id", "embedding"])
-    return semantic_dedup(emb, threshold=0.3, num_clusters=8,
-                          centroids="seed", arithmetic="f32seq")
+    return _to_table(semantic_dedup(emb, threshold=0.3, num_clusters=8,
+                                    centroids="seed", arithmetic="f32seq"))
 
 
 def _q_substring_dup(sf_dir: str):
@@ -1617,7 +1617,7 @@ def _q_substring_dup(sf_dir: str):
     family == DuckDB md5() so occurrence counting is oracle-exact."""
     from graph_data_science_ray.functions.dedup import substring_dup_stats
     docs = _docs(sf_dir, ["doc_id", "text"])
-    return substring_dup_stats(docs, k=16, stride=8, hash_fn="md5")
+    return _to_table(substring_dup_stats(docs, k=16, stride=8, hash_fn="md5"))
 
 
 def entry() -> Any:

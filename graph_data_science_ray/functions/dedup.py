@@ -1187,7 +1187,7 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    block_cols: int = 2048, kmeans_sample_rows: int = 4096,
                    kmeans_iters: int = 8, seed: int = 29,
-                   as_dataset: bool = False):
+                   as_dataset: bool = True):
     """SemDeDup-style semantic deduplication over an embedding table:
     cluster with a tiny broadcast quantizer, then mark near-duplicates by
     pairwise cosine WITHIN each cluster only (Abbas et al. 2023, "SemDeDup" —
@@ -1223,7 +1223,12 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
     library-precision path.
 
     Returns (id_col, cluster, is_dup) — is_dup int64 0/1, one row per input
-    row — as a pa.Table, or a Dataset when ``as_dataset=True``.
+    row — as a Dataset by default (the result is input-sized; keep it
+    distributed), or a driver-side pa.Table with ``as_dataset=False`` (small
+    inputs / conformance checks only).  Zero-norm embeddings are rejected in
+    f32seq mode: their cosine is NaN, and numpy's ``NaN >= t`` (False)
+    disagrees with SQL engines that order NaN above all floats — filter
+    zero vectors upstream.
     """
     import ray
     import ray.data
@@ -1265,11 +1270,11 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
             keep = np.argsort(ids, kind="stable")[:k]
             return t.take(pa.array(keep, type=pa.int64()))
 
-        cand = pa.concat_tables(
-            narrow.map_batches(_ksmall, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow", batch_size=None))
-        if cand.num_rows == 0:
+        tabs = list(narrow.map_batches(_ksmall, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tabs or sum(t.num_rows for t in tabs) == 0:
             raise ValueError("semantic_dedup: empty embedding table")
+        cand = pa.concat_tables(tabs)
         ids = cand.column("vec_id").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")[:k]
         _, cmat = _unpack(cand.take(pa.array(order, type=pa.int64())),
@@ -1300,6 +1305,11 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
                                      else pa.list_(pa.float32())),
                                  "cluster": pa.array([], pa.int64())})
             if arithmetic == "f32seq":
+                if not m.any(axis=1).all():
+                    raise ValueError(
+                        "semantic_dedup: zero-norm embedding — NaN cosine "
+                        "compares False in numpy but above-all in SQL; "
+                        "filter zero vectors upstream")
                 sims = cosine_f32_sequential(m, self.c)
             else:
                 nr = np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
@@ -1339,7 +1349,10 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
             # sim to DOUBLE before `>= threshold`, so must we — a bare
             # float32 compare would round the threshold itself
             mask = sims.astype(np.float64) >= threshold
-            mask &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            # strict ID comparison (not positional): duplicate vec_ids must
+            # match the oracle's `b.vec_id < a.vec_id`, independent of
+            # block-arrival order within the stable sort
+            mask &= ids[:j1, None] < ids[None, j0:j1]
             is_dup[j0:j1] |= mask.any(axis=0)
         return pa.table({id_col: ids, "cluster": cl,
                          "is_dup": is_dup.astype(np.int64)})
@@ -1353,7 +1366,7 @@ def semantic_dedup(emb_ds, *, threshold: float = 0.9, num_clusters: int = 8,
 def substring_dup_stats(docs_ds, *, k: int = 16, stride: int = 8,
                         hash_fn: str = "blake2b", text_col: str = "text",
                         id_col: str = "doc_id", num_buckets: int = 32,
-                        as_dataset: bool = False):
+                        as_dataset: bool = True):
     """Per-document exact-substring duplication stats — the ExactSubstr
     signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     Models Better"), windowed: every k-token window (stride ``stride``) is
@@ -1379,7 +1392,10 @@ def substring_dup_stats(docs_ds, *, k: int = 16, stride: int = 8,
     default — identical pipeline, cheaper digest.
 
     Returns (id_col, n_windows, n_dup_windows, dup_fraction[6dp]) with one
-    row per document that produced at least one window.
+    row per document that produced at least one window — a Dataset by
+    default (the result is corpus-sized; keep it distributed), or a
+    driver-side pa.Table with ``as_dataset=False`` (small inputs /
+    conformance checks only).
     """
     import hashlib
 
@@ -1413,10 +1429,22 @@ def substring_dup_stats(docs_ds, *, k: int = 16, stride: int = 8,
 
     win = docs_ds.map_batches(_windows, batch_format="pyarrow")
 
+    def _digest_view(col) -> np.ndarray:
+        """(n, 16) uint8 zero-copy view of a fixed_size_binary(16) column —
+        no per-window Python bytes objects on the exchange hot path."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = (col.chunk(0) if col.num_chunks
+                       else pa.array([], type=pa.binary(16)))
+        return np.frombuffer(col.buffers()[1], dtype=np.uint8,
+                             count=len(col) * 16,
+                             offset=col.offset * 16).reshape(-1, 16)
+
     def _hpart(t: pa.Table) -> np.ndarray:
-        raw = t.column("h").combine_chunks()
-        flat = np.frombuffer(b"".join(raw.to_pylist()), dtype="<u8")
-        return (flat[::2] % np.uint64(num_buckets)).astype(np.int64)
+        m = _digest_view(t.column("h"))
+        lead = m.view("<u8")[:, 0]          # first 8 digest bytes as LE u64
+        return (lead % np.uint64(num_buckets)).astype(np.int64)
 
     partial_empty = pa.table({id_col: pa.array([], pa.int64()),
                               "nw": pa.array([], pa.int64()),
@@ -1426,7 +1454,7 @@ def substring_dup_stats(docs_ds, *, k: int = 16, stride: int = 8,
         if g.num_rows == 0 or g.num_columns == 0:
             return partial_empty
         ids = g.column(id_col).to_numpy(zero_copy_only=False)
-        hs = np.asarray(g.column("h").to_pylist(), dtype="S16")
+        hs = _digest_view(g.column("h")).view("S16").ravel()
         _, inv, cnt = np.unique(hs, return_inverse=True, return_counts=True)
         dup = cnt[inv] >= 2
         docs, dinv = np.unique(ids, return_inverse=True)

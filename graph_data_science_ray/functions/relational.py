@@ -386,12 +386,12 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
                             empty_result=empty)
 
 
-def _window_kernel(g: pa.Table, partition_col: str, order_col: str,
-                   value_col: str, tiebreak: Optional[str]) -> pa.Table:
-    """Vectorized window functions over one hash partition: one lexsort, then
-    boundary-index arithmetic for row_number/rank/lag/lead/cumsum; cummax is
-    the only per-group loop (no exact vectorized grouped-cummax exists that
-    is float-precision-safe)."""
+def _partition_sort(g: pa.Table, partition_col: str, order_col: str,
+                    tiebreak: Optional[str]):
+    """Shared window prologue: encode the partition key, lexsort by
+    (key, order[, tiebreak]), compute group boundaries.  Returns
+    (order, sorted_order_values, new_grp, grp_start); callers gather their
+    own value columns through ``order``."""
     gcol = g.column(partition_col)
     if pa.types.is_integer(gcol.type):
         garr = gcol.to_numpy(zero_copy_only=False)
@@ -399,17 +399,60 @@ def _window_kernel(g: pa.Table, partition_col: str, order_col: str,
         garr = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
                          return_inverse=True)[1]
     o = g.column(order_col).to_numpy(zero_copy_only=False)
-    v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
     keys = [o, garr]
     if tiebreak is not None:
         keys.insert(0, g.column(tiebreak).to_numpy(zero_copy_only=False))
     order = np.lexsort(tuple(keys))
-    gs, os_, vs = garr[order], o[order], v[order]
+    gs = garr[order]
     n = order.shape[0]
     idx = np.arange(n)
     new_grp = np.ones(n, dtype=bool)
     new_grp[1:] = gs[1:] != gs[:-1]
     grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+    return order, o[order], new_grp, grp_start
+
+
+def _keyed_window_exchange(ds, partition_col: str,
+                           num_buckets: Optional[int], schema,
+                           extra_cols: dict, kernel):
+    """Shared scaffolding for the window-function family (window_functions,
+    rolling_agg): adaptive bucket count, output-typed empty table, bucket
+    tag, empty-partition guard, grouped_exchange."""
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
+    cols = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    cols.update(extra_cols)
+    empty = pa.table({n: pa.array([], t) for n, t in cols.items()})
+
+    def _tag(t: pa.Table) -> pa.Table:
+        b = _col_bucket_values(t.column(partition_col), num_buckets)
+        return t.append_column(_BUCKET, pa.array(b))
+
+    def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        return kernel(g.drop_columns([_BUCKET]))
+
+    from ..stages.exchange import grouped_exchange
+    return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
+                            empty_result=empty)
+
+
+def _window_kernel(g: pa.Table, partition_col: str, order_col: str,
+                   value_col: str, tiebreak: Optional[str]) -> pa.Table:
+    """Vectorized window functions over one hash partition: one lexsort, then
+    boundary-index arithmetic for row_number/rank/lag/lead/cumsum; cummax is
+    the only per-group loop (no exact vectorized grouped-cummax exists that
+    is float-precision-safe)."""
+    v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    order, os_, new_grp, grp_start = _partition_sort(
+        g, partition_col, order_col, tiebreak)
+    vs = v[order]
+    n = order.shape[0]
+    idx = np.arange(n)
     rn = idx - grp_start + 1
     # SQL rank(): ties share the FIRST row number of their (order value) run
     new_run = new_grp.copy()
@@ -461,31 +504,13 @@ def window_functions(ds, *, partition_col: str, order_col: str,
     true for per-user/per-session event logs; a key with ~1e8+ rows needs a
     range-partitioned segment-merge variant instead.
     """
-    if num_buckets is None:
-        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
-        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
-    if schema is None:
-        schema = ds.schema()  # once — schema() partially executes upstream
-
-    cols = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
-    cols.update({"rn": pa.int64(), "rnk": pa.int64(),
-                 "lag_value": pa.float64(), "lead_value": pa.float64(),
-                 "cum_value": pa.float64(), "cum_max": pa.float64()})
-    empty = pa.table({n: pa.array([], t) for n, t in cols.items()})
-
-    def _tag(t: pa.Table) -> pa.Table:
-        b = _col_bucket_values(t.column(partition_col), num_buckets)
-        return t.append_column(_BUCKET, pa.array(b))
-
-    def _combine(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or g.num_columns == 0:
-            return empty
-        return _window_kernel(g.drop_columns([_BUCKET]), partition_col,
-                              order_col, value_col, tiebreak)
-
-    from ..stages.exchange import grouped_exchange
-    return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
-                            empty_result=empty)
+    return _keyed_window_exchange(
+        ds, partition_col, num_buckets, schema,
+        {"rn": pa.int64(), "rnk": pa.int64(),
+         "lag_value": pa.float64(), "lead_value": pa.float64(),
+         "cum_value": pa.float64(), "cum_max": pa.float64()},
+        lambda g: _window_kernel(g, partition_col, order_col, value_col,
+                                 tiebreak))
 
 
 def _rolling_kernel(g: pa.Table, partition_col: str, order_col: str,
@@ -497,29 +522,17 @@ def _rolling_kernel(g: pa.Table, partition_col: str, order_col: str,
     O(rows × window) per partition, which is the kernel's contract (see
     rolling_agg); a deque/segment-tree kernel is the integration point for
     very large windows."""
-    gcol = g.column(partition_col)
-    if pa.types.is_integer(gcol.type):
-        garr = gcol.to_numpy(zero_copy_only=False)
-    else:
-        garr = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
-                         return_inverse=True)[1]
-    o = g.column(order_col).to_numpy(zero_copy_only=False)
     vcol = g.column(value_col)
     if vcol.null_count:
         raise ValueError(f"rolling_agg: value column {value_col!r} contains "
                          f"{vcol.null_count} null(s) — SQL frames skip nulls, "
                          "this kernel does not; filter or fill them upstream")
     v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
-    keys = [o, garr]
-    if tiebreak is not None:
-        keys.insert(0, g.column(tiebreak).to_numpy(zero_copy_only=False))
-    order = np.lexsort(tuple(keys))
-    gs, vs = garr[order], v[order]
+    order, _, new_grp, grp_start = _partition_sort(
+        g, partition_col, order_col, tiebreak)
+    vs = v[order]
     n = order.shape[0]
     idx = np.arange(n)
-    new_grp = np.ones(n, dtype=bool)
-    new_grp[1:] = gs[1:] != gs[:-1]
-    grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
     lo = np.maximum(grp_start, idx - window + 1)
     cnt = idx - lo + 1
     cols = lo[:, None] + np.arange(window)[None, :]
@@ -575,29 +588,10 @@ def rolling_agg(ds, *, partition_col: str, order_col: str, value_col: str,
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    if num_buckets is None:
-        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
-        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
-    if schema is None:
-        schema = ds.schema()  # once — schema() partially executes upstream
-
-    cols = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
-    cols.update({"roll_cnt": pa.int64(), "roll_sum": pa.float64(),
-                 "roll_min": pa.float64(), "roll_max": pa.float64(),
-                 "roll_avg": pa.float64()})
-    empty = pa.table({n: pa.array([], t) for n, t in cols.items()})
-
-    def _tag(t: pa.Table) -> pa.Table:
-        b = _col_bucket_values(t.column(partition_col), num_buckets)
-        return t.append_column(_BUCKET, pa.array(b))
-
-    def _combine(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or g.num_columns == 0:
-            return empty
-        return _rolling_kernel(g.drop_columns([_BUCKET]), partition_col,
-                               order_col, value_col, tiebreak, window,
-                               round_digits)
-
-    from ..stages.exchange import grouped_exchange
-    return grouped_exchange(ds, _BUCKET, num_buckets, _combine, map_fn=_tag,
-                            empty_result=empty)
+    return _keyed_window_exchange(
+        ds, partition_col, num_buckets, schema,
+        {"roll_cnt": pa.int64(), "roll_sum": pa.float64(),
+         "roll_min": pa.float64(), "roll_max": pa.float64(),
+         "roll_avg": pa.float64()},
+        lambda g: _rolling_kernel(g, partition_col, order_col, value_col,
+                                  tiebreak, window, round_digits))

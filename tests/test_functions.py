@@ -730,7 +730,8 @@ class TestSemanticDedup:
         from graph_data_science_ray.functions.dedup import semantic_dedup
         t = self._emb()
         ds = ray.data.from_arrow(t).repartition(5)
-        out = semantic_dedup(ds, threshold=0.85, num_clusters=6).sort_by(
+        out = semantic_dedup(ds, threshold=0.85, num_clusters=6,
+                     as_dataset=False).sort_by(
             "vec_id")
         ids, cl, is_dup = self._brute(t, 0.85, 6)
         assert is_dup.sum() > 0, "fixture must plant same-cluster dups"
@@ -743,7 +744,8 @@ class TestSemanticDedup:
         from graph_data_science_ray.functions.dedup import semantic_dedup
         t = self._emb(m=120)
         a = semantic_dedup(ray.data.from_arrow(t).repartition(2),
-                           threshold=0.9, num_clusters=4).sort_by("vec_id")
+                           threshold=0.9, num_clusters=4,
+                           as_dataset=False).sort_by("vec_id")
         dsb = semantic_dedup(ray.data.from_arrow(t).repartition(9),
                              threshold=0.9, num_clusters=4, as_dataset=True)
         import ray
@@ -759,7 +761,7 @@ class TestSemanticDedup:
         out = semantic_dedup(ray.data.from_arrow(t).repartition(3),
                              threshold=0.95, num_clusters=5,
                              centroids="kmeans", arithmetic="float64",
-                             seed=11).sort_by("vec_id")
+                             seed=11, as_dataset=False).sort_by("vec_id")
         assert out.num_rows == 200
         dup = out.column("is_dup").to_numpy()
         # planted near-identical rows land in the planted row's cluster and
@@ -796,7 +798,7 @@ class TestSubstringDupStats:
         t = self._docs()
         out = substring_dup_stats(
             ray.data.from_arrow(t).repartition(3), k=8, stride=4,
-            num_buckets=8).sort_by("doc_id")
+            num_buckets=8, as_dataset=False).sort_by("doc_id")
         assert out.column("doc_id").to_pylist() == [0, 1, 2, 3]
         nd = out.column("n_dup_windows").to_numpy()
         # docs 0 and 1 share their first 8-token window; 2 and 3 share none
@@ -811,7 +813,7 @@ class TestSubstringDupStats:
         t = pa.table({"doc_id": pa.array([0], pa.int64()),
                       "text": pa.array([rep], pa.string())})
         out = substring_dup_stats(ray.data.from_arrow(t), k=4, stride=4,
-                                  num_buckets=4)
+                                  num_buckets=4, as_dataset=False)
         assert out.column("dup_fraction").to_numpy()[0] == 1.0
 
     def test_layout_invariance_and_families(self):
@@ -824,10 +826,12 @@ class TestSubstringDupStats:
         t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
                       "text": pa.array(texts, pa.string())})
         a = substring_dup_stats(ray.data.from_arrow(t).repartition(2),
-                                k=5, stride=2, num_buckets=4).sort_by("doc_id")
+                                k=5, stride=2, num_buckets=4,
+                                as_dataset=False).sort_by("doc_id")
         b = substring_dup_stats(ray.data.from_arrow(t).repartition(11),
                                 k=5, stride=2, num_buckets=16,
-                                hash_fn="md5").sort_by("doc_id")
+                                hash_fn="md5",
+                                as_dataset=False).sort_by("doc_id")
         # md5 and blake2b families count identical window-text multiplicity
         for c in ("doc_id", "n_windows", "n_dup_windows", "dup_fraction"):
             np.testing.assert_array_equal(a.column(c).to_numpy(),
@@ -838,9 +842,47 @@ class TestSubstringDupStats:
         from graph_data_science_ray.functions.dedup import substring_dup_stats
         t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
                       "text": pa.array(["", "some actual words"], pa.string())})
-        out = substring_dup_stats(ray.data.from_arrow(t), k=4, stride=2)
+        out = substring_dup_stats(ray.data.from_arrow(t), k=4, stride=2,
+                                  as_dataset=False)
         assert out.column("doc_id").to_pylist() == [1]
         with pytest.raises(ValueError, match="k and stride"):
             substring_dup_stats(ray.data.from_arrow(t), k=0)
         with pytest.raises(ValueError, match="hash_fn"):
             substring_dup_stats(ray.data.from_arrow(t), hash_fn="sha1")
+
+
+class TestSemanticDedupReviewRegressions:
+    def test_zero_vector_rejected_in_f32seq(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                      "embedding": pa.array([[1.0, 0.0], [0.0, 0.0],
+                                             [0.0, 1.0]],
+                                            pa.list_(pa.float32()))})
+        with pytest.raises(Exception, match="zero-norm"):
+            semantic_dedup(ray.data.from_arrow(t), threshold=0.5,
+                           num_clusters=2, as_dataset=False)
+
+    def test_duplicate_vec_ids_use_strict_id_compare(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        # two rows share vec_id 5 with near-identical vectors: the oracle's
+        # strict b.vec_id < a.vec_id flags NEITHER from that pair; row 9
+        # (same vector, larger id) IS flagged by both
+        t = pa.table({"vec_id": pa.array([5, 5, 9], pa.int64()),
+                      "embedding": pa.array([[1.0, 0.0], [1.0, 0.001],
+                                             [1.0, 0.0]],
+                                            pa.list_(pa.float32()))})
+        out = semantic_dedup(ray.data.from_arrow(t).repartition(2),
+                             threshold=0.99, num_clusters=1,
+                             as_dataset=False).sort_by("vec_id")
+        assert out.column("vec_id").to_pylist() == [5, 5, 9]
+        assert out.column("is_dup").to_pylist() == [0, 0, 1]
+
+    def test_empty_table_raises_cleanly(self):
+        import ray.data
+        from graph_data_science_ray.functions.dedup import semantic_dedup
+        t = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+        with pytest.raises(ValueError, match="empty embedding table"):
+            semantic_dedup(ray.data.from_arrow(t), num_clusters=2)
