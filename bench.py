@@ -75,7 +75,13 @@ def run_bench() -> dict:
 
     P = max(2, min(NUM_CPUS, 32))
     timings: dict[str, float] = {}
-    extra: dict = {"vm_canary_sec_before": _vm_canary()}
+    # both canaries: the 1-proc first-touch probe AND the CONCURRENT
+    # provisioning probe — the host's degradation is concurrency-dependent
+    # (NOTES r5 §14), so a clean 1-proc reading alone cannot certify a run
+    from graph_data_science_ray.stages.memory import provisioning_probe
+    extra: dict = {"vm_canary_sec_before": _vm_canary(),
+                   "prov_probe_concurrent_before": provisioning_probe(
+                       min(NUM_CPUS, 32))}
 
     # -- synthetic source-code corpus (input prep, untimed; cached across runs) --
     cdir = _corpus_dir()
@@ -239,6 +245,8 @@ def run_bench() -> dict:
 
     ray.shutdown()
     extra["vm_canary_sec_after"] = _vm_canary()
+    extra["prov_probe_concurrent_after"] = provisioning_probe(
+        min(NUM_CPUS, 32))
     total = sum(timings.values())
     return {
         "metric": "gds-ray headline suite (corpus graph build + PR/WCC/LPA/TC to "
