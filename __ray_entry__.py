@@ -1620,6 +1620,17 @@ def _q_substring_dup(sf_dir: str):
     return _to_table(substring_dup_stats(docs, k=16, stride=8, hash_fn="md5"))
 
 
+def _q_sample_n_per_group(sf_dir: str):
+    """Exact-quota per-group sampling (functions/sampling.sample_n_per_group):
+    20 deterministically-md5-chosen docs per language.  48-bit ranks are
+    float64-exact so the grouped top-k kernel and the SQL row_number oracle
+    agree bit-for-bit, ties falling to doc_id in both."""
+    from graph_data_science_ray.functions.sampling import sample_n_per_group
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return _to_table(sample_n_per_group(docs, "doc_id", "lang", 20,
+                                        salt="mx"))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -1720,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_events": _q_rolling_user_events,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "substring_dup_documents": _q_substring_dup,
+        "sample_docs_per_lang": _q_sample_n_per_group,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
@@ -2509,6 +2521,14 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3
+""",
+        "sample_docs_per_lang": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':mx') >> 16,
+             doc_id) AS rn
+  FROM documents) WHERE rn <= 20
 """,
         "substring_dup_documents": """
 WITH w AS (

@@ -78,7 +78,7 @@ from .pipelines.windows import tumbling_window, sessionize, hopping_window
 from .pipelines.corpus_clean import clean_corpus
 from .functions.sampling import (hash_sample, hash_split,
                                  sample_sql_predicate, shard_shuffle,
-                                 stratified_sample,
+                                 stratified_sample, sample_n_per_group,
                                  upsample_by_weight)
 from .functions.multimodal import (ImageFeatureExtractor, FrameSampler,
                                    decode_image, encode_ppm, resize_nearest,
@@ -124,7 +124,8 @@ __all__ = [
     "similarity_euclidean", "similarity_euclidean_distance",
     "similarity_jaccard", "similarity_overlap", "similarity_pearson",
     "as_vector", "gds_util",
-    "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle", "stratified_sample",
+    "hash_sample", "hash_split", "sample_sql_predicate", "shard_shuffle",
+    "stratified_sample", "sample_n_per_group",
     "approx_distinct", "approx_distinct_by", "approx_distinct_windowed", "bloom_build", "bloom_semi_join", "cms_build", "cms_lookup",
     "clean_corpus", "corpus_term_counts", "unigram_lm_scores", "quantize_embeddings",
     "cosine_topk_int8",

@@ -223,3 +223,45 @@ def shard_shuffle(ds, key_col: str, num_shards: int, *, salt: str = "",
         return t.column(shard_col).to_numpy(zero_copy_only=False)
 
     return exchange(tagged, _part, num_shards, combine=_combine)
+
+
+def sample_n_per_group(ds, key_col: str, group_col: str, n: int, *,
+                       salt: str = "", num_buckets=None, schema=None):
+    """Exactly ``min(n, group_size)`` rows per group, selected by
+    deterministic md5 order — the fixed-QUOTA mixture-sampling step
+    ("exactly 100k docs per language"), complementing
+    :func:`stratified_sample`'s fixed-FRACTION cut.
+
+    Each row gets rank ``md5(str(key) || ':' || salt) >> 16`` (48 bits —
+    exactly float64-representable, so the grouped top-k kernel's float
+    order column cannot corrupt it; the 2^-48 collisions fall to the
+    ``key_col`` tiebreak identically in the engine and any SQL oracle),
+    and the n smallest ranks per group win via
+    :func:`~graph_data_science_ray.functions.relational.top_k_per_group`
+    — per-batch partials then one group-hash exchange of O(groups·n) rows,
+    never the input.  Partition-layout independent, re-runnable, and
+    SQL-reproducible::
+
+        row_number() OVER (PARTITION BY grp
+                           ORDER BY md5_number_lower(CAST(key AS VARCHAR)
+                                    || ':' || salt) >> 16, key) <= n
+    """
+    from .relational import top_k_per_group
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    RANK = "__smp_rank"
+
+    def _rank(t: pa.Table) -> pa.Table:
+        h = _key_hashes(t.column(key_col), salt) >> np.uint64(16)
+        return t.append_column(RANK, pa.array(h.astype(np.int64)))
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow")
+    out = top_k_per_group(ranked, group_col, RANK, n, largest=False,
+                          tiebreak=key_col, num_buckets=num_buckets,
+                          schema=schema)
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns([RANK]) if RANK in t.column_names else t
+
+    return out.map_batches(_drop, batch_format="pyarrow")

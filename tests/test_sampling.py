@@ -270,3 +270,70 @@ class TestShardShuffle:
         from graph_data_science_ray.functions.sampling import shard_shuffle
         with pytest.raises(ValueError):
             shard_shuffle(self._ds(), "key", 0)
+
+
+def _collect(ds):
+    import ray
+    if isinstance(ds, pa.Table):
+        return ds
+    tabs = [t for t in (ray.get(r) for r in ds.materialize().to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+class TestSampleNPerGroup:
+    def _docs(self, n=400, groups=("en", "de", "fr"), seed=11):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": pa.array([groups[i] for i in
+                              rng.integers(0, len(groups), n)], pa.string())})
+
+    def test_exact_quota_and_duckdb_equality(self):
+        import duckdb
+        import ray.data
+        from graph_data_science_ray.functions.sampling import (
+            sample_n_per_group)
+        t = self._docs()
+        out = _collect(sample_n_per_group(
+            ray.data.from_arrow(t).repartition(5), "doc_id", "lang", 25,
+            salt="q")).sort_by("doc_id")
+        con = duckdb.connect()
+        con.register("docs", t)
+        ora = con.sql("""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':q')
+                         >> 16, doc_id) AS rn
+              FROM docs) WHERE rn <= 25 ORDER BY doc_id""").arrow()
+        assert out.column("doc_id").to_pylist() == \
+            ora.column("doc_id").to_pylist()
+        assert out.column("lang").to_pylist() == ora.column("lang").to_pylist()
+        import collections
+        cnt = collections.Counter(out.column("lang").to_pylist())
+        assert all(v == 25 for v in cnt.values())
+
+    def test_small_group_keeps_all_rows(self):
+        import ray.data
+        from graph_data_science_ray.functions.sampling import (
+            sample_n_per_group)
+        t = self._docs(n=30)
+        out = _collect(sample_n_per_group(ray.data.from_arrow(t),
+                                          "doc_id", "lang", 1000))
+        assert out.num_rows == 30  # quota exceeds every group
+
+    def test_layout_invariance_and_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.sampling import (
+            sample_n_per_group)
+        t = self._docs(n=200)
+        a = _collect(sample_n_per_group(
+            ray.data.from_arrow(t).repartition(2), "doc_id", "lang", 10,
+            salt="z")).sort_by("doc_id")
+        b = _collect(sample_n_per_group(
+            ray.data.from_arrow(t).repartition(11), "doc_id", "lang", 10,
+            salt="z")).sort_by("doc_id")
+        assert a.equals(b)
+        with pytest.raises(ValueError, match="n must be"):
+            sample_n_per_group(ray.data.from_arrow(t), "doc_id", "lang", 0)
