@@ -1631,6 +1631,25 @@ def _q_sample_n_per_group(sf_dir: str):
                                         salt="mx"))
 
 
+def _q_global_order(sf_dir: str):
+    """Distributed ORDER BY / row_number (functions/packing.global_order):
+    documents ranked by a 48-bit md5 fingerprint key (the deterministic-
+    shuffle order) — sampled range bounds, per-partition sort, driver scans
+    only P counts.  48-bit keys are collision-free on this table, so the
+    unique-key contract holds and the SQL row_number oracle is exact."""
+    from graph_data_science_ray.functions.packing import global_order
+    from graph_data_science_ray.functions.sampling import _key_hashes
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        h = _key_hashes(t.column("doc_id"), "go") >> np.uint64(16)
+        return t.append_column("okey", pa.array(h.astype(np.int64)))
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    out = _to_table(global_order(keyed, "okey"))
+    return out.select(["doc_id", "global_pos"])
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: hierarchy projection → PageRank + WCC."""
     from graph_data_science_ray import pagerank, wcc
@@ -1732,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "substring_dup_documents": _q_substring_dup,
         "sample_docs_per_lang": _q_sample_n_per_group,
+        "doc_global_order": _q_global_order,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
@@ -2521,6 +2541,12 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn <= 3
+""",
+        "doc_global_order": """
+SELECT doc_id, row_number() OVER (
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':go') >> 16
+) - 1 AS global_pos
+FROM documents
 """,
         "sample_docs_per_lang": """
 SELECT doc_id, lang FROM (

@@ -65,7 +65,8 @@ from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions,
                                    rolling_agg)
 from .functions.joins import hash_join, semi_join_filter
-from .functions.packing import global_prefix_sum, pack_documents
+from .functions.packing import (global_prefix_sum, global_order,
+                                pack_documents)
 from .sources.sink import (read_partitioned_parquet,
                            write_partitioned_parquet)
 from .functions.pairwise import (add_pairwise_similarity, as_vector,
@@ -133,7 +134,7 @@ __all__ = [
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions", "rolling_agg",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
-    "global_prefix_sum", "pack_documents", "add_ngram_jaccard",
+    "global_prefix_sum", "global_order", "pack_documents", "add_ngram_jaccard",
     "ngram_contamination", "upsample_by_weight", "chunk_documents",
     "write_partitioned_parquet", "read_partitioned_parquet",
 ]

@@ -153,3 +153,76 @@ def pack_documents(docs_ds, budget: int, *, token_col: Optional[str] = None,
         return b.append_column("pack_id", pa.array(pk.astype(np.int64)))
 
     return pre.map_batches(_pack, batch_format="pyarrow")
+
+
+def _order_pos_impl(pos_col, offset, tab: pa.Table) -> pa.Table:
+    return tab.append_column(
+        pos_col, pa.array(offset + np.arange(tab.num_rows, dtype=np.int64)))
+
+
+def global_order(ds, order_col: str, *, pos_col: str = "global_pos",
+                 P: Optional[int] = None):
+    """Dense global row numbers by a UNIQUE int64 key — the distributed
+    ``ORDER BY`` / ``row_number()`` primitive (pos = 0-based count of rows
+    with a smaller key).  All input columns are kept; rows come back range-
+    partitioned AND locally sorted by ``order_col``, so writing the result
+    through the partitioned sink yields globally ordered, resumable output
+    (part NNNNN holds the NNNNN-th key range).
+
+    Same two-phase scan as :func:`global_prefix_sum` (sampled quantile
+    bounds → range exchange → per-partition sort + count → the driver
+    exclusive-scans P ints → per-partition offset add): the driver never
+    holds row data, and skew is bounded by the sampled bounds.  The key
+    must be UNIQUE int64 (cast timestamps to int64 microseconds upstream;
+    combine composite keys into one int64, e.g. a 48-bit hash rank) —
+    duplicate keys raise, because ties split across range partitions would
+    otherwise get partition-dependent positions.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.blocks import nonempty_arrow_refs
+    from ..stages.bucketing import adaptive_bucket_count
+    from ..stages.exchange import _remote, exchange_refs, range_parts
+
+    mat = ds.materialize()
+    rows = mat.count()
+    if rows == 0:
+        sch = mat.schema()
+        cols = {n: pa.array([], t if isinstance(t, pa.DataType)
+                            else pa.from_numpy_dtype(np.dtype(t)))
+                for n, t in zip(sch.names, sch.types)}
+        cols[pos_col] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    if P is None:
+        P = adaptive_bucket_count(rows)
+    narrow = mat.select_columns([order_col]).materialize()
+    bounds = _quantile_bounds(narrow, order_col, P)
+    P = len(bounds) - 1
+
+    def _combine(p: int, t: pa.Table):
+        k = t.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        o = np.argsort(k, kind="stable")
+        ks = k[o]
+        if ks.shape[0] > 1 and np.any(ks[1:] == ks[:-1]):
+            dup = int(ks[1:][ks[1:] == ks[:-1]][0])
+            raise ValueError(
+                f"global_order: duplicate order key {dup} — the key must be "
+                "unique (ties across range partitions would get partition-"
+                "dependent positions); combine a tiebreak into the key")
+        tab = t.take(pa.array(o, type=pa.int64()))
+        stats = pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+        return tab, stats
+
+    refs, _ = nonempty_arrow_refs(mat)
+    out = exchange_refs(refs, range_parts(order_col, bounds), P,
+                        combine=_combine, combine_num_returns=2)
+    stats = ray.get([s for _, s in out])
+    nrows = np.asarray([int(s.column("rows")[0].as_py()) for s in stats],
+                       dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nrows)[:-1]))
+    add = _remote("order_add_pos", _order_pos_impl)
+    final = [add.remote(pos_col, int(offsets[p]), tref)
+             for p, (tref, _) in enumerate(out) if nrows[p] > 0]
+    return ray.data.from_arrow_refs(final)

@@ -2,6 +2,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -110,3 +111,59 @@ FROM p ORDER BY doc_id
     pd.testing.assert_frame_equal(
         got[["doc_id", "n_tokens", "prefix", "pack_id"]],
         exp, check_dtype=False)
+
+
+def _collect(ds):
+    import pyarrow as pa
+    import ray
+    tabs = [t for t in (ray.get(r) for r in ds.materialize().to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+class TestGlobalOrder:
+    def test_positions_match_argsort_and_keep_columns(self):
+        import ray.data
+        from graph_data_science_ray.functions.packing import global_order
+        rng = np.random.default_rng(5)
+        keys = rng.permutation(10_000).astype(np.int64) * 7  # sparse unique
+        t = pa.table({"k": keys,
+                      "payload": np.arange(10_000, dtype=np.int64)})
+        out = _collect(global_order(
+            ray.data.from_arrow(t).repartition(9), "k", P=7))
+        assert set(out.column_names) == {"k", "payload", "global_pos"}
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        # pos must equal the rank of k
+        np.testing.assert_array_equal(df["global_pos"].to_numpy(),
+                                      np.arange(10_000))
+        # payload stayed attached to its key: row built as (perm[i]*7, i)
+        perm = np.random.default_rng(5).permutation(10_000).astype(np.int64)
+        np.testing.assert_array_equal(
+            df["k"].to_numpy(), perm[df["payload"].to_numpy()] * 7)
+
+    def test_partition_layout_invariance(self):
+        import ray.data
+        from graph_data_science_ray.functions.packing import global_order
+        keys = (np.arange(500, dtype=np.int64) * 13) % 10_000
+        keys = np.unique(keys)  # unique by construction
+        t = pa.table({"k": keys})
+        a = _collect(global_order(ray.data.from_arrow(t).repartition(2),
+                                  "k", P=3)).to_pandas().sort_values("k")
+        b = _collect(global_order(ray.data.from_arrow(t).repartition(11),
+                                  "k", P=13)).to_pandas().sort_values("k")
+        np.testing.assert_array_equal(a["global_pos"].to_numpy(),
+                                      b["global_pos"].to_numpy())
+
+    def test_duplicate_keys_raise(self):
+        import ray.data
+        from graph_data_science_ray.functions.packing import global_order
+        t = pa.table({"k": pa.array([3, 5, 3, 9], pa.int64())})
+        with pytest.raises(Exception, match="duplicate order key"):
+            _collect(global_order(ray.data.from_arrow(t), "k", P=1))
+
+    def test_empty_input(self):
+        import ray.data
+        from graph_data_science_ray.functions.packing import global_order
+        t = pa.table({"k": pa.array([], pa.int64())})
+        out = _collect(global_order(ray.data.from_arrow(t), "k"))
+        assert out.num_rows == 0
