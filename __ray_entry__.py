@@ -1631,6 +1631,40 @@ def _q_sample_n_per_group(sf_dir: str):
                                         salt="mx"))
 
 
+def _q_knn_cosine_ivf_parquet(sf_dir: str):
+    """Storage-pruned IVF ANN (functions/similarity.build_ivf_index +
+    ivf_topk_from_index): the embedding table persisted as one parquet part
+    per inverted list, queries reading ONLY probed part files.  nprobe =
+    num_lists reads every list, so the result is EXACT and shares the
+    brute-force cosine top-k oracle — the whole persist → prune-read →
+    score path is ★."""
+    import hashlib
+    import os
+
+    from graph_data_science_ray.functions.similarity import (
+        build_ivf_index, ivf_topk_from_index)
+    rd = _ray_data()
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
+               columns=["vec_id", "embedding"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/gds_ivf_index_{tag}"
+    os.makedirs(idx, exist_ok=True)
+    build_ivf_index(emb, idx, num_lists=8, seed=29)  # resumable: reuses parts
+    q = None
+    for b in emb.iter_batches(batch_format="pyarrow", batch_size=1024):
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if hit.shape[0]:
+            q = np.asarray(b.column("embedding").to_pylist()[int(hit[0])],
+                           dtype=np.float64)
+            break
+    out = ivf_topk_from_index(idx, q, k=10, nprobe=8, exclude_id=0)
+    t = _to_table(out)
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "cos_sim": _round6(t.column("cos_sim").to_numpy(
+                         zero_copy_only=False))})
+
+
 def _q_global_order(sf_dir: str):
     """Distributed ORDER BY / row_number (functions/packing.global_order):
     documents ranked by a 48-bit md5 fingerprint key (the deterministic-
@@ -1752,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_documents": _q_substring_dup,
         "sample_docs_per_lang": _q_sample_n_per_group,
         "doc_global_order": _q_global_order,
+        "knn_cosine_ivf_parquet": _q_knn_cosine_ivf_parquet,
         "events_hopping": _q_events_hopping,
         "vocab_top_terms": _q_vocab_top_terms,
         "events_window_funcs": _q_events_window_funcs,
@@ -2469,6 +2504,14 @@ ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
 LIMIT 10
 """,
         # exhaustive-probe IVF is exact, so it shares the brute-force oracle
+        "knn_cosine_ivf_parquet": """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS cos_sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+LIMIT 10
+""",
         "knn_cosine_ivf_full": """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -54,6 +54,7 @@ from .functions.dedup import (exact_dedup, minhash_near_dups,
                               substring_dup_stats)
 from .functions.similarity import (cosine_topk, lsh_topk, ivf_topk,
                                    train_ivf_centroids, ivf_partition,
+                                   build_ivf_index, ivf_topk_from_index,
                                    quantize_embeddings, cosine_topk_int8)
 from .functions.text import (TokenCounter, TextStats, QualityScorer,
                              LanguageId, Sha256, Fingerprint, vocab_top_terms,
@@ -114,7 +115,8 @@ __all__ = [
     "embedding_dup_pairs_lsh", "cluster_dedup", "incremental_dedup",
     "semantic_dedup", "substring_dup_stats",
     "cosine_topk", "lsh_topk", "ivf_topk",
-    "train_ivf_centroids", "ivf_partition", "ImageFeatureExtractor",
+    "train_ivf_centroids", "ivf_partition", "build_ivf_index",
+    "ivf_topk_from_index", "ImageFeatureExtractor",
     "FrameSampler", "decode_image", "encode_ppm", "resize_nearest",
     "image_feature", "synthetic_media_table", "TokenCounter", "TextStats",
     "QualityScorer", "LanguageId", "Sha256", "Fingerprint",

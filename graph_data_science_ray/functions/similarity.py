@@ -345,3 +345,61 @@ def cosine_topk_int8(emb_ds, query_vec, k: int = 10, *,
     order = np.lexsort((allt.column(id_col).to_numpy(zero_copy_only=False),
                         -sims))[:k]
     return allt.take(pa.array(order))
+
+
+def build_ivf_index(emb_ds, out_dir: str, *, num_lists: int = 16,
+                    sample_rows: int = 4096, seed: int = 29,
+                    centroids: "np.ndarray | None" = None):
+    """Persist an IVF-partitioned ANN index: the embedding table written as
+    ``out_dir/part=NNNNN.parquet`` where part NNNNN holds EXACTLY inverted
+    list NNNNN (range bounds ``[0, 1, …, L]`` over the ``ivf_list`` column),
+    plus the quantizer as ``centroids.npy``.  This is the storage-layer
+    shape the 100 TB path needs: a query probes ``nprobe`` lists and READS
+    ONLY those part files — pruning happens at the filesystem, not after a
+    full scan (:func:`ivf_topk_from_index`).  The write inherits the
+    partitioned sink's resumability: complete parts from a crashed build
+    are skipped on re-run.  Returns (centroids, manifest_table).
+    """
+    import os
+
+    from ..sources.sink import write_partitioned_parquet
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb_ds, num_lists,
+                                        sample_rows=sample_rows, seed=seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    L = centroids.shape[0]
+    assigned = ivf_partition(emb_ds, centroids)
+    bounds = np.arange(L + 1, dtype=np.int64)   # part i == inverted list i
+    manifest = write_partitioned_parquet(assigned, out_dir, "ivf_list",
+                                         bounds=bounds)
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids, manifest
+
+
+def ivf_topk_from_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                        *, nprobe: int = 4, exclude_id=None):
+    """Cosine top-k against a persisted :func:`build_ivf_index` layout,
+    reading ONLY the ``nprobe`` probed lists' part files from storage (the
+    partition-pruned read path — at 100 TB this touches nprobe/L of the
+    bytes).  ``nprobe >= num_lists`` reads every list and is EXACT
+    (== cosine_topk over the full table)."""
+    import os
+
+    from ..sources.io import read_parquet_clean
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    nprobe = min(nprobe, centroids.shape[0])
+    probed = np.sort(np.argpartition(-(centroids @ qn), nprobe - 1)[:nprobe])
+    paths = [os.path.join(index_dir, f"part={p:05d}.parquet")
+             for p in probed.tolist()]
+    paths = [p for p in paths if os.path.exists(p)]   # empty lists: no file
+    if not paths:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}))
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return cosine_topk(ds, q, k, exclude_id=exclude_id)

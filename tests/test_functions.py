@@ -886,3 +886,81 @@ class TestSemanticDedupReviewRegressions:
                       "embedding": pa.array([], pa.list_(pa.float32()))})
         with pytest.raises(ValueError, match="empty embedding table"):
             semantic_dedup(ray.data.from_arrow(t), num_clusters=2)
+
+
+class TestIvfParquetIndex:
+    def _emb(self, m=240, d=8, seed=9):
+        rng = np.random.default_rng(seed)
+        # clustered data so lists are meaningful
+        centers = rng.normal(0, 5, (4, d))
+        x = (centers[rng.integers(0, 4, m)] +
+             rng.normal(0, .5, (m, d))).astype(np.float32)
+        return pa.table({"vec_id": np.arange(m, dtype=np.int64),
+                         "embedding": pa.array(x.tolist(),
+                                               pa.list_(pa.float32()))})
+
+    def test_full_probe_is_exact_and_reads_only_probed_files(self, tmp_path):
+        import os
+        import ray.data
+        from graph_data_science_ray.functions.similarity import (
+            build_ivf_index, cosine_topk, ivf_topk_from_index)
+        t = self._emb()
+        ds = ray.data.from_arrow(t).repartition(4)
+        idx = str(tmp_path / "ivf")
+        cents, manifest = build_ivf_index(ds, idx, num_lists=6, seed=3)
+        q = np.asarray(t.column("embedding").to_pylist()[5], dtype=np.float64)
+        def _tab(ds):
+            import ray
+            return pa.concat_tables(
+                [x for x in (ray.get(r) for r in
+                             ds.materialize().to_arrow_refs())
+                 if x.num_rows and x.num_columns])
+
+        exact = _tab(cosine_topk(ray.data.from_arrow(t), q, k=5))
+        full = _tab(ivf_topk_from_index(idx, q, k=5, nprobe=6))
+        assert full.column("vec_id").to_pylist() == \
+            exact.column("vec_id").to_pylist()
+        np.testing.assert_allclose(full.column("cos_sim").to_numpy(),
+                                   exact.column("cos_sim").to_numpy(),
+                                   rtol=0, atol=1e-12)
+        # nprobe=1 touches exactly one part file's rows
+        one = _tab(ivf_topk_from_index(idx, q, k=5, nprobe=1))
+        assert one.num_rows <= 5
+        files = sorted(f for f in os.listdir(idx) if f.endswith(".parquet"))
+        assert 1 <= len(files) <= 6
+
+    def test_index_resume_skips_complete_parts(self, tmp_path):
+        import ray.data
+        from graph_data_science_ray.functions.similarity import (
+            build_ivf_index)
+        t = self._emb(m=120)
+        idx = str(tmp_path / "ivf2")
+        ds = ray.data.from_arrow(t)
+        _, m1 = build_ivf_index(ds, idx, num_lists=4, seed=3)
+        assert not any(m1.column("skipped").to_pylist())
+        _, m2 = build_ivf_index(ds, idx, num_lists=4, seed=3)
+        assert all(m2.column("skipped").to_pylist())
+
+    def test_recall_with_partial_probe(self):
+        import tempfile
+        import ray.data
+        from graph_data_science_ray.functions.similarity import (
+            build_ivf_index, cosine_topk, ivf_topk_from_index)
+        t = self._emb(m=300)
+        with tempfile.TemporaryDirectory() as d:
+            build_ivf_index(ray.data.from_arrow(t), d, num_lists=4, seed=3)
+            q = np.asarray(t.column("embedding").to_pylist()[0],
+                           dtype=np.float64)
+            import ray as _r
+
+            def _ids(ds):
+                out = []
+                for r in ds.materialize().to_arrow_refs():
+                    x = _r.get(r)
+                    if x.num_rows and x.num_columns:
+                        out.extend(x.column("vec_id").to_pylist())
+                return out
+
+            exact = set(_ids(cosine_topk(ray.data.from_arrow(t), q, k=10)))
+            part = set(_ids(ivf_topk_from_index(d, q, k=10, nprobe=2)))
+            assert len(exact & part) / 10 >= 0.8  # clustered data: high recall
