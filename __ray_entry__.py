@@ -1597,6 +1597,21 @@ def _q_rolling_user_events(sf_dir: str):
                      "roll_min", "roll_max", "roll_avg"])
 
 
+def _q_rolling_range_events(sf_dir: str):
+    """Trailing 30-minute per-user aggregates (relational.rolling_range_agg):
+    SQL RANGE INTERVAL frames — peer-inclusive, tiebreak-free, O(n) per
+    bucket at any interval width."""
+    from graph_data_science_ray.functions.relational import rolling_range_agg
+    ev = _rpc(f"{sf_dir}/events.parquet",
+              columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_range_agg(ev, partition_col="user_id", ts_col="ts",
+                            value_col="value", interval_us=1_800_000_000,
+                            round_digits=6)
+    t = _to_table(out)
+    return t.select(["event_id", "user_id", "roll_cnt", "roll_sum",
+                     "roll_avg"])
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (functions/dedup.semantic_dedup), seed-
     centroid variant: nearest-seed assignment (8 smallest-id embeddings as
@@ -1782,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "event_value_quantiles": _q_event_value_quantiles,
         "rolling_user_events": _q_rolling_user_events,
+        "rolling_range_events": _q_rolling_range_events,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "substring_dup_documents": _q_substring_dup,
         "sample_docs_per_lang": _q_sample_n_per_group,
@@ -2613,6 +2629,15 @@ SELECT wins.doc_id, count(*)::BIGINT AS n_windows,
        round(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
              6) AS dup_fraction
 FROM wins JOIN cnt USING (h) GROUP BY wins.doc_id
+""",
+        "rolling_range_events": """
+SELECT event_id, user_id,
+       count(*) OVER w AS roll_cnt,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       round(avg(value) OVER w, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
 """,
         "rolling_user_events": """
 SELECT event_id, user_id,

@@ -595,3 +595,87 @@ def rolling_agg(ds, *, partition_col: str, order_col: str, value_col: str,
          "roll_avg": pa.float64()},
         lambda g: _rolling_kernel(g, partition_col, order_col, value_col,
                                   tiebreak, window, round_digits))
+
+
+def _range_rolling_kernel(g: pa.Table, partition_col: str, ts_col: str,
+                          value_col: str, interval_us: int,
+                          round_digits: Optional[int]) -> pa.Table:
+    """Time-RANGE frame aggregates over one hash partition: per segment,
+    frame(i) = rows with ts in [ts_i - interval, ts_i] — peers (equal ts)
+    are all included exactly like SQL RANGE frames, so no tiebreak is
+    needed and the result is row-order independent.  Two searchsorted
+    calls + one cumsum per segment; O(n) scratch."""
+    vcol = g.column(value_col)
+    if vcol.null_count:
+        raise ValueError(f"rolling_range_agg: value column {value_col!r} "
+                         f"contains {vcol.null_count} null(s)")
+    tcol = g.column(ts_col)
+    if pa.types.is_timestamp(tcol.type):
+        tcol = tcol.cast(pa.timestamp("us")).cast(pa.int64())
+    ts = tcol.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    gcol = g.column(partition_col)
+    if pa.types.is_integer(gcol.type):
+        garr = gcol.to_numpy(zero_copy_only=False)
+    else:
+        garr = np.unique(np.asarray(gcol.to_pylist(), dtype=object),
+                         return_inverse=True)[1]
+    v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((ts, garr))
+    gs, tss, vs = garr[order], ts[order], v[order]
+    n = order.shape[0]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], n)
+    cnt = np.empty(n, dtype=np.int64)
+    rsum = np.empty(n, dtype=np.float64)
+    for a, b in zip(starts, ends):          # per KEY segment (not per row)
+        seg_ts = tss[a:b]
+        cs = np.concatenate(([0.0], np.cumsum(vs[a:b])))
+        lo = np.searchsorted(seg_ts, seg_ts - interval_us, side="left")
+        hi = np.searchsorted(seg_ts, seg_ts, side="right")
+        cnt[a:b] = hi - lo
+        rsum[a:b] = cs[hi] - cs[lo]
+    ravg = rsum / cnt
+    if round_digits is not None:
+        from .compat import round_half_away
+        rsum = round_half_away(rsum, round_digits)
+        ravg = round_half_away(ravg, round_digits)
+    out = g.take(pa.array(order, type=pa.int64()))
+    for name, arr, typ in (("roll_cnt", cnt, pa.int64()),
+                           ("roll_sum", rsum, pa.float64()),
+                           ("roll_avg", ravg, pa.float64())):
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out
+
+
+def rolling_range_agg(ds, *, partition_col: str, ts_col: str, value_col: str,
+                      interval_us: int, round_digits: Optional[int] = None,
+                      num_buckets: Optional[int] = None, schema=None):
+    """Trailing time-window aggregates — SQL
+    ``agg(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <interval> PRECEDING AND CURRENT ROW)`` for count / sum / avg,
+    appended as ``roll_cnt`` / ``roll_sum`` / ``roll_avg``.
+
+    The RANGE-frame complement to :func:`rolling_agg`'s ROWS frames:
+    frame(i) holds every row of the key whose timestamp lies in
+    ``[ts_i - interval_us, ts_i]``, INCLUDING all peers sharing ts_i (SQL
+    peer semantics) — so the result needs no tiebreak and is independent
+    of row order among equal timestamps.  Per bucket: one lexsort, then
+    two vectorized ``searchsorted`` + one cumsum per key segment — O(n)
+    scratch, any interval width (unlike the ROWS kernel's O(n × window)
+    gather).  sum/avg reduce through a cumsum difference; pass
+    ``round_digits`` (6 in the oracle-checked query) to absorb the ~1e-10
+    relative float drift vs an SQL engine's frame summation.
+
+    Partitioning assumption: all rows of one key fit a worker (same
+    contract as window_functions / rolling_agg).
+    """
+    if interval_us < 0:
+        raise ValueError(f"interval_us must be >= 0, got {interval_us}")
+    return _keyed_window_exchange(
+        ds, partition_col, num_buckets, schema,
+        {"roll_cnt": pa.int64(), "roll_sum": pa.float64(),
+         "roll_avg": pa.float64()},
+        lambda g: _range_rolling_kernel(g, partition_col, ts_col, value_col,
+                                        interval_us, round_digits))

@@ -417,3 +417,66 @@ class TestRollingAgg:
             _to_table(rolling_agg(ray.data.from_arrow(tn),
                                   partition_col="user_id", order_col="ts",
                                   value_col="value", window=3))
+
+
+class TestRollingRangeAgg:
+    def _tab(self, n=2000, keys=30, seed=9):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, keys, n).astype(np.int64),
+            "ts": rng.integers(0, 1000, n).astype(np.int64),  # dense: many ties
+            "value": rng.normal(5, 2, n)})
+
+    def _run(self, t, interval, nparts=5):
+        import ray.data
+        from graph_data_science_ray.functions.relational import (
+            rolling_range_agg)
+        out = rolling_range_agg(ray.data.from_arrow(t).repartition(nparts),
+                                partition_col="user_id", ts_col="ts",
+                                value_col="value", interval_us=interval,
+                                round_digits=6)
+        return _to_table(out).select(
+            ["event_id", "roll_cnt", "roll_sum", "roll_avg"]) \
+            .sort_by("event_id")
+
+    def test_matches_duckdb_range_frames_with_ties(self):
+        t = self._tab()
+        got = self._run(t, 100)
+        con = duckdb.connect()
+        con.register("ev", t)
+        exp = con.sql("""
+            SELECT event_id, count(*) OVER w AS roll_cnt,
+                   round(sum(value) OVER w, 6) AS roll_sum,
+                   round(avg(value) OVER w, 6) AS roll_avg
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""").arrow()
+        _assert_tables_equal(got, exp)
+
+    def test_zero_interval_counts_exactly_the_peers(self):
+        t = self._tab(n=500, keys=5)
+        got = self._run(t, 0)
+        # frame = all rows of the key sharing this exact ts
+        df = t.to_pandas()
+        peers = df.groupby(["user_id", "ts"])["value"].transform("count")
+        got_by_eid = got.to_pandas().set_index("event_id")["roll_cnt"]
+        assert (got_by_eid.loc[df["event_id"]].to_numpy()
+                == peers.to_numpy()).all()
+
+    def test_row_order_independence_with_ties(self):
+        t = self._tab(n=800, keys=7)
+        perm = np.random.default_rng(1).permutation(800)
+        t2 = t.take(pa.array(perm, type=pa.int64()))
+        a = self._run(t, 50, nparts=2)
+        b = self._run(t2, 50, nparts=11)
+        _assert_tables_equal(a, b)
+
+    def test_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import (
+            rolling_range_agg)
+        with pytest.raises(ValueError, match="interval_us"):
+            rolling_range_agg(ray.data.from_arrow(self._tab(n=10)),
+                              partition_col="user_id", ts_col="ts",
+                              value_col="value", interval_us=-1)
