@@ -1597,6 +1597,18 @@ def _q_rolling_user_events(sf_dir: str):
                      "roll_min", "roll_max", "roll_avg"])
 
 
+def _q_grouped_agg_events(sf_dir: str):
+    """General distributed GROUP BY (relational.grouped_agg): per
+    (event_type) count/sum/min/max/mean of value — per-batch Arrow
+    partials shrink blocks to distinct groups BEFORE the shuffle."""
+    from graph_data_science_ray.functions.relational import grouped_agg
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_agg(ev, "event_type",
+                      {"value": ("count", "sum", "min", "max", "mean")},
+                      round_digits=6)
+    return _to_table(out)
+
+
 def _q_rolling_range_events(sf_dir: str):
     """Trailing 30-minute per-user aggregates (relational.rolling_range_agg):
     SQL RANGE INTERVAL frames — peer-inclusive, tiebreak-free, O(n) per
@@ -1798,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "rolling_user_events": _q_rolling_user_events,
         "rolling_range_events": _q_rolling_range_events,
+        "grouped_agg_events": _q_grouped_agg_events,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "substring_dup_documents": _q_substring_dup,
         "sample_docs_per_lang": _q_sample_n_per_group,
@@ -2629,6 +2642,14 @@ SELECT wins.doc_id, count(*)::BIGINT AS n_windows,
        round(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
              6) AS dup_fraction
 FROM wins JOIN cnt USING (h) GROUP BY wins.doc_id
+""",
+        "grouped_agg_events": """
+SELECT event_type, count(value) AS count_value,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY event_type
 """,
         "rolling_range_events": """
 SELECT event_id, user_id,

@@ -679,3 +679,120 @@ def rolling_range_agg(ds, *, partition_col: str, ts_col: str, value_col: str,
          "roll_avg": pa.float64()},
         lambda g: _range_rolling_kernel(g, partition_col, ts_col, value_col,
                                         interval_us, round_digits))
+
+
+_AGG_FNS = ("sum", "min", "max", "count", "mean")
+
+
+def grouped_agg(ds, group_cols, aggs, *, num_buckets: Optional[int] = None,
+                round_digits: Optional[int] = None, schema=None):
+    """General distributed GROUP BY — the SQL aggregation primitive as
+    partial + final combine over the known-partitioner exchange (the same
+    shape every internal bucketed combine in this engine uses, exposed as
+    one public operator instead of Ray Data's sampled-sort ``groupby``).
+
+    ``aggs`` maps a numeric column to the aggregate functions wanted from
+    {sum, min, max, count, mean}; output columns are named ``{fn}_{col}``
+    (``count`` is SQL ``count(col)`` — non-null rows).  Per-batch partials
+    (one Arrow C-kernel ``group_by`` per batch) shrink each block to its
+    distinct groups BEFORE the shuffle, so the exchange carries
+    O(groups × batches) partial rows, never the input — hub groups cost
+    one row per batch, not their full fan-in.  Final per-partition combine
+    folds partials (sum/min/max re-associate; mean = sum/count at the
+    end).  Float sums re-associate across batches — pass ``round_digits``
+    when comparing against an SQL engine; integer sums are exact.
+
+    Partitioning assumption: distinct groups of one hash bucket fit a
+    worker (they are the combine's working set, already reduced).
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    group_cols = list(group_cols)
+    norm: dict = {}
+    for col, fns in aggs.items():
+        fns = (fns,) if isinstance(fns, str) else tuple(fns)
+        for f in fns:
+            if f not in _AGG_FNS:
+                raise ValueError(f"unknown aggregate {f!r} (choose from "
+                                 f"{_AGG_FNS})")
+        norm[col] = fns
+    if not norm:
+        raise ValueError("aggs must name at least one column")
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
+    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    for col in norm:
+        if col not in types:
+            raise ValueError(f"aggregate column {col!r} not in schema")
+
+    # partial plan: which (col, kernel) pairs each batch reduces
+    need: list = []
+    for col, fns in norm.items():
+        ks = set()
+        for f in fns:
+            ks.update(("sum", "count") if f == "mean"
+                      else ("count",) if f == "count" else (f,))
+        for k in sorted(ks):
+            need.append((col, k))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.select(group_cols + sorted({c for c, _ in need}))
+        res = g.group_by(group_cols).aggregate(need)
+        # arrow names results "{col}_{fn}" — keep as-is (partial cols)
+        return res
+
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+
+    def _bucket(t: pa.Table) -> np.ndarray:
+        key = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in group_cols:
+            key = key * np.uint64(1099511628211) ^ \
+                _col_bucket_values(t.column(c), 1 << 62).astype(np.uint64)
+        return (key % np.uint64(num_buckets)).astype(np.int64)
+
+    # output schema
+    out_fields = [(c, types[c]) for c in group_cols]
+    for col, fns in norm.items():
+        st = types[col]
+        sum_t = pa.int64() if pa.types.is_integer(st) else pa.float64()
+        for f in fns:
+            out_fields.append((f"{f}_{col}",
+                               {"sum": sum_t, "min": st, "max": st,
+                                "count": pa.int64(),
+                                "mean": pa.float64()}[f]))
+    empty = pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def _final(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        refold = [(f"{c}_{k}", "sum" if k in ("sum", "count") else k)
+                  for c, k in need]
+        f = g.group_by(group_cols).aggregate(refold)
+        cols = {c: f.column(c) for c in group_cols}
+        for col, fns in norm.items():
+            for fn in fns:
+                if fn == "mean":
+                    s = f.column(f"{col}_sum_sum").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    n = f.column(f"{col}_count_sum").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    v = s / n
+                elif fn == "count":
+                    v = f.column(f"{col}_count_sum").to_numpy(
+                        zero_copy_only=False)
+                else:
+                    v = f.column(f"{col}_{fn}_{'sum' if fn == 'sum' else fn}")\
+                        .to_numpy(zero_copy_only=False)
+                if round_digits is not None and \
+                        np.asarray(v).dtype.kind == "f":
+                    from .compat import round_half_away
+                    v = round_half_away(v, round_digits)
+                typ = dict(out_fields)[f"{fn}_{col}"]
+                cols[f"{fn}_{col}"] = pa.array(np.asarray(v)).cast(typ)
+        return pa.table(cols).select([n for n, _ in out_fields])
+
+    from ..stages.exchange import exchange
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange(partial, _bucket, num_buckets, combine=_final)

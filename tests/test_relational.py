@@ -480,3 +480,52 @@ class TestRollingRangeAgg:
             rolling_range_agg(ray.data.from_arrow(self._tab(n=10)),
                               partition_col="user_id", ts_col="ts",
                               value_col="value", interval_us=-1)
+
+
+class TestGroupedAgg:
+    def _tab(self, n=5000, seed=4):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "g": pa.array([f"g{i}" for i in rng.integers(0, 7, n)]),
+            "k": rng.integers(0, 20, n).astype(np.int64),
+            "v": rng.normal(3, 1, n),
+            "q": rng.integers(-5, 50, n).astype(np.int64)})
+
+    def test_matches_duckdb_multi_key_multi_agg(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import grouped_agg
+        t = self._tab()
+        out = _to_table(grouped_agg(
+            ray.data.from_arrow(t).repartition(6), ["g", "k"],
+            {"v": ("sum", "min", "max", "mean", "count"),
+             "q": ("sum", "min")}, round_digits=6))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql("""
+            SELECT g, k, round(sum(v),6) AS sum_v, round(min(v),6) AS min_v,
+                   round(max(v),6) AS max_v, round(avg(v),6) AS mean_v,
+                   count(v) AS count_v, sum(q) AS sum_q, min(q) AS min_q
+            FROM t GROUP BY 1,2""").arrow()
+        _assert_tables_equal(out, exp)
+
+    def test_integer_sums_exact_and_layout_invariant(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import grouped_agg
+        t = self._tab(n=2000)
+        a = _to_table(grouped_agg(ray.data.from_arrow(t).repartition(2),
+                                  "g", {"q": "sum"}, num_buckets=3))
+        b = _to_table(grouped_agg(ray.data.from_arrow(t).repartition(13),
+                                  "g", {"q": "sum"}, num_buckets=17))
+        _assert_tables_equal(a, b)
+        assert a.column("sum_q").type == pa.int64()
+
+    def test_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import grouped_agg
+        ds = ray.data.from_arrow(self._tab(n=20))
+        with pytest.raises(ValueError, match="unknown aggregate"):
+            grouped_agg(ds, "g", {"v": "median"})
+        with pytest.raises(ValueError, match="not in schema"):
+            grouped_agg(ds, "g", {"nope": "sum"})
+        with pytest.raises(ValueError, match="at least one"):
+            grouped_agg(ds, "g", {})
