@@ -1597,6 +1597,15 @@ def _q_rolling_user_events(sf_dir: str):
                      "roll_min", "roll_max", "roll_avg"])
 
 
+def _q_distinct_events(sf_dir: str):
+    """Distributed SELECT DISTINCT (relational.distinct): the distinct
+    (user_id, event_type) pairs — per-batch dedup partials before the
+    shuffle, per-partition finish."""
+    from graph_data_science_ray.functions.relational import distinct
+    ev = _rpc(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return _to_table(distinct(ev, ["user_id", "event_type"]))
+
+
 def _q_grouped_agg_events(sf_dir: str):
     """General distributed GROUP BY (relational.grouped_agg): per
     (event_type) count/sum/min/max/mean of value — per-batch Arrow
@@ -1811,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_events": _q_rolling_user_events,
         "rolling_range_events": _q_rolling_range_events,
         "grouped_agg_events": _q_grouped_agg_events,
+        "distinct_user_event_pairs": _q_distinct_events,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "substring_dup_documents": _q_substring_dup,
         "sample_docs_per_lang": _q_sample_n_per_group,
@@ -2642,6 +2652,9 @@ SELECT wins.doc_id, count(*)::BIGINT AS n_windows,
        round(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
              6) AS dup_fraction
 FROM wins JOIN cnt USING (h) GROUP BY wins.doc_id
+""",
+        "distinct_user_event_pairs": """
+SELECT DISTINCT user_id, event_type FROM events
 """,
         "grouped_agg_events": """
 SELECT event_type, count(value) AS count_value,

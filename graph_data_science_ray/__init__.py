@@ -65,7 +65,7 @@ from .functions.text import (TokenCounter, TextStats, QualityScorer,
 from .functions.relational import (asof_join, range_join, top_k_per_group,
                                    grouped_quantiles, window_functions,
                                    rolling_agg, rolling_range_agg,
-                                   grouped_agg)
+                                   grouped_agg, distinct)
 from .functions.joins import hash_join, semi_join_filter
 from .functions.packing import (global_prefix_sum, global_order,
                                 pack_documents)
@@ -136,7 +136,7 @@ __all__ = [
     "bpe_token_counts", "BPE_PRETOKEN_PATTERN", "funnel_counts", "funnel_depths", "retention_cohorts",
     "hll_estimate", "hll_registers",
     "RepetitionStats", "repetition_filter", "window_functions",
-    "rolling_agg", "rolling_range_agg", "grouped_agg",
+    "rolling_agg", "rolling_range_agg", "grouped_agg", "distinct",
     "tfidf_top_terms", "json_extract_scalar", "redact_pii",
     "global_prefix_sum", "global_order", "pack_documents", "add_ngram_jaccard",
     "ngram_contamination", "upsample_by_weight", "chunk_documents",

@@ -796,3 +796,47 @@ def grouped_agg(ds, group_cols, aggs, *, num_buckets: Optional[int] = None,
     from ..stages.exchange import exchange
     partial = ds.map_batches(_partial, batch_format="pyarrow")
     return exchange(partial, _bucket, num_buckets, combine=_final)
+
+
+def distinct(ds, cols, *, num_buckets: Optional[int] = None, schema=None):
+    """Distributed ``SELECT DISTINCT`` over one or more columns — per-batch
+    Arrow ``group_by`` partials deduplicate each block BEFORE the shuffle
+    (the exchange carries at most one row per distinct key per batch), then
+    a key-hash exchange lands every candidate of a key in one partition
+    where one more group_by finishes the job.  The same partial + final
+    shape as :func:`grouped_agg` with no aggregates."""
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    if schema is None:
+        schema = ds.schema()  # once — schema() partially executes upstream
+    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
+    for c in cols:
+        if c not in types:
+            raise ValueError(f"column {c!r} not in schema")
+    empty = pa.table({c: pa.array([], types[c]) for c in cols})
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    if num_buckets is None:
+        from ..stages.bucketing import adaptive_bucket_count, rows_if_cheap
+        num_buckets = adaptive_bucket_count(rows_if_cheap(ds))
+
+    def _bucket(t: pa.Table) -> np.ndarray:
+        key = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in cols:
+            key = key * np.uint64(1099511628211) ^ \
+                _col_bucket_values(t.column(c), 1 << 62).astype(np.uint64)
+        return (key % np.uint64(num_buckets)).astype(np.int64)
+
+    def _final(p: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return empty
+        return g.group_by(cols).aggregate([]).select(cols)
+
+    from ..stages.exchange import exchange
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return exchange(partial, _bucket, num_buckets, combine=_final)

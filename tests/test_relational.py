@@ -529,3 +529,35 @@ class TestGroupedAgg:
             grouped_agg(ds, "g", {"nope": "sum"})
         with pytest.raises(ValueError, match="at least one"):
             grouped_agg(ds, "g", {})
+
+
+class TestDistinct:
+    def test_matches_duckdb_and_layout_invariant(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import distinct
+        rng = np.random.default_rng(6)
+        n = 8000
+        t = pa.table({"a": pa.array([f"s{i}" for i in
+                                     rng.integers(0, 12, n)]),
+                      "b": rng.integers(0, 30, n).astype(np.int64),
+                      "c": rng.normal(size=n)})
+        got = _to_table(distinct(ray.data.from_arrow(t).repartition(7),
+                                 ["a", "b"]))
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql("SELECT DISTINCT a, b FROM t").arrow()
+        _assert_tables_equal(got, exp)
+        got2 = _to_table(distinct(ray.data.from_arrow(t).repartition(2),
+                                  ["a", "b"], num_buckets=5))
+        _assert_tables_equal(got, got2)
+
+    def test_single_column_and_validation(self):
+        import ray.data
+        from graph_data_science_ray.functions.relational import distinct
+        t = pa.table({"x": pa.array([3, 1, 3, 2, 1], pa.int64())})
+        got = _to_table(distinct(ray.data.from_arrow(t), "x"))
+        assert sorted(got.column("x").to_pylist()) == [1, 2, 3]
+        with pytest.raises(ValueError, match="at least one"):
+            distinct(ray.data.from_arrow(t), [])
+        with pytest.raises(ValueError, match="not in schema"):
+            distinct(ray.data.from_arrow(t), "zzz")
