@@ -64,6 +64,9 @@ def _build_parser():
     d.add_argument("--out", required=True, help="output partition directory")
     d.add_argument("--ops", default="dedup,repetition,redact",
                    help="comma-ORDERED stages: sample:<frac> | dedup | "
+                        "substring:<max_frac>[:<k>[:<stride>]] (drop docs "
+                        "whose corpus-wide duplicated-window fraction "
+                        "exceeds max_frac; empty docs drop too) | "
                         "repetition | redact | chunk:<max>[:<overlap>] | "
                         "shuffle:<shards> (deterministic global shuffle; "
                         "must be last — output parts become the shards)")
@@ -102,10 +105,17 @@ def _run_data_pipeline(args) -> dict:
                     int(params[1])
             elif name == "shuffle":
                 int(params[0])
+            elif name == "substring":
+                float(params[0])
+                if len(params) > 1:
+                    int(params[1])
+                if len(params) > 2:
+                    int(params[2])
         except (IndexError, ValueError):
             raise SystemExit(f"malformed data op {op!r}: expected "
-                             "sample:<frac> | chunk:<max>[:<overlap>] | "
-                             "shuffle:<shards>")
+                             "sample:<frac> | "
+                             "substring:<max_frac>[:<k>[:<stride>]] | "
+                             "chunk:<max>[:<overlap>] | shuffle:<shards>")
         if name == "sample":
             from .functions.sampling import hash_sample
             ds = hash_sample(ds, "doc_id", float(params[0]))
@@ -114,6 +124,26 @@ def _run_data_pipeline(args) -> dict:
             from .functions.joins import hash_join
             winners = exact_dedup(ds).select_columns(["doc_id"])
             ds = hash_join(ds, winners, "doc_id",
+                           left_schema=None if chunked else doc_schema,
+                           right_schema=pa.schema([("doc_id", pa.int64())]))
+        elif name == "substring":
+            # ExactSubstr contamination gate: keep docs whose corpus-wide
+            # duplicated-window fraction is <= max_frac (stats stay
+            # distributed; the keeper-id side of the join is doc ids only)
+            from .functions.dedup import substring_dup_stats
+            from .functions.joins import hash_join
+            max_frac = float(params[0])
+            kk = int(params[1]) if len(params) > 1 else 16
+            st = int(params[2]) if len(params) > 2 else 8
+            stats = substring_dup_stats(ds, k=kk, stride=st)
+
+            def _keep(t: pa.Table) -> pa.Table:
+                f = t.column("dup_fraction")
+                return t.filter(pa.compute.less_equal(
+                    f, pa.scalar(max_frac))).select(["doc_id"])
+
+            keepers = stats.map_batches(_keep, batch_format="pyarrow")
+            ds = hash_join(ds, keepers, "doc_id",
                            left_schema=None if chunked else doc_schema,
                            right_schema=pa.schema([("doc_id", pa.int64())]))
         elif name == "repetition":

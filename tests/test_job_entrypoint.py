@@ -4,6 +4,7 @@ kill-free resume path (in-process main(); the session fixture owns Ray)."""
 import json
 
 import numpy as np
+import pytest
 import pyarrow.parquet as pq
 
 from graph_data_science_ray.__main__ import main
@@ -188,3 +189,30 @@ def test_data_pipeline_op_validation(tmp_path):
         with pytest.raises(SystemExit):
             main(["data", "--input", str(src), "--out",
                   str(tmp_path / "x"), "--ops", bad])
+
+
+def test_data_pipeline_substring_gate(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    # 12 clean docs with fully distinct vocab + 4 docs built from one shared
+    # template (every 4-token window duplicated corpus-wide) + 1 empty doc
+    clean = [" ".join(f"u{i}w{j}" for j in range(30)) for i in range(12)]
+    tmpl = " ".join(f"shared{j}" for j in range(30))
+    texts = clean + [tmpl] * 4 + [""]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = tmp_path / "docs.parquet"
+    pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(src))
+
+    out_dir = tmp_path / "gated"
+    res = main(["data", "--input", str(src), "--out", str(out_dir),
+                "--ops", "substring:0.5:4:2", "--num-partitions", "3"])
+    back = pq.read_table(str(out_dir)).to_pandas()
+    # template docs (dup_fraction 1.0) and the empty doc are gone
+    assert sorted(back.doc_id.tolist()) == list(range(12))
+    assert res["rows"] == 12
+
+    with pytest.raises(SystemExit, match="malformed"):
+        main(["data", "--input", str(src), "--out", str(out_dir),
+              "--ops", "substring:notafloat"])
